@@ -1,0 +1,308 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  *
+  * Rules (SURVEY.md §3): identical aggregate arithmetic to the Spark plans —
+  * exact DECIMAL(18,6) sums cast to DOUBLE, ratios written as the same IEEE
+  * expression, BIGINT for derived integers, DATE (never raw timestamps),
+  * unique tie-breakers in every ranking window. Column names match the Spark
+  * output exactly (the driver sorts columns by name before hashing).
+  */
+object Oracles {
+
+  private val salesJoin =
+    """FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  private val ordersJoin =
+    """FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  private val revDec = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+
+  val sql: Map[String, String] = Map(
+    "sales_summary" ->
+      s"""SELECT n_name AS country,
+         |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+         |  COUNT(*) AS total_lines,
+         |  COUNT(DISTINCT l_orderkey) AS total_orders,
+         |  CAST($revDec AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_quantity,
+         |  COUNT(DISTINCT o_custkey) AS unique_customers,
+         |  COUNT(DISTINCT l_partkey) AS unique_products,
+         |  CAST($revDec AS DOUBLE) / COUNT(*) AS avg_line_value,
+         |  CAST($revDec AS DOUBLE) / COUNT(DISTINCT o_custkey) AS revenue_per_customer
+         |$salesJoin
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "product_analysis" ->
+      s"""SELECT p_partkey, p_name, p_brand, n_name AS country,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_quantity,
+         |  COUNT(*) AS transaction_count,
+         |  COUNT(DISTINCT o_custkey) AS unique_customers,
+         |  CAST($revDec AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_extended_price,
+         |  CAST($revDec AS DOUBLE) / COUNT(*) AS revenue_per_transaction,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+         |    ORDER BY CAST($revDec AS DOUBLE) DESC, p_partkey) AS BIGINT) AS revenue_rank_in_country
+         |$salesJoin
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "rfm_segments" ->
+      s"""WITH m AS (
+         |  SELECT o_custkey AS customer_id, n_name AS country,
+         |    MIN(CAST(o_orderdate AS DATE)) AS first_purchase,
+         |    MAX(CAST(o_orderdate AS DATE)) AS last_purchase,
+         |    COUNT(*) AS transaction_count,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |  $ordersJoin
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT *,
+         |    CAST(date_diff('day', first_purchase, last_purchase) AS BIGINT) AS customer_lifetime_days,
+         |    CAST(NTILE(5) OVER (ORDER BY last_purchase DESC, customer_id) AS BIGINT) AS recency_score,
+         |    CAST(NTILE(5) OVER (ORDER BY transaction_count DESC, customer_id) AS BIGINT) AS frequency_score,
+         |    CAST(NTILE(5) OVER (ORDER BY total_spent DESC, customer_id) AS BIGINT) AS monetary_score
+         |  FROM m
+         |), s2 AS (
+         |  SELECT *, CAST(recency_score AS VARCHAR) || CAST(frequency_score AS VARCHAR)
+         |    || CAST(monetary_score AS VARCHAR) AS rfm_score
+         |  FROM s
+         |)
+         |SELECT *,
+         |  CASE
+         |    WHEN regexp_matches(rfm_score, '^[1-2][1-2][1-2]$$') THEN 'Champions'
+         |    WHEN regexp_matches(rfm_score, '^[1-3][3-5][1-2]$$') THEN 'Big Spenders'
+         |    WHEN regexp_matches(rfm_score, '^[1-3][1-3][3-5]$$') THEN 'Loyal Customers'
+         |    WHEN regexp_matches(rfm_score, '^[1-2][3-5][3-5]$$') THEN 'New Customers'
+         |    WHEN regexp_matches(rfm_score, '^[3-4][1-3][1-3]$$') THEN 'Potential Loyalists'
+         |    WHEN regexp_matches(rfm_score, '^[2-3][2-3][2-3]$$') THEN 'Need Attention'
+         |    WHEN regexp_matches(rfm_score, '^[4-5][1-2][1-2]$$') THEN 'Cannot Lose Them'
+         |    WHEN regexp_matches(rfm_score, '^[4-5][4-5][1-2]$$') THEN 'At Risk'
+         |    ELSE 'Others'
+         |  END AS customer_segment
+         |FROM s2""".stripMargin,
+
+    "daily_metrics" ->
+      s"""WITH d AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS order_date, n_name AS country,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS daily_revenue,
+         |    COUNT(*) AS daily_transactions,
+         |    COUNT(DISTINCT o_custkey) AS unique_customers,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |  $ordersJoin
+         |  GROUP BY 1, 2
+         |)
+         |SELECT *,
+         |  CAST(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER w AS DOUBLE) AS revenue_7d_sum,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS window_days,
+         |  CAST(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    / CAST(COUNT(*) OVER w AS BIGINT) AS revenue_7d_avg,
+         |  dayname(order_date) AS day_of_week,
+         |  isodow(order_date) IN (6, 7) AS is_weekend
+         |FROM d
+         |WINDOW w AS (PARTITION BY country ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "cohort_analysis" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS fp_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_purchase_date
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(first_purchase_date, '%Y-%m') AS cohort_month,
+        |  CAST((year(CAST(o_orderdate AS DATE)) - year(first_purchase_date)) * 12
+        |    + (month(CAST(o_orderdate AS DATE)) - month(first_purchase_date)) AS BIGINT) AS period_number,
+        |  COUNT(DISTINCT o_custkey) AS customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS orders
+        |FROM orders JOIN f ON o_custkey = fp_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "silver_clean" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS total_amount,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |  CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter,
+        |  dayname(CAST(l_shipdate AS DATE)) AS ship_day_of_week,
+        |  CAST((CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN l_suppkey IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN l_extendedprice IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END
+        |      + CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 7.0 AS completeness_score,
+        |  completeness_score >= 0.8 AS is_high_quality
+        |FROM lineitem
+        |WHERE l_quantity > 0 AND l_extendedprice >= 0 AND l_orderkey IS NOT NULL
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+        |  ORDER BY l_shipdate DESC, l_linenumber DESC) = 1""".stripMargin,
+
+    "dq_profile" ->
+      """SELECT COUNT(*) AS total_records,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderkey,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_custkey,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_totalprice,
+        |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderdate,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS distinct_customers,
+        |  COUNT(DISTINCT o_orderstatus) AS distinct_statuses,
+        |  MIN(o_totalprice) AS min_totalprice,
+        |  MAX(o_totalprice) AS max_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_totalprice,
+        |  CAST((COUNT(o_orderkey) + COUNT(o_custkey) + COUNT(o_orderstatus) + COUNT(o_totalprice)
+        |    + COUNT(o_orderdate) + COUNT(o_orderpriority)) AS DOUBLE) / (COUNT(*) * 6) AS completeness
+        |FROM orders""".stripMargin,
+
+    "scd2_customer" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS customer_id, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS valid_from,
+        |    md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS attribute_hash
+        |  FROM orders
+        |)
+        |SELECT customer_id, o_orderkey, valid_from, attribute_hash,
+        |  LAG(attribute_hash) OVER w AS prev_hash,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  (ROW_NUMBER() OVER wd) = 1 AS is_current,
+        |  CASE WHEN (ROW_NUMBER() OVER wd) = 1 THEN NULL
+        |       ELSE LEAD(valid_from) OVER w END AS valid_to,
+        |  CASE WHEN LAG(attribute_hash) OVER w IS NULL THEN 'insert'
+        |       WHEN LAG(attribute_hash) OVER w <> attribute_hash THEN 'update'
+        |       ELSE 'no_change' END AS change_type
+        |FROM b
+        |WINDOW w AS (PARTITION BY customer_id ORDER BY valid_from, o_orderkey),
+        |       wd AS (PARTITION BY customer_id ORDER BY valid_from DESC, o_orderkey DESC)""".stripMargin,
+
+    "running_totals" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+        |  LAG(o_totalprice) OVER w AS prev_amount,
+        |  LEAD(o_totalprice) OVER w AS next_amount,
+        |  CAST(date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w,
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS amount_rank,
+        |  PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS amount_pct
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""".stripMargin,
+
+    "pivot_priority" -> {
+      val cases = Seq(
+        "urgent" -> "1-URGENT", "high" -> "2-HIGH", "medium" -> "3-MEDIUM",
+        "not_specified" -> "4-NOT SPECIFIED", "low" -> "5-LOW")
+      val cols = cases.map { case (a, p) =>
+        s"""COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS ${a}_revenue"""
+      }.mkString(",\n  ")
+      s"""SELECT n_name AS country,
+         |  $cols,
+         |  urgent_revenue + high_revenue + medium_revenue + not_specified_revenue + low_revenue AS total_revenue
+         |$ordersJoin
+         |GROUP BY 1""".stripMargin
+    },
+
+    "dim_date" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS mn, MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders
+        |), days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM span
+        |)
+        |SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT) AS date_key,
+        |  d AS date,
+        |  CAST(year(d) AS BIGINT) AS year, CAST(quarter(d) AS BIGINT) AS quarter,
+        |  CAST(month(d) AS BIGINT) AS month, CAST(day(d) AS BIGINT) AS day,
+        |  dayname(d) AS day_name, monthname(d) AS month_name,
+        |  isodow(d) IN (6, 7) AS is_weekend,
+        |  date_trunc('month', d) AS first_day_of_month
+        |FROM days""".stripMargin,
+
+    "fact_sales" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  md5(CAST(o_custkey AS VARCHAR)) AS customer_sk,
+        |  md5(CAST(l_partkey AS VARCHAR)) AS part_sk,
+        |  md5(CAST(l_suppkey AS VARCHAR)) AS supplier_sk,
+        |  CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate) AS BIGINT) AS date_key,
+        |  n_name AS country, r_name AS region, c_mktsegment,
+        |  p_brand, s_name, o_orderpriority,
+        |  l_quantity, l_extendedprice,
+        |  l_extendedprice * l_discount AS discount_amount,
+        |  l_extendedprice * (1 - l_discount) AS net_revenue,
+        |  l_extendedprice * (1 - l_discount) * l_tax AS tax_amount
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "events_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type,
+        |  COUNT(*) AS events_count,
+        |  COUNT(DISTINCT user_id) AS unique_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH x AS (
+        |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM x
+        |)
+        |SELECT user_id, session_seq,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_seconds,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS distinct_event_types,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY 1, 2""".stripMargin,
+
+    "anomaly_orders" ->
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country, o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  $ordersJoin
+         |), a1 AS (
+         |  SELECT country AS a_country, COUNT(*) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS s,
+         |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS center
+         |  FROM oc GROUP BY 1
+         |), a2 AS (
+         |  SELECT a_country AS s_country, n, s, center,
+         |    SUM(CAST(cents - center AS DECIMAL(15,0)) * CAST(cents - center AS DECIMAL(15,0))) AS ssd
+         |  FROM oc JOIN a1 ON country = a_country
+         |  GROUP BY 1, 2, 3, 4
+         |), st AS (
+         |  SELECT s_country,
+         |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
+         |    sqrt((CAST(CAST(ssd AS BIGINT) AS DOUBLE)
+         |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 AS std_price
+         |  FROM a2
+         |)
+         |SELECT o_orderkey, s_country AS country, o_totalprice, mean_price, std_price,
+         |  (o_totalprice - mean_price) / std_price AS z,
+         |  abs((o_totalprice - mean_price) / std_price) > 3.0 AS is_outlier
+         |FROM oc JOIN st ON country = s_country""".stripMargin
+  )
+}

@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory each query
+  * key maps to, and Oracles for the matching DuckDB SQL. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Gold.salesSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // gold layer (reference: src/etl/gold/spark_gold.py)
+    "sales_summary"    -> ((s, d) => Gold.salesSummary(s, d)),
+    "product_analysis" -> ((s, d) => Gold.productAnalysis(s, d)),
+    "rfm_segments"     -> ((s, d) => Gold.rfmSegments(s, d)),
+    "daily_metrics"    -> ((s, d) => Gold.dailyMetrics(s, d)),
+    "cohort_analysis"  -> ((s, d) => Gold.cohortAnalysis(s, d)),
+    // silver layer + data quality (reference: src/etl/silver/spark_silver.py)
+    "silver_clean"     -> ((s, d) => Silver.cleanLineitem(s, d)),
+    "dq_profile"       -> ((s, d) => Quality.dqProfileOrders(s, d)),
+    "anomaly_orders"   -> ((s, d) => Quality.anomalyOrders(s, d)),
+    // transformations (reference: src/etl/transformations/)
+    "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
+    "running_totals"   -> ((s, d) => Windowing.runningTotals(s, d)),
+    "pivot_priority"   -> ((s, d) => Pivot.revenueByPriority(s, d)),
+    // star schema (reference: src/etl/gold/star_schema_builder.py)
+    "dim_date"         -> ((s, d) => StarSchema.dimDate(s, d)),
+    "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),
+    // streaming batch analogs (reference: src/streaming/)
+    "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
+    "events_sessions"  -> ((s, d) => Events.sessions(s, d))
+  )
+
+  /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are
+    * non-SQL-expressible (hash-function-dependent LSH etc.) and get the
+    * driver's rows-only check plus ScalaTest coverage. */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify output vs
+DuckDB oracle_sql.json on the same parquet tables. Exact value compare after
+sorting columns by name and rows by all values. Driver-side python only —
+NOT part of the library."""
+import sys, json, glob, math
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"[MISS] {name}: no spark output"); fail += 1; continue
+        try:
+            got = norm(con.execute(f"SELECT * FROM read_parquet({files!r})").df())
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"[ERR ] {name}: {e}"); fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"[COLS] {name}: spark={list(got.columns)} oracle={list(want.columns)}"); fail += 1; continue
+        if len(got) != len(want):
+            print(f"[ROWS] {name}: spark={len(got)} oracle={len(want)}"); fail += 1; continue
+        bad = None
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if str(a.dtype) != str(b.dtype):
+                bad = f"dtype {c}: {a.dtype} vs {b.dtype}"; break
+            if a.dtype.kind == 'f':
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    bad = f"float {c}: row {i} {a[i]!r} vs {b[i]!r} (diff {abs(a[i]-b[i])})"; break
+            else:
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    bad = f"value {c}: row {i} {a[i]!r} vs {b[i]!r}"; break
+        if bad:
+            print(f"[FAIL] {name}: {bad}"); fail += 1
+        else:
+            print(f"[ OK ] {name}: {len(got)} rows"); ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
