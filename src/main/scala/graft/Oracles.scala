@@ -23,7 +23,98 @@ object Oracles {
 
   private val revDec = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
 
+  import graft.text.TextOps.{sqlList, enStop, esStop, frStop, deStop}
+
   val sql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) END AS n_tokens
+         |  FROM documents
+         |), s AS (
+         |  SELECT *,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(list_distinct(toks)) AS BIGINT) END AS n_unique_tokens,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace_chars,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_count,
+         |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS upper_count,
+         |    CAST(len(list_filter(toks, x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS stopword_count
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, source, n_chars_calc, n_tokens, n_unique_tokens, nonspace_chars,
+         |  CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(nonspace_chars AS DOUBLE) / n_tokens END AS avg_token_len,
+         |  punct_count, digit_count, upper_count, stopword_count,
+         |  CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(stopword_count AS DOUBLE) / n_tokens END AS stopword_ratio,
+         |  LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+         |    + CASE WHEN n_tokens = 0 THEN 0.0
+         |           ELSE LEAST(1.0, 4.0 * stopword_count / n_tokens) * 0.5 END AS quality_score
+         |FROM s""".stripMargin,
+
+    "token_counts" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) END AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |    CAST(floor(length(text) / 4.0) AS BIGINT) AS est_tokens_chars_div4
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars_calc, ws_tokens, bpe_tokens,
+        |  CASE WHEN bpe_tokens = 0 THEN NULL
+        |       ELSE CAST(n_chars_calc AS DOUBLE) / bpe_tokens END AS chars_per_bpe_token,
+        |  est_tokens_chars_div4
+        |FROM b""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+         |), h AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS en_hits,
+         |    CAST(len(list_filter(toks, x -> x IN (${sqlList(esStop)}))) AS BIGINT) AS es_hits,
+         |    CAST(len(list_filter(toks, x -> x IN (${sqlList(frStop)}))) AS BIGINT) AS fr_hits,
+         |    CAST(len(list_filter(toks, x -> x IN (${sqlList(deStop)}))) AS BIGINT) AS de_hits
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits,
+         |  en_hits + es_hits + fr_hits + de_hits AS total_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |       WHEN fr_hits >= de_hits THEN 'fr'
+         |       ELSE 'de' END AS predicted_lang,
+         |  CASE WHEN en_hits + es_hits + fr_hits + de_hits = 0 THEN 0.0
+         |       ELSE CAST(greatest(en_hits, es_hits, fr_hits, de_hits) AS DOUBLE)
+         |            / (en_hits + es_hits + fr_hits + de_hits) END AS confidence,
+         |  (CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         |        WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         |        WHEN fr_hits >= de_hits THEN 'fr'
+         |        ELSE 'de' END) = lang AS is_match
+         |FROM h""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END AS grams
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(grams, x -> md5(x)), 'min') AS fingerprint_min,
+        |  list_aggregate(list_transform(grams, x -> md5(x)), 'max') AS fingerprint_max,
+        |  CASE WHEN grams IS NULL THEN NULL
+        |       ELSE CAST(len(list_distinct(grams)) AS BIGINT) END AS n_distinct_grams
+        |FROM g""".stripMargin,
+
     "sales_summary" ->
       s"""SELECT n_name AS country,
          |  CAST(year(o_orderdate) AS BIGINT) AS order_year,

@@ -32,7 +32,21 @@ object SparkEntry {
     "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),
     // streaming batch analogs (reference: src/streaming/)
     "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
-    "events_sessions"  -> ((s, d) => Events.sessions(s, d))
+    "events_sessions"  -> ((s, d) => Events.sessions(s, d)),
+    // LLM-pipeline: text analysis (SURVEY §2 #29-32)
+    "text_stats"       -> ((s, d) => graft.text.TextOps.textStats(s, d)),
+    "token_counts"     -> ((s, d) => graft.text.TextOps.tokenCounts(s, d)),
+    "lang_id"          -> ((s, d) => graft.text.TextOps.langId(s, d)),
+    "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
+    // LLM-pipeline: dedup (SURVEY §2 #21-24)
+    "dedup_exact"      -> ((s, d) => graft.dedup.Dedup.exactDedup(s, d)),
+    "dedup_minhash"    -> ((s, d) => graft.dedup.MinHashLsh.nearDupPairs(s, d)),
+    "dedup_simhash"    -> ((s, d) => graft.dedup.SimHash.nearDupPairs(s, d)),
+    // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
+    "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),
+    "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
+    "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
+    "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

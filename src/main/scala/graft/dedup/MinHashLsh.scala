@@ -1,0 +1,71 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection (brief requirement).
+  *
+  * Pipeline: word 3-gram shingles → `numHashes` MinHash signatures
+  * (xxhash64 with per-hash salts) → `bands` banded bucket keys → self-join on
+  * (band, bucket) for candidates only → exact shingle-set Jaccard on the
+  * candidates → threshold.
+  *
+  * Never all-pairs: the only join is on band buckets, so candidate volume is
+  * sub-quadratic (banding theory: P[collide] = 1-(1-j^r)^b for Jaccard j,
+  * r = numHashes/bands rows per band). At 100 TB the bucket join shuffles on
+  * hash-distributed keys; a pathological bucket (boilerplate shingle sets)
+  * is bounded by exploding only distinct (band, bucket) pairs per doc.
+  */
+object MinHashLsh {
+
+  /** doc_id + distinct word-3-gram shingle array. */
+  def shingleDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
+      .filter(size(col("__tokens")) >= 3)
+      .withColumn("shingles",
+        expr("""array_distinct(transform(sequence(1, size(__tokens) - 2),
+               |  i -> concat_ws(' ', element_at(__tokens, i),
+               |    element_at(__tokens, i + 1), element_at(__tokens, i + 2))))""".stripMargin))
+      .select("doc_id", "shingles")
+
+  /** Adds `sig` = array of `numHashes` MinHash values. */
+  def withSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val mins: Seq[Column] = (0 until numHashes).map { i =>
+      expr(s"array_min(transform(shingles, g -> xxhash64(concat('$i:', g))))")
+    }
+    shingled.withColumn("sig", array(mins: _*))
+  }
+
+  /** Candidate pairs from banded buckets, with exact Jaccard attached. */
+  def candidatePairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val signed = withSignatures(shingleDocs(docs), numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
+      struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
+    }
+    val buckets = signed
+      .withColumn("__band", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("shingles"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Near-dup pairs above `threshold` over the documents table. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame =
+    candidatePairs(Tables.documents(spark, dir), numHashes, bands)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+}

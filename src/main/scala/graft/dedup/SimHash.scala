@@ -1,0 +1,55 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (brief requirement).
+  *
+  * 64-bit SimHash from token-frequency-weighted xxhash64 bit votes, then the
+  * pigeonhole trick: split the 64 bits into 4 × 16-bit bands — any pair with
+  * Hamming distance ≤ 3 must agree on at least one whole band — and join on
+  * exact band matches only (sub-quadratic candidates), verifying with
+  * bit_count(a XOR b).
+  */
+object SimHash {
+
+  /** doc_id + 64-bit `simhash` (long). */
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("__t", explode(expr("""split(lower(trim(text)), '\\s+')""")))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col("doc_id"), col("__t")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("__t")))
+    val bitVotes: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    voted.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** Candidate pairs sharing ≥1 16-bit band, with exact Hamming distance. */
+  def nearDupPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDocs(Tables.documents(spark, dir))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+    }
+    val buckets = sh
+      .withColumn("__band", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("simhash"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A streaming event (mirror of the events table's core columns). */
+case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+
+/** Mutable session accumulator kept in GroupState. */
+case class SessionState(start: Long, end: Long, nEvents: Long, totalValue: Double)
+
+/** Emitted when a session closes (event-time timeout past the gap). */
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+/** Structured Streaming operators (reference:
+  * src/streaming/spark_structured_streaming.py, stream_aggregations.py —
+  * the reference's Kafka/Delta plumbing is infrastructure; the semantics are
+  * these three shapes). All are source-agnostic: pass any streaming
+  * DataFrame/Dataset (MemoryStream in tests, Kafka/files in production).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts/sums per event type. Streaming-safe
+    * aggregates only (approx_count_distinct instead of exact distinct). */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+                  windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("events_count"),
+        approx_count_distinct("user_id").as("approx_users"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("events_count"), col("approx_users"), col("total_value"))
+
+  /** Built-in session windows (gap-based) per user. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: sessions
+    * close via event-time timeout `gapSeconds` past the last event. State per
+    * user is O(1) (a running aggregate, not buffered events). */
+  def statefulSessions(events: Dataset[Ev], gapSeconds: Long = 1800,
+                       watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { ev =>
+              val t = ev.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.nEvents + 1, s.totalValue + ev.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, ev.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, ev.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (brief requirement; reference analog:
+  * the per-row pandas features in src/etl/transformations/advanced_features.py,
+  * re-expressed as codegen'd Spark built-ins — no per-row UDFs anywhere).
+  *
+  * All operators are pure column expressions over `documents`, so they scale
+  * as a single narrow scan: no shuffle, no state, filter/projection pushdown
+  * intact.
+  */
+object TextOps {
+
+  // Tiny per-language function-word lexicons for the language-ID heuristic.
+  // Also interpolated into the DuckDB oracle SQL (single source of truth).
+  val enStop = Seq("the", "and", "of", "to", "in", "is", "that", "it")
+  val esStop = Seq("el", "la", "de", "que", "y", "los", "se", "del")
+  val frStop = Seq("le", "les", "des", "et", "une", "dans", "est", "pour")
+  val deStop = Seq("der", "die", "und", "das", "von", "mit", "den", "ist")
+
+  def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** BPE-ish pre-tokenization regex: letter runs, digit runs, single
+    * punctuation marks (the common GPT-2-style split shape). */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
+
+  private def stopHits(list: Seq[String]): org.apache.spark.sql.Column =
+    expr(s"size(filter(__tokens, t -> t IN (${sqlList(list)})))").cast("long")
+
+  /** Length/character-class/stopword statistics + a composite quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = withTokens(Tables.documents(spark, dir))
+    val empty = length(trim(col("text"))) === 0
+    d.withColumn("n_chars_calc", length(col("text")).cast("long"))
+      .withColumn("n_tokens", when(empty, 0L).otherwise(size(col("__tokens")).cast("long")))
+      .withColumn("n_unique_tokens", when(empty, 0L).otherwise(size(array_distinct(col("__tokens"))).cast("long")))
+      .withColumn("nonspace_chars", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("nonspace_chars").cast("double") / col("n_tokens")))
+      .withColumn("punct_count", length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long"))
+      .withColumn("digit_count", length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("upper_count", length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long"))
+      .withColumn("stopword_count", stopHits(enStop))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("stopword_count").cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 100.0) * 0.5 +
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(least(lit(1.0), lit(4.0) * col("stopword_count") / col("n_tokens")) * 0.5))
+      .select("doc_id", "lang", "source", "n_chars_calc", "n_tokens", "n_unique_tokens",
+        "nonspace_chars", "avg_token_len", "punct_count", "digit_count", "upper_count",
+        "stopword_count", "stopword_ratio", "quality_score")
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars-per-token
+    * and the chars/4 rule-of-thumb LLM token estimate. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = withTokens(Tables.documents(spark, dir))
+    val empty = length(trim(col("text"))) === 0
+    d.withColumn("n_chars_calc", length(col("text")).cast("long"))
+      .withColumn("ws_tokens", when(empty, 0L).otherwise(size(col("__tokens")).cast("long")))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long"))
+      .withColumn("chars_per_bpe_token",
+        when(col("bpe_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("n_chars_calc").cast("double") / col("bpe_tokens")))
+      .withColumn("est_tokens_chars_div4", floor(length(col("text")) / 4.0).cast("long"))
+      .select("doc_id", "n_chars_calc", "ws_tokens", "bpe_tokens",
+        "chars_per_bpe_token", "est_tokens_chars_div4")
+  }
+
+  /** Language-ID heuristic: function-word hits per language, argmax with a
+    * fixed tie order (en > es > fr > de). Latin-script languages only — the
+    * zh docs in the test set fall through to the tie order by construction
+    * (documented limitation; a real system adds char-class n-grams). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = withTokens(Tables.documents(spark, dir))
+    val scored = d
+      .withColumn("en_hits", stopHits(enStop))
+      .withColumn("es_hits", stopHits(esStop))
+      .withColumn("fr_hits", stopHits(frStop))
+      .withColumn("de_hits", stopHits(deStop))
+    scored
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits")
+          && col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") >= col("de_hits"), "es")
+          .when(col("fr_hits") >= col("de_hits"), "fr")
+          .otherwise("de"))
+      .withColumn("total_hits",
+        (col("en_hits") + col("es_hits") + col("fr_hits") + col("de_hits")).cast("long"))
+      .withColumn("confidence",
+        when(col("total_hits") === 0, 0.0)
+          .otherwise(greatest(col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits"))
+            .cast("double") / col("total_hits")))
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+      .select("doc_id", "lang", "en_hits", "es_hits", "fr_hits", "de_hits",
+        "total_hits", "predicted_lang", "confidence", "is_match")
+  }
+
+  /** Document fingerprint: md5 over word 3-grams, min/max as the rolling
+    * fingerprint pair (a MinHash-1 — engine-portable because md5 is identical
+    * everywhere, unlike xxhash64). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = withTokens(Tables.documents(spark, dir))
+    d.withColumn("__grams",
+        when(size(col("__tokens")) >= 3,
+          expr("""transform(sequence(1, size(__tokens) - 2),
+                 |  i -> concat_ws(' ', element_at(__tokens, i),
+                 |    element_at(__tokens, i + 1), element_at(__tokens, i + 2)))""".stripMargin)))
+      .withColumn("fingerprint_min", expr("array_min(transform(__grams, g -> md5(g)))"))
+      .withColumn("fingerprint_max", expr("array_max(transform(__grams, g -> md5(g)))"))
+      .withColumn("n_distinct_grams",
+        when(col("__grams").isNull, lit(null).cast("long"))
+          .otherwise(size(array_distinct(col("__grams"))).cast("long")))
+      .select("doc_id", "fingerprint_min", "fingerprint_max", "n_distinct_grams")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  test("LSH top-k recall >= 0.9 vs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val brute = Ann.bruteTopK(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = Ann.lshTopK(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
+  test("brute-force top-k is correctly ordered and self-free") {
+    val res = Ann.annTopK(spark, dir).collect()
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      val sims = byRank.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    assert(res.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.bruteTopK(v, v.filter(col("vec_id") === 1), 1).collect()
+    assert(r.length == 1 && math.abs(r(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Ann.embeddingNearDups(spark, dir, threshold = 0.35).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos_sim") >= 0.35)
+    }
+  }
+}

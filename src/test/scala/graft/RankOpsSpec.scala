@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.RankOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RankOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sampleDf(n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to n).map(i => (i.toLong, rnd.nextInt(50))).toDF("id", "v")
+  }
+
+  test("withGlobalRank produces the permutation 1..n under the sort order") {
+    val n = 1237
+    val ranked = RankOps.withGlobalRank(sampleDf(n), "r", Seq(col("v").desc, col("id").asc))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("v"), r.getAs[Long]("r")))
+    spark.catalog.clearCache()
+    assert(ranked.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    // rank must agree with a local sort
+    val local = ranked.sortBy { case (id, v, _) => (-v, id) }
+    local.zipWithIndex.foreach { case ((_, _, r), i) => assert(r == i + 1) }
+  }
+
+  test("withGlobalNtile matches SQL NTILE semantics exactly (n not divisible by k)") {
+    val n = 1237; val k = 5
+    val got = RankOps.withGlobalNtile(sampleDf(n), "nt", k, Seq(col("v").desc, col("id").asc))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("nt"))).toMap
+    spark.catalog.clearCache()
+    val sorted = sampleDf(n).collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (id, v) => (-v, id) }
+    val q = n / k; val r0 = n % k
+    def bucket(rank: Int): Long =
+      if (rank <= (q + 1) * r0) ((rank - 1) / (q + 1) + 1).toLong
+      else (r0 + (rank - 1 - r0 * (q + 1)) / q + 1).toLong
+    sorted.zipWithIndex.foreach { case ((id, _), i) =>
+      assert(got(id) == bucket(i + 1), s"id=$id rank=${i + 1}")
+    }
+    // bucket sizes: first n%k buckets get one extra row
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    (1 to k).foreach { b =>
+      val expect = if (b <= r0) q + 1 else q
+      assert(sizes(b.toLong) == expect)
+    }
+  }
+
+  test("ntile handles n < k (each row its own bucket)") {
+    import spark.implicits._
+    val df = Seq((1L, 10), (2L, 5), (3L, 1)).toDF("id", "v")
+    val got = RankOps.withGlobalNtile(df, "nt", 5, Seq(col("v").desc, col("id").asc))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("nt"))).toMap
+    spark.catalog.clearCache()
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+}

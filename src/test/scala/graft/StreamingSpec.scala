@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("watermarked tumbling windows aggregate per hour and emit on watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedAgg(input.toDF(), watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_test").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:15:00"), "click", 2.0),
+        Ev(1, ts("2024-01-01 10:20:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past 11:10 so the 10:00 window closes
+      input.addData(Ev(3, ts("2024-01-01 14:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_test").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("events_count"), r.getAs[Double]("total_value")))
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)), out.mkString(";"))
+      assert(out.contains(("2024-01-01 10:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.statefulSessions(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 10:10:00"), "click", 2.0),
+        Ev(2, ts("2024-01-01 10:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      // push watermark beyond user 1/2 session timeouts
+      input.addData(Ev(3, ts("2024-01-01 13:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts("2024-01-01 16:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(out.contains((1L, 2L, 3.0)), out.mkString(";"))
+      assert(out.contains((2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("built-in session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionWindowAgg(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw_test").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 10:20:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 12:00:00"), "click", 7.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts("2024-01-01 15:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sw_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      assert(out.contains((1L, 2L, 2.0)), out.mkString(";"))
+      assert(out.contains((1L, 1L, 7.0)))
+    } finally q.stop()
+  }
+}
