@@ -68,20 +68,30 @@ object Ann {
       .drop("__b")
   }
 
-  /** SRP-LSH cosine top-k: bucket-collision candidates, exact re-score. */
+  /** Bucket bits sized so buckets average ~64 vectors: enough selectivity
+    * that candidate volume stays ~n·tables·64 instead of n². */
+  private def adaptiveBits(n: Long): Int =
+    math.min(20, math.max(3, math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+
+  /** SRP-LSH cosine top-k: bucket-collision candidates (ids only through the
+    * join — embeddings re-attached once for the exact re-score). `bits <= 0`
+    * auto-sizes from the corpus row count (a metadata-only parquet count). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 12, bits: Int = 3, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val pl = planes(tables, bits, dim, seed)
-    val c = withBuckets(withNorm(corpus, "embedding", "c_norm"), "embedding", pl)
-      .select("tbl", "bucket", "vec_id", "embedding", "c_norm")
-    val q = withBuckets(
-      withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb", "q_norm"),
-      "q_emb", pl).select("tbl", "bucket", "query_id", "q_emb", "q_norm")
+              tables: Int = 12, bits: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val b = if (bits > 0) bits else adaptiveBits(corpus.count())
+    val pl = planes(tables, b, dim, seed)
+    val c = withBuckets(corpus.select("vec_id", "embedding"), "embedding", pl)
+      .select("tbl", "bucket", "vec_id")
+    val qIn = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = withBuckets(qIn, "q_emb", pl).select("tbl", "bucket", "query_id")
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
+    val cEmb = withNorm(corpus, "embedding", "c_norm").select(col("vec_id"), col("embedding"), col("c_norm"))
+    val qEmb = broadcast(withNorm(qIn, "q_emb", "q_norm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    cand
+    cand.join(cEmb, "vec_id").join(qEmb, "query_id")
       .withColumn("cos_sim", dot("embedding", "q_emb") / (col("c_norm") * col("q_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -105,17 +115,23 @@ object Ann {
     * a demo value for the synthetic set (max pairwise cosine ≈ 0.51); real
     * near-dup dedup uses ~0.95. */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                        tables: Int = 12, bits: Int = 3): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "norm")
-    val pl = planes(tables, bits, 64, 42L)
-    val buckets = withBuckets(emb, "embedding", pl)
-    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("tbl", "bucket"))
+                        tables: Int = 12, bits: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val b0 = if (bits > 0) bits else adaptiveBits(emb.count())
+    val pl = planes(tables, b0, 64, 42L)
+    val buckets = withBuckets(emb.select("vec_id", "embedding"), "embedding", pl)
+      .select("tbl", "bucket", "vec_id")
+    // ids only through the bucket join; embeddings re-attached once per side
+    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
+    val normed = withNorm(emb, "embedding", "norm")
+    val ea = normed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val eb = normed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos_sim", dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
