@@ -26,6 +26,86 @@ object Oracles {
   import graft.text.TextOps.{sqlList, enStop, esStop, frStop, deStop}
 
   val sql: Map[String, String] = Map(
+    "basket_features" ->
+      """SELECT l_orderkey,
+        |  COUNT(*) AS basket_size,
+        |  COUNT(DISTINCT l_partkey) AS basket_diversity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS basket_total_quantity,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS basket_total_value,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS basket_avg_price,
+        |  CASE WHEN COUNT(*) <= 1 THEN 'Single'
+        |       WHEN COUNT(*) <= 3 THEN 'Small'
+        |       WHEN COUNT(*) <= 10 THEN 'Medium'
+        |       ELSE 'Large' END AS basket_size_category
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
+
+    "customer_behavior" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey AS customer_id, n_name AS country, o_totalprice,
+         |    CAST(o_orderdate AS DATE) AS od, dayname(CAST(o_orderdate AS DATE)) AS dow
+         |  $ordersJoin
+         |), base AS (
+         |  SELECT customer_id, country, COUNT(*) AS orders_count,
+         |    MIN(od) AS first_order, MAX(od) AS last_order,
+         |    CAST(date_diff('day', MIN(od), MAX(od)) AS BIGINT) AS tenure_days,
+         |    CAST(date_diff('day', MIN(od), MAX(od)) AS DOUBLE) / COUNT(*) AS avg_days_between_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |  FROM o GROUP BY 1, 2
+         |), m AS (
+         |  SELECT customer_id AS m_cust, dow AS preferred_dow, COUNT(*) AS preferred_dow_orders
+         |  FROM o GROUP BY 1, 2
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id ORDER BY COUNT(*) DESC, dow) = 1
+         |)
+         |SELECT customer_id, country, orders_count, first_order, last_order, tenure_days,
+         |  avg_days_between_orders, total_spend, avg_order_value, preferred_dow, preferred_dow_orders
+         |FROM base JOIN m ON customer_id = m_cust""".stripMargin,
+
+    "seasonality" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |    CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
+        |    COUNT(*) AS monthly_orders
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT order_year, order_month, monthly_orders,
+        |  CAST(rev AS DOUBLE) AS monthly_revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY order_year) AS DOUBLE) AS year_revenue,
+        |  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY order_year) AS DOUBLE) AS revenue_share_of_year,
+        |  (order_month - 1) / 12.0 AS month_angle_turns,
+        |  order_month >= 10 AS is_q4
+        |FROM monthly""".stripMargin,
+
+    "iqr_outliers" ->
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country, o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  $ordersJoin
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM oc
+         |), quart AS (
+         |  SELECT country AS q_country,
+         |    MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.25) AS BIGINT)) THEN cents END) AS q1_cents,
+         |    MIN(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END) AS q3_cents
+         |  FROM ranked GROUP BY 1
+         |), bounds AS (
+         |  SELECT q_country, q1_cents, q3_cents,
+         |    CAST(q1_cents AS DOUBLE) - 1.5 * (q3_cents - q1_cents) AS lower_cents,
+         |    CAST(q3_cents AS DOUBLE) + 1.5 * (q3_cents - q1_cents) AS upper_cents
+         |  FROM quart
+         |)
+         |SELECT o_orderkey, country, o_totalprice,
+         |  CAST(q1_cents AS DOUBLE) / 100.0 AS q1_price,
+         |  CAST(q3_cents AS DOUBLE) / 100.0 AS q3_price,
+         |  lower_cents / 100.0 AS lower_bound,
+         |  upper_cents / 100.0 AS upper_bound,
+         |  CAST(cents AS DOUBLE) < lower_cents OR CAST(cents AS DOUBLE) > upper_cents AS is_iqr_outlier
+         |FROM oc JOIN bounds ON country = q_country""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id, MAX(doc_id) AS max_doc_id

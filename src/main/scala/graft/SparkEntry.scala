@@ -27,6 +27,11 @@ object SparkEntry {
     "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
     "running_totals"   -> ((s, d) => Windowing.runningTotals(s, d)),
     "pivot_priority"   -> ((s, d) => Pivot.revenueByPriority(s, d)),
+    // feature engineering (reference: src/etl/transformations/advanced_features.py)
+    "basket_features"   -> ((s, d) => AdvancedFeatures.basketFeatures(s, d)),
+    "customer_behavior" -> ((s, d) => AdvancedFeatures.customerBehavior(s, d)),
+    "seasonality"       -> ((s, d) => AdvancedFeatures.seasonality(s, d)),
+    "iqr_outliers"      -> ((s, d) => AdvancedFeatures.iqrOutliers(s, d)),
     // star schema (reference: src/etl/gold/star_schema_builder.py)
     "dim_date"         -> ((s, d) => StarSchema.dimDate(s, d)),
     "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),

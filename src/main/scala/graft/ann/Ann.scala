@@ -20,24 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Σ x_i·y_i with per-element widening to double (codegen'd higher-order
-    * functions — no UDF). */
-  private def dot(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-
-  private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
-    df.withColumn(out, sqrt(dot(vecCol, vecCol)))
+  /** Fused single-loop cosine — the custom codegen'd Catalyst expression
+    * (graft.functions.ArrayCosine); one vector walk instead of the four the
+    * aggregate/zip_with formulation needs. */
+  private def cosine(spark: org.apache.spark.sql.SparkSession, a: String, b: String): Column = {
+    graft.functions.VectorFunctions.register(spark)
+    expr(s"array_cosine($a, $b)")
+  }
 
   /** Exact cosine top-k of `queries` against `corpus` (both need
     * vec_id + embedding). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = withNorm(corpus, "embedding", "c_norm")
-    val q = broadcast(
-      withNorm(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "q_emb", "q_norm"))
-    val scored = c.crossJoin(q)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dot("embedding", "q_emb") / (col("c_norm") * col("q_norm")))
+      .withColumn("cos_sim", cosine(corpus.sparkSession, "embedding", "q_emb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -88,11 +85,11 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
       .dropDuplicates("query_id", "vec_id")
-    val cEmb = withNorm(corpus, "embedding", "c_norm").select(col("vec_id"), col("embedding"), col("c_norm"))
-    val qEmb = broadcast(withNorm(qIn, "q_emb", "q_norm"))
+    val cEmb = corpus.select("vec_id", "embedding")
+    val qEmb = broadcast(qIn)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     cand.join(cEmb, "vec_id").join(qEmb, "query_id")
-      .withColumn("cos_sim", dot("embedding", "q_emb") / (col("c_norm") * col("q_norm")))
+      .withColumn("cos_sim", cosine(corpus.sparkSession, "embedding", "q_emb"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
@@ -128,11 +125,10 @@ object Ann {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
-    val normed = withNorm(emb, "embedding", "norm")
-    val ea = normed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val eb = normed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     cand.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("cos_sim", dot("emb_a", "emb_b") / (col("norm_a") * col("norm_b")))
+      .withColumn("cos_sim", cosine(spark, "emb_a", "emb_b"))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
       .orderBy(col("vec_a"), col("vec_b"))
