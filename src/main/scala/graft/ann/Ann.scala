@@ -42,27 +42,23 @@ object Ann {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Deterministic pseudo-Gaussian hyperplanes, seed-fixed. */
-  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+  /** Deterministic pseudo-Gaussian hyperplanes, seed-fixed, flattened to the
+    * layout graft.functions.SrpBuckets expects. */
+  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Double] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+    Array.fill(tables * bits * dim)(rnd.nextGaussian())
   }
 
-  private def bucketExpr(plane: Array[Array[Double]], vecCol: String): Column =
-    plane.zipWithIndex.map { case (p, b) =>
-      val lits = p.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-      when(expr(
-        s"""aggregate(zip_with($vecCol, $lits, (x, w) -> CAST(x AS DOUBLE) * w),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) > 0, 1 << b).otherwise(0)
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  private def withBuckets(df: DataFrame, vecCol: String, pl: Array[Array[Array[Double]]]): DataFrame = {
-    val structs = pl.zipWithIndex.map { case (plane, t) =>
-      struct(lit(t).as("tbl"), bucketExpr(plane, vecCol).as("bucket"))
-    }
-    df.withColumn("__b", explode(array(structs.toIndexedSeq: _*)))
-      .withColumn("tbl", col("__b.tbl")).withColumn("bucket", col("__b.bucket"))
-      .drop("__b")
+  /** One fused codegen'd pass (graft.functions.SrpBuckets) computes every
+    * table's bucket key; posexplode turns them into (tbl, bucket) rows. */
+  private def withBuckets(df: DataFrame, vecCol: String, pl: Array[Double],
+                          tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
+    val fn = graft.functions.SrpBuckets.register(
+      df.sparkSession, s"${tables}_${bits}_${dim}_$seed", pl, tables, bits, dim)
+    df.withColumn("__buckets", expr(s"$fn($vecCol)"))
+      .select(col("*"), posexplode(col("__buckets")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .drop("__buckets")
   }
 
   /** Bucket bits sized so buckets average ~64 vectors: enough selectivity
@@ -77,10 +73,10 @@ object Ann {
               tables: Int = 12, bits: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val b = if (bits > 0) bits else adaptiveBits(corpus.count())
     val pl = planes(tables, b, dim, seed)
-    val c = withBuckets(corpus.select("vec_id", "embedding"), "embedding", pl)
+    val c = withBuckets(corpus.select("vec_id", "embedding"), "embedding", pl, tables, b, dim, seed)
       .select("tbl", "bucket", "vec_id")
     val qIn = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val q = withBuckets(qIn, "q_emb", pl).select("tbl", "bucket", "query_id")
+    val q = withBuckets(qIn, "q_emb", pl, tables, b, dim, seed).select("tbl", "bucket", "query_id")
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
@@ -116,7 +112,7 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     val b0 = if (bits > 0) bits else adaptiveBits(emb.count())
     val pl = planes(tables, b0, 64, 42L)
-    val buckets = withBuckets(emb.select("vec_id", "embedding"), "embedding", pl)
+    val buckets = withBuckets(emb.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
       .select("tbl", "bucket", "vec_id")
     // ids only through the bucket join; embeddings re-attached once per side
     val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))

@@ -47,9 +47,12 @@ object MinHashLsh {
       val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
       struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
     }
+    // persisted: both sides of the self-join reuse it (otherwise the whole
+    // shingle→signature pipeline runs twice); callers clear the cache
     val buckets = signed
       .withColumn("__band", explode(array(bandStructs: _*)))
       .select(col("doc_id"), col("shingles"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+      .persist()
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     a.join(b, Seq("band", "bucket"))
