@@ -51,7 +51,9 @@ object SparkEntry {
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
-    "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d))
+    "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
+    // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)
+    "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

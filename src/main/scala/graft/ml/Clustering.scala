@@ -1,0 +1,48 @@
+package graft.ml
+
+import graft.{Exact, Tables}
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Customer segmentation via KMeans over RFM-style features
+  * (reference: src/etl/transformations/advanced_features.py:364-409, which
+  * uses sklearn on a pandas frame — single-node; this is MLlib's distributed
+  * Lloyd's over the same three standardized features, fixed seed).
+  */
+object Clustering {
+  import Exact._
+
+  /** Per-customer (recency_days, frequency, monetary) features. */
+  def customerFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxDate = o.agg(max(to_date(col("o_orderdate")))).head.getDate(0)
+    o.groupBy(col("o_custkey").as("customer_id"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_purchase"),
+        countAll.as("frequency"),
+        decSum(col("o_totalprice")).as("__m"))
+      .withColumn("recency_days", datediff(lit(maxDate), col("last_purchase")).cast("double"))
+      .withColumn("monetary", col("__m").cast("double"))
+      .select(col("customer_id"), col("recency_days"),
+        col("frequency").cast("double").as("frequency"), col("monetary"))
+  }
+
+  /** KMeans(k, seed=42) over standardized features → per-customer cluster
+    * id plus the features that drove it. */
+  def customerClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val feats = customerFeatures(spark, dir)
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("recency_days", "frequency", "monetary"))
+        .setOutputCol("__raw"),
+      new StandardScaler().setInputCol("__raw").setOutputCol("__scaled")
+        .setWithMean(true).setWithStd(true),
+      new KMeans().setK(k).setSeed(42L).setFeaturesCol("__scaled").setPredictionCol("cluster")))
+    pipeline.fit(feats).transform(feats)
+      .select(col("customer_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("cluster").cast("long").as("cluster"))
+  }
+}
