@@ -449,6 +449,46 @@ object Oracles {
         |FROM s
         |GROUP BY 1, 2""".stripMargin,
 
+    "events_json" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max,
+        |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(*) AS k_avg
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT *,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'I'
+        |         WHEN o_orderstatus = 'F' THEN 'U' ELSE 'D' END AS op,
+        |    CAST(o_orderdate AS DATE) AS change_date
+        |  FROM orders
+        |), latest AS (
+        |  SELECT * FROM ch
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY change_date DESC, o_orderkey DESC) = 1
+        |)
+        |SELECT o_custkey AS customer_id, op AS last_op, o_orderkey AS last_orderkey,
+        |  change_date AS last_change_date, o_totalprice AS last_totalprice,
+        |  o_orderpriority AS last_priority
+        |FROM latest WHERE op <> 'D'""".stripMargin,
+
+    "asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |  o_orderkey AS matched_o_orderkey,
+        |  o_totalprice AS matched_o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS matched_order_date
+        |FROM events ASOF LEFT JOIN o
+        |  ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin,
+
     "anomaly_orders" ->
       s"""WITH oc AS (
          |  SELECT o_orderkey, n_name AS country, o_totalprice,

@@ -35,9 +35,12 @@ object SparkEntry {
     // star schema (reference: src/etl/gold/star_schema_builder.py)
     "dim_date"         -> ((s, d) => StarSchema.dimDate(s, d)),
     "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),
-    // streaming batch analogs (reference: src/streaming/)
+    // streaming batch analogs + CDC + as-of (reference: src/streaming/)
     "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
     "events_sessions"  -> ((s, d) => Events.sessions(s, d)),
+    "events_json"      -> ((s, d) => Events.jsonStats(s, d)),
+    "cdc_apply"        -> ((s, d) => Cdc.cdcApply(s, d)),
+    "asof_join"        -> ((s, d) => AsOf.eventsAsofOrders(s, d)),
     // LLM-pipeline: text analysis (SURVEY §2 #29-32)
     "text_stats"       -> ((s, d) => graft.text.TextOps.textStats(s, d)),
     "token_counts"     -> ((s, d) => graft.text.TextOps.tokenCounts(s, d)),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively, built by
+  * composing existing operators (preference tier (a) of the brief): tag both
+  * sides, union, and carry the last right-side payload forward over a
+  * per-key event-time window. One shuffle on the key, no per-row range
+  * probing, no key explosion — the canonical scalable Spark shape. DuckDB's
+  * native `ASOF JOIN` is the oracle.
+  */
+object AsOf {
+
+  /** For each left row, attach the most recent right row of the same key
+    * with rightTime <= leftTime. Right side must be unique per
+    * (key, rightTime) — pre-dedup upstream (ties would be nondeterministic
+    * in any engine). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__key", col(leftKey).cast("long"))
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    val lAligned = rightPayload.foldLeft(l)((d, p) =>
+      d.withColumn(s"__r_$p", lit(null).cast(right.schema(p).dataType)))
+    val r0 = right
+      .withColumn("__key", col(rightKey).cast("long"))
+      .withColumn("__t", col(rightTime).cast("timestamp"))
+      .withColumn("__side", lit(0))
+    val rAligned = leftCols.foldLeft(
+      rightPayload.foldLeft(r0)((d, p) => d.withColumn(s"__r_$p", col(p)))
+    )((d, c) => if (r0.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val cols = leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__side")) ++
+      rightPayload.map(p => col(s"__r_$p"))
+    val unioned = lAligned.select(cols: _*).unionByName(rAligned.select(cols: _*))
+
+    // right rows sort before left rows at equal time → `>=` match semantics
+    val w = Window.partitionBy(col("__key")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(unioned)((d, p) =>
+      d.withColumn(s"matched_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightPayload.map(p => col(s"matched_$p"))): _*)
+  }
+
+  /** events ⨝asof orders: each event picks the customer's latest order at or
+    * before the event time (orders deduped to one per customer × day,
+    * highest order key — the same tie rule the oracle applies). */
+  def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val o = Tables.orders(spark, dir)
+      .withColumn("__rn", row_number().over(wDedup)).filter(col("__rn") === 1).drop("__rn")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        col("matched_o_orderkey"), col("matched_o_totalprice"),
+        to_date(col("matched_o_orderdate")).as("matched_order_date"))
+  }
+}

@@ -34,6 +34,22 @@ object Events {
       .drop("__v")
   }
 
+  /** Semi-structured extraction: parse the events' JSON `props` payload and
+    * aggregate the extracted field per event type (reference streams carry
+    * JSON payloads through from_json/get_json_object —
+    * spark_structured_streaming.py imports exactly these). */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    e.groupBy(col("event_type"))
+      .agg(
+        countAll.as("n_events"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .withColumn("k_avg", col("k_sum").cast("double") / col("n_events"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity), batch form: a lag/
     * cumulative-sum session id per user, then per-session rollup. Windows are
     * partitioned by user_id — high cardinality, scales. */
