@@ -83,6 +83,7 @@ object Gold {
       .withColumn("customer_lifetime_days",
         datediff(col("last_purchase"), col("first_purchase")).cast("long"))
       .drop("__spent")
+      .persist() // three ntile passes each range-sample this frame
 
     // Three global NTILE(5)s, each with customer_id as the unique tie-breaker
     // (matches NTILE(5) OVER (ORDER BY x DESC, customer_id) in the oracle).
