@@ -14,22 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** doc_id + 64-bit `simhash` (long). */
+  /** doc_id + 64-bit `simhash` (long) — one narrow map through the
+    * codegen'd graft.functions.SimHash64 expression (token multiplicity
+    * votes fall out of iterating the raw token array; the previous
+    * explode → 64-aggregate-column pipeline shuffled every token). */
   def simhashDocs(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .withColumn("__t", explode(expr("""split(lower(trim(text)), '\\s+')""")))
-      .filter(length(col("__t")) > 0)
-      .groupBy(col("doc_id"), col("__t")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("__t")))
-    val bitVotes: Seq[Column] = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j")
-    }
-    val voted = toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val simhash = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ bitwiseOR _)
-    voted.select(col("doc_id"), simhash.as("simhash"))
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs
+      .withColumn("__tokens",
+        expr("""filter(split(lower(trim(text)), '\\s+'), t -> length(t) > 0)"""))
+      .select(col("doc_id"), expr("simhash64(__tokens)").as("simhash"))
   }
 
   /** Candidate pairs sharing ≥1 16-bit band, with exact Hamming distance. */

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** 64-bit SimHash of a token array in one pass.
+  *
+  * Token multiplicity weights the bit votes naturally (each occurrence votes
+  * once), which is exactly the explode → per-token counts → 64 aggregate
+  * columns formulation this replaces — same votes, same hash, one narrow map
+  * instead of a shuffle. Token hash = two 32-bit Murmur3 lanes (seeds 42 /
+  * 0x9747b28c) combined, matching eval and codegen exactly.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullIntolerant: Boolean = true
+
+  @inline private def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28c)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = tokenHash(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $v.numElements();
+         |final int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    final org.apache.spark.unsafe.types.UTF8String $s = $v.getUTF8String($i);
+         |    final int $h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42);
+         |    final int $h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0x9747b28c);
+         |    final long $h = (((long) $h1) << 32) | (((long) $h2) & 0xFFFFFFFFL);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head))
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Gold, Silver}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards: the scale properties BASELINE.md promises must survive
+  * refactors — filters reach the parquet scan, scans are pruned, small dims
+  * broadcast, and nothing global-sorts on the analytics paths. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("silver filters push into the parquet scan; scan is column-pruned") {
+    val plan = formatted(Silver.cleanLineitem(spark, dir))
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(l_quantity"),
+      "business-rule filter did not reach the scan")
+  }
+
+  test("sales_summary reads only the columns it needs") {
+    val plan = formatted(Gold.salesSummary(spark, dir))
+    // lineitem scan must not include unused wide columns
+    assert(!plan.contains("l_returnflag") && !plan.contains("l_shipdate"),
+      "lineitem scan reads columns the query never uses")
+    assert(plan.contains("BroadcastHashJoin"), "nation dim should broadcast")
+  }
+
+  test("no single-partition exchanges on grouped analytics paths") {
+    Seq(
+      Gold.salesSummary(spark, dir),
+      Gold.productAnalysis(spark, dir),
+      Gold.dailyMetrics(spark, dir),
+      Silver.cleanLineitem(spark, dir)
+    ).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("SinglePartition"), "grouped query collapsed to one partition")
+    }
+  }
+}
