@@ -40,7 +40,8 @@ object Clustering {
         .setOutputCol("__raw"),
       new StandardScaler().setInputCol("__raw").setOutputCol("__scaled")
         .setWithMean(true).setWithStd(true),
-      new KMeans().setK(k).setSeed(42L).setFeaturesCol("__scaled").setPredictionCol("cluster")))
+      new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("__scaled").setPredictionCol("cluster")))
     pipeline.fit(feats).transform(feats)
       .select(col("customer_id"), col("recency_days"), col("frequency"),
         col("monetary"), col("cluster").cast("long").as("cluster"))
