@@ -280,6 +280,18 @@ object Oracles {
          |FROM d
          |WINDOW w AS (PARTITION BY country ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "rollup_sales" ->
+      """SELECT r_name AS region, n_name AS country,
+        |  COUNT(*) AS orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(r_name) AS BIGINT) AS is_region_total,
+        |  CAST(GROUPING(n_name) AS BIGINT) AS is_country_total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
     "cohort_analysis" ->
       """WITH f AS (
         |  SELECT o_custkey AS fp_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_purchase_date

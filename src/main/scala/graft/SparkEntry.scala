@@ -19,6 +19,7 @@ object SparkEntry {
     "rfm_segments"     -> ((s, d) => Gold.rfmSegments(s, d)),
     "daily_metrics"    -> ((s, d) => Gold.dailyMetrics(s, d)),
     "cohort_analysis"  -> ((s, d) => Gold.cohortAnalysis(s, d)),
+    "rollup_sales"     -> ((s, d) => Gold.rollupSales(s, d)),
     // silver layer + data quality (reference: src/etl/silver/spark_silver.py)
     "silver_clean"     -> ((s, d) => Silver.cleanLineitem(s, d)),
     "dq_profile"       -> ((s, d) => Quality.dqProfileOrders(s, d)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "dedup_exact"      -> ((s, d) => graft.dedup.Dedup.exactDedup(s, d)),
     "dedup_minhash"    -> ((s, d) => graft.dedup.MinHashLsh.nearDupPairs(s, d)),
     "dedup_simhash"    -> ((s, d) => graft.dedup.SimHash.nearDupPairs(s, d)),
+    "dedup_report"     -> ((s, d) => graft.dedup.DedupReport.report(s, d)),
     // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),

@@ -136,6 +136,27 @@ object Gold {
       .withColumn("is_weekend", dayofweek(col("order_date")).isin(1, 7))
   }
 
+  /** Hierarchical rollup: revenue at (region, country), per-region subtotal,
+    * and grand total in one pass — Spark's grouping-sets/rollup surface
+    * (reference: the gold layer materializes each aggregation level as a
+    * separate table; ROLLUP computes the lattice in one shuffle). grouping()
+    * flags distinguish subtotal rows from real NULL keys. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name").as("country"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name").as("region"))
+    val geo = broadcast(n.join(r, n("n_regionkey") === r("r_regionkey")).select("n_nationkey", "country", "region"))
+    val f = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(geo, c("c_nationkey") === geo("n_nationkey"))
+    f.rollup(col("region"), col("country"))
+      .agg(
+        countAll.as("orders"),
+        decSumDbl(col("o_totalprice")).as("revenue"),
+        grouping(col("region")).cast("long").as("is_region_total"),
+        grouping(col("country")).cast("long").as("is_country_total"))
+  }
+
   /** Cohort analysis: first-purchase-month cohorts × months-since-first
     * (reference: src/etl/gold/spark_gold.py:169-198). period_number is integer
     * month arithmetic (identical on both engines) rather than the fractional
