@@ -78,6 +78,21 @@ object Oracles {
         |  order_month >= 10 AS is_q4
         |FROM monthly""".stripMargin,
 
+    "median_prices" ->
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  $ordersJoin
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM oc
+         |)
+         |SELECT country, n AS orders,
+         |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE) / 100.0 AS median_price,
+         |  CAST(MIN(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN cents END) AS DOUBLE) / 100.0 AS p90_price
+         |FROM ranked GROUP BY 1, 2""".stripMargin,
+
     "iqr_outliers" ->
       s"""WITH oc AS (
          |  SELECT o_orderkey, n_name AS country, o_totalprice,

@@ -33,6 +33,7 @@ object SparkEntry {
     "customer_behavior" -> ((s, d) => AdvancedFeatures.customerBehavior(s, d)),
     "seasonality"       -> ((s, d) => AdvancedFeatures.seasonality(s, d)),
     "iqr_outliers"      -> ((s, d) => AdvancedFeatures.iqrOutliers(s, d)),
+    "median_prices"     -> ((s, d) => AdvancedFeatures.medianPrices(s, d)),
     // star schema (reference: src/etl/gold/star_schema_builder.py)
     "dim_date"         -> ((s, d) => StarSchema.dimDate(s, d)),
     "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),
@@ -52,6 +53,7 @@ object SparkEntry {
     "dedup_minhash"    -> ((s, d) => graft.dedup.MinHashLsh.nearDupPairs(s, d)),
     "dedup_simhash"    -> ((s, d) => graft.dedup.SimHash.nearDupPairs(s, d)),
     "dedup_report"     -> ((s, d) => graft.dedup.DedupReport.report(s, d)),
+    "dedup_clusters"   -> ((s, d) => graft.dedup.DedupClusters.clusters(s, d)),
     // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),

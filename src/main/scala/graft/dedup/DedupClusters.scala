@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clusters: connected components over the MinHash near-dup
+  * pair graph via iterative min-label propagation — each doc adopts the
+  * smallest doc_id reachable from it; the component minimum becomes the
+  * cluster's keeper. O(graph diameter) join rounds (near-dup components are
+  * tiny in practice, so 2-3 rounds); each round is one shuffle — the
+  * standard distributed CC shape, no driver-side union-find.
+  */
+object DedupClusters {
+
+  /** (doc_id, cluster_id, is_keeper, cluster_size) for every document. */
+  def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8,
+               maxIters: Int = 10): DataFrame = {
+    val pairs = MinHashLsh.nearDupPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected: propagate labels both ways
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .persist()
+
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select("doc_id", "cluster_id").unionByName(msgs)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    val wSize = Window.partitionBy(col("cluster_id"))
+    val out = labels
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wSize).cast("long"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+}

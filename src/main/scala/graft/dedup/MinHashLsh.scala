@@ -30,12 +30,13 @@ object MinHashLsh {
                |    element_at(__tokens, i + 1), element_at(__tokens, i + 2))))""".stripMargin))
       .select("doc_id", "shingles")
 
-  /** Adds `sig` = array of `numHashes` MinHash values. */
+  /** Adds `sig` = array of `numHashes` MinHash values — one fused pass via
+    * the codegen'd graft.functions.MinHashSig expression (the k-separate
+    * array_min(transform(…)) form walks the shingles k times and its Janino
+    * compile time dominated cold runs). */
   def withSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
-    val mins: Seq[Column] = (0 until numHashes).map { i =>
-      expr(s"array_min(transform(shingles, g -> xxhash64(concat('$i:', g))))")
-    }
-    shingled.withColumn("sig", array(mins: _*))
+    val fn = graft.functions.MinHashSig.register(shingled.sparkSession, numHashes)
+    shingled.withColumn("sig", expr(s"$fn(shingles)"))
   }
 
   /** Candidate pairs from banded buckets, with exact Jaccard attached. */
@@ -47,12 +48,10 @@ object MinHashLsh {
       val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
       struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
     }
-    // persisted: both sides of the self-join reuse it (otherwise the whole
-    // shingle→signature pipeline runs twice); callers clear the cache
     val buckets = signed
       .withColumn("__band", explode(array(bandStructs: _*)))
       .select(col("doc_id"), col("shingles"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
-      .persist()
+
     val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     a.join(b, Seq("band", "bucket"))

@@ -86,6 +86,26 @@ object AdvancedFeatures {
       .drop("__rev", "__year_rev")
   }
 
+  /** Exact discrete median / p90 of order totals per country — order
+    * statistics selected by row_number over integer cents (same portability
+    * rationale as iqrOutliers; interpolated percentile bits differ across
+    * engines). */
+  def medianPrices(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.ordersWithCountry(spark, dir)
+      .select(col("o_orderkey"), col("country"), col("o_totalprice"))
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val w = Window.partitionBy(col("country")).orderBy(col("cents"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("country"))).cast("long"))
+      .groupBy(col("country"), col("n").as("orders"))
+      .agg(
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("__med"),
+        min(when(col("rn") === ceil(col("n") * 0.9), col("cents"))).as("__p90"))
+      .withColumn("median_price", col("__med").cast("double") / 100.0)
+      .withColumn("p90_price", col("__p90").cast("double") / 100.0)
+      .drop("__med", "__p90")
+  }
+
   /** IQR outlier flags on order totals per country (reference:
     * advanced_features.py:273 uses np.percentile + 1.5·IQR). Quartiles are
     * *discrete* order statistics selected by row_number over integer cents —
