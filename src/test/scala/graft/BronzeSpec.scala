@@ -45,4 +45,17 @@ class BronzeSpec extends AnyFunSuite {
     assert(back.count() == 3)
     assert(back.select("ingest_date").distinct().count() == 3) // partition column survives
   }
+
+  test("partition filters prune the scan (no full-table read for one day)") {
+    val tmp = java.nio.file.Files.createTempDirectory("bronzeprune").toString
+    import spark.implicits._
+    val df = Seq(("a", "2024-01-01"), ("b", "2024-01-02"), ("c", "2024-01-03"))
+      .toDF("v", "d").withColumn("d", to_date(col("d")))
+    Bronze.writePartitioned(df, tmp, Seq("d"))
+    val q = spark.read.parquet(tmp).filter(col("d") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("isnotnull(d"),
+      s"partition filter not pushed:\n$plan")
+    assert(q.count() == 1)
+  }
 }
