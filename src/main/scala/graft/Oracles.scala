@@ -476,6 +476,60 @@ object Oracles {
         |FROM s
         |GROUP BY 1, 2""".stripMargin,
 
+    "mad_outliers" ->
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country, o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  $ordersJoin
+         |), r1 AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM oc
+         |), med AS (
+         |  SELECT country AS m_country,
+         |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents
+         |  FROM r1 GROUP BY 1
+         |), dev AS (
+         |  SELECT oc.*, med_cents, abs(cents - med_cents) AS absdev
+         |  FROM oc JOIN med ON country = m_country
+         |), r2 AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY absdev, o_orderkey) AS BIGINT) AS rn2,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM dev
+         |), mad AS (
+         |  SELECT country AS d_country, med_cents,
+         |    MIN(CASE WHEN rn2 = (n + 1) // 2 THEN absdev END) AS mad_cents
+         |  FROM r2 GROUP BY 1, 2
+         |)
+         |SELECT o_orderkey, country, o_totalprice,
+         |  CAST(med_cents AS DOUBLE) / 100.0 AS median_price,
+         |  CAST(mad_cents AS DOUBLE) / 100.0 AS mad_price,
+         |  (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) AS modified_z,
+         |  abs((0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE)) > 3.5 AS is_mad_outlier
+         |FROM oc JOIN mad ON country = d_country""".stripMargin,
+
+    "rare_categories" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, o_orderstatus, n,
+        |  CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS share,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) < 0.02 AS is_rare
+        |FROM g""".stripMargin,
+
+    "date_gaps" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS mn, MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders
+        |), days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS missing_date FROM span
+        |)
+        |SELECT missing_date, dayname(missing_date) AS day_name,
+        |  isodow(missing_date) IN (6, 7) AS is_weekend
+        |FROM days
+        |WHERE missing_date NOT IN (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)""".stripMargin,
+
     "events_json" ->
       """WITH e AS (
         |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events

@@ -24,6 +24,9 @@ object SparkEntry {
     "silver_clean"     -> ((s, d) => Silver.cleanLineitem(s, d)),
     "dq_profile"       -> ((s, d) => Quality.dqProfileOrders(s, d)),
     "anomaly_orders"   -> ((s, d) => Quality.anomalyOrders(s, d)),
+    "mad_outliers"     -> ((s, d) => Quality.madOutliers(s, d)),
+    "rare_categories"  -> ((s, d) => Quality.rareCategories(s, d)),
+    "date_gaps"        -> ((s, d) => Quality.dateGaps(s, d)),
     // transformations (reference: src/etl/transformations/)
     "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
     "running_totals"   -> ((s, d) => Windowing.runningTotals(s, d)),
