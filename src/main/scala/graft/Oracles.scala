@@ -476,6 +476,45 @@ object Oracles {
         |FROM s
         |GROUP BY 1, 2""".stripMargin,
 
+    "drift_check" -> {
+      val edgeCols = (1 to 9).map(k =>
+        s"MIN(CASE WHEN rnk = CAST(ceil(n * 0.$k) AS BIGINT) THEN cents END) AS e$k").mkString(",\n  ")
+      val binExpr = (1 to 9).map(i => s"CAST(cents > e$i AS INT)").mkString(" + ")
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    CASE WHEN year(o_orderdate) <= 1997 THEN 'ref' ELSE 'cur' END AS period
+         |  FROM orders
+         |), ranked AS (
+         |  SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM oc WHERE period = 'ref'
+         |), edges AS (
+         |  SELECT $edgeCols
+         |  FROM ranked
+         |), binned AS (
+         |  SELECT oc.*, CAST(1 + $binExpr AS BIGINT) AS bin
+         |  FROM oc CROSS JOIN edges
+         |), counts AS (
+         |  SELECT bin,
+         |    CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+         |    CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+         |  FROM binned GROUP BY 1
+         |), tot AS (
+         |  SELECT *, CAST(SUM(ref_n) OVER () AS BIGINT) AS ref_total,
+         |    CAST(SUM(cur_n) OVER () AS BIGINT) AS cur_total
+         |  FROM counts
+         |), sh AS (
+         |  SELECT *, CAST(ref_n AS DOUBLE) / ref_total AS ref_share,
+         |    CAST(cur_n AS DOUBLE) / cur_total AS cur_share
+         |  FROM tot
+         |)
+         |SELECT bin, ref_n, cur_n, ref_total, cur_total, ref_share, cur_share,
+         |  abs(cur_share - ref_share) AS abs_diff,
+         |  0.5 * abs(cur_share - ref_share) AS tvd_contrib,
+         |  ((cur_share - ref_share) * (cur_share - ref_share)) / ref_share AS chi2_contrib
+         |FROM sh""".stripMargin
+    },
+
     "mad_outliers" ->
       s"""WITH oc AS (
          |  SELECT o_orderkey, n_name AS country, o_totalprice,

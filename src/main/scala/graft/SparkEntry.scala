@@ -27,6 +27,7 @@ object SparkEntry {
     "mad_outliers"     -> ((s, d) => Quality.madOutliers(s, d)),
     "rare_categories"  -> ((s, d) => Quality.rareCategories(s, d)),
     "date_gaps"        -> ((s, d) => Quality.dateGaps(s, d)),
+    "drift_check"      -> ((s, d) => Quality.driftCheck(s, d)),
     // transformations (reference: src/etl/transformations/)
     "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
     "running_totals"   -> ((s, d) => Windowing.runningTotals(s, d)),
