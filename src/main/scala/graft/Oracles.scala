@@ -511,7 +511,8 @@ object Oracles {
          |SELECT bin, ref_n, cur_n, ref_total, cur_total, ref_share, cur_share,
          |  abs(cur_share - ref_share) AS abs_diff,
          |  0.5 * abs(cur_share - ref_share) AS tvd_contrib,
-         |  ((cur_share - ref_share) * (cur_share - ref_share)) / ref_share AS chi2_contrib
+         |  CASE WHEN ref_n = 0 THEN NULL
+         |       ELSE ((cur_share - ref_share) * (cur_share - ref_share)) / ref_share END AS chi2_contrib
          |FROM sh""".stripMargin
     },
 
@@ -543,8 +544,10 @@ object Oracles {
          |SELECT o_orderkey, country, o_totalprice,
          |  CAST(med_cents AS DOUBLE) / 100.0 AS median_price,
          |  CAST(mad_cents AS DOUBLE) / 100.0 AS mad_price,
-         |  (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) AS modified_z,
-         |  abs((0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE)) > 3.5 AS is_mad_outlier
+         |  CASE WHEN mad_cents = 0 THEN NULL
+         |       ELSE (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) END AS modified_z,
+         |  abs(CASE WHEN mad_cents = 0 THEN NULL
+         |       ELSE (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) END) > 3.5 AS is_mad_outlier
          |FROM oc JOIN mad ON country = d_country""".stripMargin,
 
     "rare_categories" ->
@@ -627,8 +630,9 @@ object Oracles {
          |), st AS (
          |  SELECT s_country,
          |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
-         |    sqrt((CAST(CAST(ssd AS BIGINT) AS DOUBLE)
-         |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 AS std_price
+         |    CASE WHEN n <= 1 THEN NULL
+         |         ELSE sqrt((CAST(CAST(ssd AS BIGINT) AS DOUBLE)
+         |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 END AS std_price
          |  FROM a2
          |)
          |SELECT o_orderkey, s_country AS country, o_totalprice, mean_price, std_price,

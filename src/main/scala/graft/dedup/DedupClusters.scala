@@ -42,6 +42,9 @@ object DedupClusters {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[dedup_clusters] WARNING: label propagation hit maxIters=$maxIters " +
+        "before converging — components wider than the iteration budget are split; raise maxIters")
     val wSize = Window.partitionBy(col("cluster_id"))
     val out = labels
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

@@ -48,16 +48,21 @@ object MinHashLsh {
       val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
       struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
     }
+    // ids only through the banded self-join (shingle arrays would be
+    // replicated bands× into the shuffle); re-attach shingles once per side
+    // after the pair dedup — same shape as Ann's LSH candidates
     val buckets = signed
       .withColumn("__band", explode(array(bandStructs: _*)))
-      .select(col("doc_id"), col("shingles"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
-
-    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"), col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val shA = signed.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = signed.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

@@ -23,31 +23,36 @@ object AsOf {
                leftTime: String, rightTime: String,
                rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // keys keep their native type (casting to long would NULL-collapse
+    // string keys into one window partition — silent corruption)
     val l = left
-      .withColumn("__key", col(leftKey).cast("long"))
+      .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__side", lit(1))
-    val lAligned = rightPayload.foldLeft(l)((d, p) =>
-      d.withColumn(s"__r_$p", lit(null).cast(right.schema(p).dataType)))
+      .withColumn("__rpay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightPayload.map(p => right.schema(p)))))
+    // the whole payload rides as ONE struct so every matched_* column comes
+    // from the same right row (per-column last(ignoreNulls) would stitch
+    // fields from different rows when payload columns are null)
     val r0 = right
-      .withColumn("__key", col(rightKey).cast("long"))
+      .withColumn("__key", col(rightKey))
       .withColumn("__t", col(rightTime).cast("timestamp"))
       .withColumn("__side", lit(0))
-    val rAligned = leftCols.foldLeft(
-      rightPayload.foldLeft(r0)((d, p) => d.withColumn(s"__r_$p", col(p)))
-    )((d, c) => if (r0.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .withColumn("__rpay", struct(rightPayload.map(col): _*))
+    val rAligned = leftCols.foldLeft(r0)((d, c) =>
+      if (r0.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val cols = leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__side")) ++
-      rightPayload.map(p => col(s"__r_$p"))
-    val unioned = lAligned.select(cols: _*).unionByName(rAligned.select(cols: _*))
+    val cols = leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__side"), col("__rpay"))
+    val unioned = l.select(cols: _*).unionByName(rAligned.select(cols: _*))
 
     // right rows sort before left rows at equal time → `>=` match semantics
     val w = Window.partitionBy(col("__key")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unioned)((d, p) =>
-      d.withColumn(s"matched_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ rightPayload.map(p => col(s"matched_$p"))): _*)
+    unioned
+      .withColumn("__matched", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightPayload.map(p => col(s"__matched.$p").as(s"matched_$p"))): _*)
   }
 
   /** events ⨝asof orders: each event picks the customer's latest order at or

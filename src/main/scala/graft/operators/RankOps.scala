@@ -21,16 +21,22 @@ import org.apache.spark.sql.functions._
 object RankOps {
 
   /** Adds `rankCol` = 1-based global row_number under `sortCols` ordering.
-    * Returns (df, totalCount). Caller may `spark.catalog.clearCache()` when
-    * done (the range-shuffled input is persisted so the offset computation and
-    * the final plan see identical partition boundaries). */
+    * Returns (df, totalCount).
+    *
+    * The range-shuffled frame is `localCheckpoint`ed, not merely cached:
+    * the offsets collected here are only valid for the exact partition
+    * boundaries the range sampler drew, and a cache-evicted recompute could
+    * draw different ones — silent rank corruption. Checkpointing cuts the
+    * lineage, so losing the blocks fails the job loudly instead. Blocks are
+    * freed by the ContextCleaner once the frame is unreferenced;
+    * Verify/Bench also clearCache between queries. */
   def withGlobalRankCounted(df: DataFrame, rankCol: String, sortCols: Seq[Column],
                             numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(parts, sortCols: _*).persist()
+    val ranged = df.repartitionByRange(parts, sortCols: _*).localCheckpoint(false)
     val counts = ranged
       .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

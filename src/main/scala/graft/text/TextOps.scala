@@ -31,15 +31,24 @@ object TextOps {
     df.withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
 
   private def stopHits(list: Seq[String]): org.apache.spark.sql.Column =
-    expr(s"size(filter(__tokens, t -> t IN (${sqlList(list)})))").cast("long")
+    // null-text guard: Spark size(NULL)=-1, oracle len(NULL)=NULL
+    when(col("text").isNull, lit(null).cast("long"))
+      .otherwise(expr(s"size(filter(__tokens, t -> t IN (${sqlList(list)})))").cast("long"))
 
   /** Length/character-class/stopword statistics + a composite quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val d = withTokens(Tables.documents(spark, dir))
     val empty = length(trim(col("text"))) === 0
+    // null-text guard: Spark's size(NULL) is -1 (legacy sizeOfNull) while
+    // the oracle's len(NULL) is NULL — emit NULL explicitly
+    val isNull = col("text").isNull
     d.withColumn("n_chars_calc", length(col("text")).cast("long"))
-      .withColumn("n_tokens", when(empty, 0L).otherwise(size(col("__tokens")).cast("long")))
-      .withColumn("n_unique_tokens", when(empty, 0L).otherwise(size(array_distinct(col("__tokens"))).cast("long")))
+      .withColumn("n_tokens",
+        when(isNull, lit(null).cast("long")).when(empty, 0L)
+          .otherwise(size(col("__tokens")).cast("long")))
+      .withColumn("n_unique_tokens",
+        when(isNull, lit(null).cast("long")).when(empty, 0L)
+          .otherwise(size(array_distinct(col("__tokens"))).cast("long")))
       .withColumn("nonspace_chars", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
       .withColumn("avg_token_len",
         when(col("n_tokens") === 0, lit(null).cast("double"))
@@ -65,9 +74,14 @@ object TextOps {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val d = withTokens(Tables.documents(spark, dir))
     val empty = length(trim(col("text"))) === 0
+    val isNull = col("text").isNull
     d.withColumn("n_chars_calc", length(col("text")).cast("long"))
-      .withColumn("ws_tokens", when(empty, 0L).otherwise(size(col("__tokens")).cast("long")))
-      .withColumn("bpe_tokens", size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long"))
+      .withColumn("ws_tokens",
+        when(isNull, lit(null).cast("long")).when(empty, 0L)
+          .otherwise(size(col("__tokens")).cast("long")))
+      .withColumn("bpe_tokens",
+        when(isNull, lit(null).cast("long"))
+          .otherwise(size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long")))
       .withColumn("chars_per_bpe_token",
         when(col("bpe_tokens") === 0, lit(null).cast("double"))
           .otherwise(col("n_chars_calc").cast("double") / col("bpe_tokens")))
