@@ -153,6 +153,47 @@ object Oracles {
          |           ELSE LEAST(1.0, 4.0 * stopword_count / n_tokens) * 0.5 END AS quality_score
          |FROM s""".stripMargin,
 
+    "curation_keep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) END AS n_tokens
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(len(list_filter(toks, x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS sw
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, n_tokens,
+         |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+         |      + CASE WHEN n_tokens = 0 THEN 0.0
+         |             ELSE LEAST(1.0, 4.0 * sw / n_tokens) * 0.5 END AS quality_score
+         |  FROM h
+         |), r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS quality_rank,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM q
+         |)
+         |SELECT doc_id, n_tokens, quality_score, quality_rank,
+         |  quality_rank <= CAST(ceil(n * 0.5) AS BIGINT) AS is_kept
+         |FROM r""".stripMargin,
+
+    "token_histogram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) END AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT *, CAST(1 + CAST(n_tokens > 25 AS INT) + CAST(n_tokens > 50 AS INT)
+        |    + CAST(n_tokens > 75 AS INT) AS BIGINT) AS bucket
+        |  FROM t
+        |)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+        |FROM b GROUP BY 1""".stripMargin,
+
     "token_counts" ->
       """WITH b AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -52,6 +52,8 @@ object SparkEntry {
     "token_counts"     -> ((s, d) => graft.text.TextOps.tokenCounts(s, d)),
     "lang_id"          -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
+    "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),
+    "token_histogram"  -> ((s, d) => graft.text.Curation.tokenHistogram(s, d)),
     // LLM-pipeline: dedup (SURVEY §2 #21-24)
     "dedup_exact"      -> ((s, d) => graft.dedup.Dedup.exactDedup(s, d)),
     "dedup_minhash"    -> ((s, d) => graft.dedup.MinHashLsh.nearDupPairs(s, d)),
