@@ -25,7 +25,42 @@ object Oracles {
 
   import graft.text.TextOps.{sqlList, enStop, esStop, frStop, deStop}
 
+  /** Hex-nibble value of char `pos` (1-based) of content_digest: '0'-'9' →
+    * 0-9 (ascii 48-57: %16), 'a'-'f' → 10-15 (ascii 97-102: %16 + 9). */
+  private def nib(pos: Int): String =
+    s"(ascii(substr(content_digest,$pos,1)) % 16 + 9 * (ascii(substr(content_digest,$pos,1)) // 96))"
+
+  /** First 24 bits of the sha256 digest as an integer — mirrors
+    * `Long.parseLong(digest.substring(0, 6), 16)` in Multimodal.decodeStub. */
+  private val digestH =
+    (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString(" + ")
+
   val sql: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         |    encode(text) AS payload
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, media_type,
+         |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         |    lower(substr(hex(payload), 1, 8)) AS magic_hex,
+         |    sha256(text) AS content_digest -- VARCHAR overload; hashes the same utf8 bytes
+         |  FROM m
+         |), h AS (
+         |  SELECT *, CAST($digestH AS BIGINT) AS hv,
+         |    CAST(greatest(1, n_bytes // 5) AS BIGINT) AS step
+         |  FROM f
+         |)
+         |SELECT doc_id, media_type, n_bytes, magic_hex,
+         |  CAST(64 + hv % 1857 AS BIGINT) AS fake_width,
+         |  CAST(64 + (hv // 1857) % 1017 AS BIGINT) AS fake_height,
+         |  CAST(CASE WHEN media_type = 'video' THEN 1 + hv % 300 ELSE 1 END AS BIGINT) AS n_frames,
+         |  concat_ws(',', 0, step, 2 * step, 3 * step, 4 * step) AS sample_offsets,
+         |  content_digest
+         |FROM h""".stripMargin,
+
     "basket_features" ->
       """SELECT l_orderkey,
         |  COUNT(*) AS basket_size,

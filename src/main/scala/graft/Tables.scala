@@ -24,7 +24,15 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
   /** events.parquet carries ns-precision timestamps, which the vectorized
     * parquet reader rejects; read nanos as long and convert to µs timestamps
-    * (truncation — matches DuckDB's ns→µs handling). */
+    * (truncation — matches DuckDB's ns→µs handling).
+    *
+    * SESSION-LEVEL SIDE EFFECT (documented contract): Spark exposes
+    * `spark.sql.legacy.parquet.nanosAsLong` only as a SQL conf — there is no
+    * per-read parquet option — so this reader flips it for the whole session
+    * and leaves it set. Any later read of ns-timestamp parquet in the same
+    * session will also see ns as LongType; wrap such reads the way this one
+    * wraps events (convert explicitly), or unset the conf. Restoring the
+    * conf here would be unsafe: the scan re-reads it lazily at execution. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate clusters: connected components over the MinHash near-dup
@@ -11,10 +10,21 @@ import org.apache.spark.sql.functions._
   * cluster's keeper. O(graph diameter) join rounds (near-dup components are
   * tiny in practice, so 2-3 rounds); each round is one shuffle — the
   * standard distributed CC shape, no driver-side union-find.
+  *
+  * The iteration runs ONLY over docs that appear in some near-dup pair (the
+  * active vertex set) — at web scale near-dups are a few percent of the
+  * corpus, so the per-round shuffles touch |dup docs| rows, not |corpus|
+  * rows; the untouched rest of the corpus joins back in once at the end as
+  * singleton clusters.
   */
 object DedupClusters {
 
-  /** (doc_id, cluster_id, is_keeper, cluster_size) for every document. */
+  /** (doc_id, cluster_id, is_keeper, cluster_size) for every document.
+    *
+    * Caching contract: intermediate frames are unpersisted before return;
+    * the final label frame is `localCheckpoint`ed (tiny — one row per
+    * edge-touched doc), and its blocks are released by the ContextCleaner
+    * once the returned frame is unreferenced (or on `clearCache`). */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8,
                maxIters: Int = 10): DataFrame = {
     val pairs = MinHashLsh.nearDupPairs(spark, dir, threshold)
@@ -25,8 +35,9 @@ object DedupClusters {
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .persist()
 
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // active vertices = docs touched by at least one near-dup edge
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -45,12 +56,23 @@ object DedupClusters {
     if (!converged)
       System.err.println(s"[dedup_clusters] WARNING: label propagation hit maxIters=$maxIters " +
         "before converging — components wider than the iteration budget are split; raise maxIters")
-    val wSize = Window.partitionBy(col("cluster_id"))
-    val out = labels
-      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(wSize).cast("long"))
-      .orderBy("doc_id")
+
+    // component sizes from the (tiny) label frame, then cut lineage so the
+    // iterative persist chain can be released
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+    val dupLabels = labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("__sz"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    out
+
+    // everyone else is a singleton cluster of itself
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dupLabels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .withColumn("cluster_size", coalesce(col("__sz"), lit(1L)).cast("long"))
+      .drop("__sz")
+      .orderBy("doc_id")
   }
 }

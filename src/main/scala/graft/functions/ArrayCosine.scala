@@ -78,10 +78,13 @@ case class ArrayCosine(left: Expression, right: Expression)
 object VectorFunctions {
   val info = new ExpressionInfo(classOf[ArrayCosine].getName, "array_cosine")
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("array_cosine"), info,
-      (children: Seq[Expression]) => ArrayCosine(children.head, children(1)))
+  def register(spark: SparkSession): Unit = {
+    val fid = FunctionIdentifier("array_cosine")
+    if (!spark.sessionState.functionRegistry.functionExists(fid))
+      spark.sessionState.functionRegistry.registerFunction(
+        fid, info,
+        (children: Seq[Expression]) => ArrayCosine(children.head, children(1)))
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

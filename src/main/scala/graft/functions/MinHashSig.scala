@@ -76,9 +76,13 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 object MinHashSig {
   def register(spark: SparkSession, numHashes: Int): String = {
     val name = s"minhash_sig_$numHashes"
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name), new ExpressionInfo(classOf[MinHashSig].getName, name),
-      (children: Seq[Expression]) => MinHashSig(children.head, numHashes))
+    val fid = FunctionIdentifier(name)
+    // numHashes is encoded in the name, so an existing registration is
+    // identical — skip the noisy re-register
+    if (!spark.sessionState.functionRegistry.functionExists(fid))
+      spark.sessionState.functionRegistry.registerFunction(
+        fid, new ExpressionInfo(classOf[MinHashSig].getName, name),
+        (children: Seq[Expression]) => MinHashSig(children.head, numHashes))
     name
   }
 }

@@ -88,9 +88,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head))
+  def register(spark: SparkSession): Unit = {
+    val fid = FunctionIdentifier("simhash64")
+    if (!spark.sessionState.functionRegistry.functionExists(fid))
+      spark.sessionState.functionRegistry.registerFunction(
+        fid, new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head))
+  }
 }

@@ -23,6 +23,19 @@ case class SrpBuckets(child: Expression, planes: Array[Double],
 
   require(planes.length == tables * bits * dim, "planes must be tables*bits*dim flat")
 
+  // Array[Double] equality is reference-based, which would make structurally
+  // identical expressions compare unequal — Catalyst canonicalization and
+  // subexpression elimination would miss. Compare planes by content.
+  override def equals(other: Any): Boolean = other match {
+    case s: SrpBuckets =>
+      child == s.child && tables == s.tables && bits == s.bits && dim == s.dim &&
+        java.util.Arrays.equals(planes, s.planes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[SrpBuckets], child,
+      Int.box(tables), Int.box(bits), Int.box(dim), Int.box(java.util.Arrays.hashCode(planes)))
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_buckets"
   override def nullIntolerant: Boolean = true
@@ -91,9 +104,13 @@ object SrpBuckets {
   def register(spark: SparkSession, tag: String, planes: Array[Double],
                tables: Int, bits: Int, dim: Int): String = {
     val name = s"srp_buckets_$tag"
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name), new ExpressionInfo(classOf[SrpBuckets].getName, name),
-      (children: Seq[Expression]) => SrpBuckets(children.head, planes, tables, bits, dim))
+    val fid = FunctionIdentifier(name)
+    // the tag encodes (tables, bits, dim, seed) and planes derive from them,
+    // so an existing registration is identical — skip the noisy re-register
+    if (!spark.sessionState.functionRegistry.functionExists(fid))
+      spark.sessionState.functionRegistry.registerFunction(
+        fid, new ExpressionInfo(classOf[SrpBuckets].getName, name),
+        (children: Seq[Expression]) => SrpBuckets(children.head, planes, tables, bits, dim))
     name
   }
 }

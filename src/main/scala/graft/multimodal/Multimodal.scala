@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
   * multimodal column pattern for LLM-data pipelines (brief requirement). */
 case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Features extracted per record by the (stubbed) decoder. */
+/** Features extracted per record by the (stubbed) decoder.
+  * `sample_offsets` is a comma-joined string (not array<long>) so the frame
+  * stays oracle-comparable and parquet-friendly for downstream SQL engines. */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     n_bytes: Long,
     magic_hex: String,
-    fake_width: Int,
-    fake_height: Int,
-    n_frames: Int,
-    sample_offsets: Seq[Long],
+    fake_width: Long,
+    fake_height: Long,
+    n_frames: Long,
+    sample_offsets: String,
     content_digest: String)
 
 /** Multimodal binary-column plumbing.
@@ -28,6 +30,11 @@ case class MediaFeatures(
   * via `mapPartitions` (the Scala analog of `mapInPandas` batches), a binary
   * payload column with typed metadata, and frame-sampling offsets. Swap
   * `decodeStub` for a JNI/codec call and nothing else changes.
+  *
+  * The fake "decoded" dimensions are content-addressed from the SHA-256
+  * digest (not JVM `Arrays.hashCode`) so the whole operator is reproducible
+  * in any engine — which is what lets `multimodal_features` be fully
+  * oracle-checked instead of rows-only.
   */
 object Multimodal {
 
@@ -42,19 +49,21 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake for the codec call. A real deployment
     * replaces the body (and only the body) with e.g. an image decode +
-    * resize; the batch shape, schema and partitioning are already correct. */
+    * resize; the batch shape, schema and partitioning are already correct.
+    * All fake fields derive from the SHA-256 digest so they are portable
+    * across engines (h = first 24 digest bits). */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val n = bytes.length.toLong
     val magic = bytes.take(4).map(b => f"$b%02x").mkString
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map(b => f"$b%02x").mkString
-    // fake "decoded" dimensions derived from content (stable, content-addressed)
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = 64 + math.floorMod(h, 1857)          // 64..1920
-    val height = 64 + math.floorMod(h / 1857, 1017)  // 64..1080
-    val frames = if (r.media_type == "video") 1 + math.floorMod(h, 300) else 1
-    val offsets = (0 until 5).map(i => i * math.max(1L, n / 5))
+    val h = java.lang.Long.parseLong(digest.substring(0, 6), 16) // 24 bits, content-addressed
+    val width = 64 + h % 1857L          // 64..1920
+    val height = 64 + (h / 1857L) % 1017L // 64..1080
+    val frames = if (r.media_type == "video") 1 + h % 300L else 1L
+    val step = math.max(1L, n / 5)
+    val offsets = (0 until 5).map(i => i * step).mkString(",")
     MediaFeatures(r.doc_id, r.media_type, n, magic, width, height, frames, offsets, digest)
   }
 
@@ -72,5 +81,4 @@ object Multimodal {
 
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(spark, dir)).toDF()
-      .orderBy(col("doc_id"))
 }

@@ -17,7 +17,11 @@ object AsOf {
   /** For each left row, attach the most recent right row of the same key
     * with rightTime <= leftTime. Right side must be unique per
     * (key, rightTime) — pre-dedup upstream (ties would be nondeterministic
-    * in any engine). */
+    * in any engine). Right rows with a NULL key or NULL rightTime are
+    * dropped up front: a NULL-time row would sort first (asc = nulls first)
+    * and its payload would be carried onto left rows that have no real
+    * prior match — no sane as-of semantics (nor DuckDB's ASOF) matches
+    * NULL-time rows. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
@@ -35,6 +39,7 @@ object AsOf {
     // from the same right row (per-column last(ignoreNulls) would stitch
     // fields from different rows when payload columns are null)
     val r0 = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("__key", col(rightKey))
       .withColumn("__t", col(rightTime).cast("timestamp"))
       .withColumn("__side", lit(0))

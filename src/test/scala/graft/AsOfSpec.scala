@@ -47,4 +47,24 @@ class AsOfSpec extends AnyFunSuite {
     val out = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price")).head
     assert(out.isNullAt(out.fieldIndex("matched_price")))
   }
+
+  test("right rows with NULL time or NULL key never match (ADVICE r2)") {
+    import spark.implicits._
+    // nulls-first ordering used to carry the null-time payload onto left
+    // rows that have no real prior right row — DuckDB ASOF never matches it
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "no-prior"),
+      (2L, ts("2024-01-02 00:00:00"), "has-prior")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option.empty[java.sql.Timestamp], 666.0), // null time: must never match
+      (Option.empty[Long], Option(ts("2023-01-01 00:00:00")), 777.0), // null key: must never match
+      (Option(2L), Option(ts("2024-01-01 00:00:00")), 42.0)
+    ).toDF("k", "rt", "price")
+    val rows = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        (if (r.isNullAt(r.fieldIndex("matched_price"))) None else Some(r.getDouble(r.fieldIndex("matched_price"))))).toMap
+    assert(rows("no-prior").isEmpty)
+    assert(rows("has-prior").contains(42.0))
+  }
 }
