@@ -674,6 +674,21 @@ object Oracles {
         |  o_orderpriority AS last_priority
         |FROM latest WHERE op <> 'D'""".stripMargin,
 
+    // identical semantics through the native custom-plan operator — same oracle
+    "asof_native" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |  o_orderkey AS matched_o_orderkey,
+        |  o_totalprice AS matched_o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS matched_order_date
+        |FROM events ASOF LEFT JOIN o
+        |  ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin,
+
     "asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders

@@ -47,6 +47,7 @@ object SparkEntry {
     "events_json"      -> ((s, d) => Events.jsonStats(s, d)),
     "cdc_apply"        -> ((s, d) => Cdc.cdcApply(s, d)),
     "asof_join"        -> ((s, d) => AsOf.eventsAsofOrders(s, d)),
+    "asof_native"      -> ((s, d) => AsOf.eventsAsofOrdersNative(s, d)),
     // LLM-pipeline: text analysis (SURVEY §2 #29-32)
     "text_stats"       -> ((s, d) => graft.text.TextOps.textStats(s, d)),
     "token_counts"     -> ((s, d) => graft.text.TextOps.tokenCounts(s, d)),

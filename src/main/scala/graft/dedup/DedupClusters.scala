@@ -27,13 +27,17 @@ object DedupClusters {
     * once the returned frame is unreferenced (or on `clearCache`). */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8,
                maxIters: Int = 10): DataFrame = {
+    // lazy localCheckpoint: the pair list is read twice (once per direction)
+    // and the edge list is read every propagation round — materialize each
+    // once; blocks are GC-freed when the frames fall out of scope
     val pairs = MinHashLsh.nearDupPairs(spark, dir, threshold)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false)
     // undirected: propagate labels both ways
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .persist()
+      .localCheckpoint(false)
 
     // active vertices = docs touched by at least one near-dup edge
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -64,7 +68,6 @@ object DedupClusters {
       .select(col("doc_id"), col("cluster_id"), col("__sz"))
       .localCheckpoint(true)
     labels.unpersist()
-    edges.unpersist()
 
     // everyone else is a singleton cluster of itself
     Tables.documents(spark, dir).select(col("doc_id"))

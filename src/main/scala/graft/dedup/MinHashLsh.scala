@@ -39,11 +39,19 @@ object MinHashLsh {
     shingled.withColumn("sig", expr(s"$fn(shingles)"))
   }
 
-  /** Candidate pairs from banded buckets, with exact Jaccard attached. */
+  /** Candidate pairs from banded buckets, with exact Jaccard attached.
+    *
+    * The shingled+signed frame is consumed three times (bucket explode and
+    * one shingle re-attach per pair side); a lazy `localCheckpoint`
+    * materializes it once instead of recomputing the shingle transform per
+    * consumer — blocks are freed by the ContextCleaner when the plan is
+    * unreferenced, so no session-lifetime cache is leaked. At 100 TB this is
+    * the deliberate materialization point of the dedup pipeline (cheaper
+    * than 3x reshingling the corpus). */
   def candidatePairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val signed = withSignatures(shingleDocs(docs), numHashes)
+    val signed = withSignatures(shingleDocs(docs), numHashes).localCheckpoint(false)
     val bandStructs = (0 until bands).map { b =>
       val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
       struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))

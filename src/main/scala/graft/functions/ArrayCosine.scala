@@ -88,7 +88,9 @@ object VectorFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_cosine"), VectorFunctions.info,
       (children: Seq[Expression]) => ArrayCosine(children.head, children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -60,6 +60,27 @@ object AsOf {
         rightPayload.map(p => col(s"__matched.$p").as(s"matched_$p"))): _*)
   }
 
+  /** Same query as [[eventsAsofOrders]] but through the native custom-plan
+    * operator (graft.plans.NativeAsOf: LogicalPlan + Strategy + SparkPlan)
+    * instead of the union+window composition — one hash exchange per side,
+    * streaming merge, O(1) state. Shares the DuckDB ASOF JOIN oracle. */
+  def eventsAsofOrdersNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val o = Tables.orders(spark, dir)
+      .withColumn("__rn", row_number().over(wDedup)).filter(col("__rn") === 1).drop("__rn")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("__rt", col("o_orderdate").cast("timestamp")) // align time types
+    graft.plans.NativeAsOf.asofJoin(e, o, "user_id", "o_custkey", "ts", "__rt",
+      Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        col("matched_o_orderkey"), col("matched_o_totalprice"),
+        to_date(col("matched_o_orderdate")).as("matched_order_date"))
+  }
+
   /** events ⨝asof orders: each event picks the customer's latest order at or
     * before the event time (orders deduped to one per customer × day,
     * highest order key — the same tie rule the oracle applies). */

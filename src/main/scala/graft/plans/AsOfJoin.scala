@@ -1,0 +1,191 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftInternal, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Native as-of (point-in-time) join — the whole-operator custom-plan tier
+  * of the brief (preference (c)): a Catalyst `LogicalPlan` node, a
+  * `SparkStrategy`, and a physical `SparkPlan` that does a co-partitioned
+  * merge, installed through `ExperimentalMethods`/`SparkSessionExtensions`.
+  *
+  * Compared to the composed union+window formulation (graft.operators.AsOf),
+  * this shuffles each side once on its key (exactly like a sort-merge join),
+  * needs no null-padded union schema, keeps O(1) state per partition (the
+  * last-seen right payload), and emits left rows streamingly — the shape a
+  * 100 TB as-of backfill wants. Semantics match DuckDB `ASOF LEFT JOIN`
+  * (match iff rightTime <= leftTime, latest wins; NULL keys/times never
+  * match).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute],
+    matched: Seq[AttributeReference])
+  extends BinaryNode {
+
+  require(leftKey.dataType == rightKey.dataType, "as-of key types must match")
+  require(leftTime.dataType == rightTime.dataType, "as-of time types must match")
+
+  override def output: Seq[Attribute] = left.output ++ matched
+  override def producedAttributes: AttributeSet = AttributeSet(matched)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical as-of join: requires both children hash-clustered on their key
+  * and sorted by (key, time) — EnsureRequirements plans the exchanges/sorts
+  * exactly as it would for a sort-merge join — then merges partition pairs
+  * with a single forward pass carrying the most recent right payload. */
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    payload: Seq[Expression],
+    matched: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ matched
+  override def producedAttributes: AttributeSet = AttributeSet(matched)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // left rows pass through unchanged: distribution and order are preserved
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val payloadB = payload.map(BindReferences.bindReference(_, right.output))
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val outputAttrs = output
+    val combinedSchema = left.output ++ matched
+    val nPayload = payload.length
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val payloadProj = UnsafeProjection.create(payloadB)
+      val outProj = UnsafeProjection.create(outputAttrs, combinedSchema)
+      val nullPayload = new GenericInternalRow(nPayload)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // merge state: the latest right payload seen, and the key it belongs to
+      var lastKey: Any = null
+      var lastPayload: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTimeB.eval(lRow)
+        var matchedRow: InternalRow = nullPayload
+        if (lk != null && lt != null) {
+          // advance the right side through every row at or before (lk, lt)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val rt = rTimeB.eval(head)
+            if (rk == null || rt == null) {
+              rBuf.next() // NULL key/time rows can never match — skip
+            } else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)) {
+                lastKey = rk
+                lastPayload = payloadProj(head).copy() // row buffer is reused
+                rBuf.next()
+              } else {
+                advancing = false
+              }
+            }
+          }
+          if (lastPayload != null && keyOrd.compare(lastKey, lk) == 0) {
+            matchedRow = lastPayload
+          }
+        }
+        outProj(joined(lRow, matchedRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinPlan into AsOfJoinExec. Injectable two ways: session-local
+  * via `NativeAsOf.install` (ExperimentalMethods) or cluster-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.rightKey, p.leftTime, p.rightTime,
+        p.payload, p.matched, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API over the custom plan node. */
+object NativeAsOf {
+
+  /** Idempotently adds the as-of strategy to the session planner. */
+  def install(spark: SparkSession): Unit = synchronized {
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** For each left row, attach the most recent right row of the same key
+    * with rightTime <= leftTime (unmatched left rows get NULL payload).
+    * Key and time columns must have identical types on both sides (cast
+    * upstream); right side should be unique per (key, time). Payload
+    * columns come back as `matched_<name>`. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    // prune + null-filter the right side here: Catalyst does not push
+    // projections/filters through an unknown node, so the build side must
+    // arrive minimal
+    val rightPruned = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select((Seq(rightKey, rightTime) ++ rightPayload).distinct.map(col): _*)
+    val lPlan = GraftInternal.analyzed(left)
+    val rPlan = GraftInternal.analyzed(rightPruned)
+    val resolver = spark.sessionState.conf.resolver
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(s"column `$name` not found on $side side"))
+    val payloadAttrs = rightPayload.map(attr(rPlan, _, "right"))
+    val matchedAttrs = payloadAttrs.map(a =>
+      AttributeReference(s"matched_${a.name}", a.dataType, nullable = true)())
+    GraftInternal.ofRows(spark, AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"),
+      attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"),
+      payloadAttrs, matchedAttrs))
+  }
+}
