@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
@@ -75,56 +75,119 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lKeyB = BindReferences.bindReference(leftKey, left.output)
-    val lTimeB = BindReferences.bindReference(leftTime, left.output)
-    val rKeyB = BindReferences.bindReference(rightKey, right.output)
-    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    // codegen'd hot path: both sides project (key, time) through an
+    // UnsafeProjection once per row, and all comparisons go through
+    // generated orderings over those 2-column rows — no per-row
+    // interpreted Expression.eval, no boxing. Copying the projected
+    // UnsafeRow when caching it across iterator advances also makes the
+    // carried key safe for buffer-backed types (UTF8String, arrays) whose
+    // eval result would otherwise alias the spill reader's reused buffer.
+    val lKtB = Seq(leftKey, leftTime).map(BindReferences.bindReference(_, left.output))
+    val rKtB = Seq(rightKey, rightTime).map(BindReferences.bindReference(_, right.output))
     val payloadB = payload.map(BindReferences.bindReference(_, right.output))
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    // orderings over the projected (key, time) row: advance-condition is the
+    // lexicographic (rk, rt) <= (lk, lt); the match-guard compares key only
+    val ktOrd = new LazilyGeneratedOrdering(Seq(
+      SortOrder(BoundReference(0, keyType, nullable = true), Ascending),
+      SortOrder(BoundReference(1, timeType, nullable = true), Ascending)))
+    val keyOnlyOrd = new LazilyGeneratedOrdering(Seq(
+      SortOrder(BoundReference(0, keyType, nullable = true), Ascending)))
+    // fixed-width integral types compare as primitive longs — the common
+    // as-of shape (long/int keys, timestamp/date times) skips the generic
+    // row comparator entirely
+    def longGetter(dt: org.apache.spark.sql.types.DataType): Option[(UnsafeRow, Int) => Long] = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | TimestampType | TimestampNTZType => Some((r, i) => r.getLong(i))
+        case IntegerType | DateType => Some((r, i) => r.getInt(i).toLong)
+        case ShortType => Some((r, i) => r.getShort(i).toLong)
+        case ByteType => Some((r, i) => r.getByte(i).toLong)
+        case _ => None
+      }
+    }
+    val keyGetOpt = longGetter(keyType)
+    val timeGetOpt = longGetter(timeType)
     val outputAttrs = output
     val combinedSchema = left.output ++ matched
     val nPayload = payload.length
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKtProj = UnsafeProjection.create(lKtB)
+      val rKtProj = UnsafeProjection.create(rKtB)
       val payloadProj = UnsafeProjection.create(payloadB)
       val outProj = UnsafeProjection.create(outputAttrs, combinedSchema)
       val nullPayload = new GenericInternalRow(nPayload)
       val joined = new JoinedRow
-      val rBuf = rIter.buffered
-      // merge state: the latest right payload seen, and the key it belongs to
-      var lastKey: Any = null
-      var lastPayload: UnsafeRow = null
 
-      lIter.map { lRow =>
-        val lk = lKeyB.eval(lRow)
-        val lt = lTimeB.eval(lRow)
-        var matchedRow: InternalRow = nullPayload
-        if (lk != null && lt != null) {
-          // advance the right side through every row at or before (lk, lt)
-          var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val head = rBuf.head
-            val rk = rKeyB.eval(head)
-            val rt = rTimeB.eval(head)
-            if (rk == null || rt == null) {
-              rBuf.next() // NULL key/time rows can never match — skip
-            } else {
-              val kc = keyOrd.compare(rk, lk)
-              if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)) {
-                lastKey = rk
-                lastPayload = payloadProj(head).copy() // row buffer is reused
-                rBuf.next()
-              } else {
-                advancing = false
-              }
+      // pending right head: each right row is projected exactly once. The
+      // un-copied curKt safely survives across left rows — rKtProj's buffer
+      // is only overwritten at the next advance.
+      var curRight: InternalRow = null
+      var curKt: UnsafeRow = null
+      def advanceRight(): Unit = {
+        curRight = null
+        while (curRight == null && rIter.hasNext) {
+          val r = rIter.next()
+          val kt = rKtProj(r)
+          // NULL key/time rows can never match — skip them here
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) { curRight = r; curKt = kt }
+        }
+      }
+      advanceRight()
+
+      if (keyGetOpt.isDefined && timeGetOpt.isDefined) {
+        // fast path: primitive comparisons, no row copies for the carried key
+        val keyGet = keyGetOpt.get
+        val timeGet = timeGetOpt.get
+        var haveLast = false
+        var lastKeyL = 0L
+        var lastPayload: UnsafeRow = null
+
+        lIter.map { lRow =>
+          val lKt = lKtProj(lRow)
+          var matchedRow: InternalRow = nullPayload
+          if (!lKt.isNullAt(0) && !lKt.isNullAt(1)) {
+            val lk = keyGet(lKt, 0)
+            val lt = timeGet(lKt, 1)
+            var advancing = curRight != null
+            while (advancing) {
+              val ck = keyGet(curKt, 0)
+              if (ck < lk || (ck == lk && timeGet(curKt, 1) <= lt)) {
+                haveLast = true
+                lastKeyL = ck
+                lastPayload = payloadProj(curRight).copy()
+                advanceRight()
+                advancing = curRight != null
+              } else advancing = false
+            }
+            if (haveLast && lastKeyL == lk) matchedRow = lastPayload
+          }
+          outProj(joined(lRow, matchedRow))
+        }
+      } else {
+        // generic path: codegen'd orderings over the projected (key, time)
+        // rows; defensive copies — the source buffers are reused
+        var lastKt: UnsafeRow = null
+        var lastPayload: UnsafeRow = null
+
+        lIter.map { lRow =>
+          val lKt = lKtProj(lRow)
+          var matchedRow: InternalRow = nullPayload
+          if (!lKt.isNullAt(0) && !lKt.isNullAt(1)) {
+            // consume every right row at or before (lk, lt)
+            while (curRight != null && ktOrd.compare(curKt, lKt) <= 0) {
+              lastKt = curKt.copy()
+              lastPayload = payloadProj(curRight).copy()
+              advanceRight()
+            }
+            if (lastPayload != null && keyOnlyOrd.compare(lastKt, lKt) == 0) {
+              matchedRow = lastPayload
             }
           }
-          if (lastPayload != null && keyOrd.compare(lastKey, lk) == 0) {
-            matchedRow = lastPayload
-          }
+          outProj(joined(lRow, matchedRow))
         }
-        outProj(joined(lRow, matchedRow))
       }
     }
   }

@@ -23,9 +23,10 @@ object Scratch {
       r
     }
 
-    graft.operators.AsOf.eventsAsofOrdersNative(spark, sfDir).explain("formatted")
-    time("asof_native count") { graft.operators.AsOf.eventsAsofOrdersNative(spark, sfDir).count() }
-    time("asof_composed count") { graft.operators.AsOf.eventsAsofOrders(spark, sfDir).count() }
+    (1 to 3).foreach { i =>
+      time(s"asof_composed count #$i") { graft.operators.AsOf.eventsAsofOrders(spark, sfDir).count() }
+      time(s"asof_native count #$i") { graft.operators.AsOf.eventsAsofOrdersNative(spark, sfDir).count() }
+    }
     spark.stop()
   }
 }

@@ -13,6 +13,17 @@ class AsOfNativeSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  /** Collects AsOfJoinExec nodes, descending through the AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes that hide their
+    * subtree from a plain `collect`). */
+  private def findAsOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[AsOfJoinExec] =
+    p.collect {
+      case e: AsOfJoinExec => Seq(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findAsOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findAsOf(q.plan)
+    }.flatten
+
   test("native as-of matches the composed operator on the events/orders query") {
     val composed = AsOf.eventsAsofOrders(spark, dir).collect()
       .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
@@ -64,12 +75,62 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
     assert(!plan.contains("Union"))
     // the planned tree really is the custom node (not a fallback)
-    val hasExec = df.queryExecution.executedPlan.collect {
-      case e: AsOfJoinExec => e
+    df.collect() // finalize any adaptive re-planning before inspecting
+    assert(findAsOf(df.queryExecution.executedPlan).nonEmpty)
+  }
+
+  test("AQE-enabled session plans AsOfJoinExec and matches the composed operator") {
+    // GraftSession (the recommended production entry) enables AQE; the exec's
+    // zipPartitions requires equal child partition counts, so pin that AQE's
+    // runtime re-planning (coalesced shuffle reads) keeps the operator whole
+    val aqe = spark.newSession()
+    aqe.conf.set("spark.sql.adaptive.enabled", "true")
+    aqe.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    import aqe.implicits._
+    val left = (1 to 500).map(i => ((i % 7).toLong, ts(f"2024-01-${i % 27 + 1}%02d 12:00:00"), i))
+      .toDF("k", "t", "n")
+    val right = (1 to 300).map(i => ((i % 5).toLong, ts(f"2024-01-${i % 27 + 1}%02d 00:00:00"), i * 1.5))
+      .toDF("k", "rt", "price")
+    val df = NativeAsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price"))
+    val native = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    // after execution the adaptive plan is final: unwrap and find the node
+    assert(findAsOf(df.queryExecution.executedPlan).nonEmpty,
+      s"AsOfJoinExec missing from AQE final plan:\n${df.queryExecution.executedPlan}")
+    val composed = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (n, c) =>
+      assert(n._1 == c._1 && n._2 == c._2 && n._3 == c._3 &&
+        (n._4 == c._4 || (n._4.isNaN && c._4.isNaN)))
     }
-    assert(hasExec.nonEmpty ||
-      // under AQE the node may sit below AdaptiveSparkPlanExec; the string
-      // check above already proved it planned
-      plan.contains("AsOfJoin"))
+  }
+
+  test("string keys survive across spill-prone buffers (defensive key copy)") {
+    import spark.implicits._
+    // many string keys, interleaved times: exercises the carried-key guard
+    val left = (1 to 2000).map { i =>
+      (s"key_${i % 97}", ts(f"2024-01-${i % 27 + 1}%02d 12:00:00"), i)
+    }.toDF("k", "t", "n")
+    val right = (1 to 1500).map { i =>
+      (s"key_${i % 101}", ts(f"2024-01-${i % 27 + 1}%02d 00:00:00"), i * 1.0)
+    }.toDF("k", "rt", "price")
+    val native = NativeAsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    val composed = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (n, c) =>
+      assert(n._1 == c._1 && n._2 == c._2 && n._3 == c._3 &&
+        (n._4 == c._4 || (n._4.isNaN && c._4.isNaN)), s"mismatch: $n vs $c")
+    }
   }
 }
