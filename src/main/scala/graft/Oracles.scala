@@ -436,6 +436,52 @@ object Oracles {
         |    + COUNT(o_orderdate) + COUNT(o_orderpriority)) AS DOUBLE) / (COUNT(*) * 6) AS completeness
         |FROM orders""".stripMargin,
 
+    "corr_matrix" -> graft.operators.Stats.corrMatrixOracle,
+
+    "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
+
+    "scd2_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |), cur AS (
+        |  SELECT *, DATE '1995-01-01' AS effective_date FROM base WHERE c_custkey % 10 <> 3
+        |), inc AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 11 = 0 THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+        |         ELSE c_nationkey END AS c_nationkey,
+        |    c_acctbal,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UPGRADED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM base WHERE c_custkey % 10 <> 7
+        |), j AS (
+        |  SELECT c.c_custkey AS ck, c.c_name AS cn, c.c_nationkey AS cnk, c.c_acctbal AS cab,
+        |         c.c_mktsegment AS cseg, c.effective_date AS ceff,
+        |         i.c_custkey AS ik, i.c_name AS inm, i.c_nationkey AS ink, i.c_acctbal AS iab,
+        |         i.c_mktsegment AS iseg,
+        |         (c.c_mktsegment IS DISTINCT FROM i.c_mktsegment
+        |          OR c.c_nationkey IS DISTINCT FROM i.c_nationkey) AS chg
+        |  FROM cur c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey
+        |)
+        |SELECT ck AS c_custkey, cn AS c_name, cnk AS c_nationkey, cab AS c_acctbal,
+        |  cseg AS c_mktsegment, ceff AS effective_date, DATE '9999-12-31' AS end_date,
+        |  TRUE AS is_current, 'unchanged' AS change_type
+        |FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND NOT chg
+        |UNION ALL
+        |SELECT ck, cn, cnk, cab, cseg, ceff, DATE '1998-01-01', FALSE, 'closed'
+        |FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND chg
+        |UNION ALL
+        |SELECT ik, inm, ink, iab, iseg, DATE '1998-01-01', DATE '9999-12-31', TRUE, 'new_version'
+        |FROM j WHERE ck IS NOT NULL AND ik IS NOT NULL AND chg
+        |UNION ALL
+        |SELECT ik, inm, ink, iab, iseg, DATE '1998-01-01', DATE '9999-12-31', TRUE, 'insert'
+        |FROM j WHERE ck IS NULL
+        |UNION ALL
+        |SELECT ck, cn, cnk, cab, cseg, ceff, DATE '1998-01-01', FALSE, 'delete'
+        |FROM j WHERE ik IS NULL
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'LEGACY',
+        |  DATE '1992-01-01', DATE '1995-01-01', FALSE, 'history'
+        |FROM base WHERE c_custkey % 20 = 1""".stripMargin,
+
     "scd2_customer" ->
       """WITH b AS (
         |  SELECT o_custkey AS customer_id, o_orderkey,

@@ -28,8 +28,11 @@ object SparkEntry {
     "rare_categories"  -> ((s, d) => Quality.rareCategories(s, d)),
     "date_gaps"        -> ((s, d) => Quality.dateGaps(s, d)),
     "drift_check"      -> ((s, d) => Quality.driftCheck(s, d)),
+    "corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
+    "enriched_sales"   -> ((s, d) => Enrichment.enrichedSales(s, d)),
     // transformations (reference: src/etl/transformations/)
     "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
+    "scd2_merge"       -> ((s, d) => Scd2.scd2Merge(s, d)),
     "running_totals"   -> ((s, d) => Windowing.runningTotals(s, d)),
     "pivot_priority"   -> ((s, d) => Pivot.revenueByPriority(s, d)),
     // feature engineering (reference: src/etl/transformations/advanced_features.py)
