@@ -440,6 +440,8 @@ object Oracles {
 
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
+    "validation_report" -> graft.operators.Validation.validationReportOracle,
+
     "scd2_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer

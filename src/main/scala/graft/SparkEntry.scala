@@ -30,6 +30,7 @@ object SparkEntry {
     "drift_check"      -> ((s, d) => Quality.driftCheck(s, d)),
     "corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
     "enriched_sales"   -> ((s, d) => Enrichment.enrichedSales(s, d)),
+    "validation_report" -> ((s, d) => Validation.validationReport(s, d)),
     // transformations (reference: src/etl/transformations/)
     "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
     "scd2_merge"       -> ((s, d) => Scd2.scd2Merge(s, d)),

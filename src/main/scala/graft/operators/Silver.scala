@@ -16,15 +16,18 @@ object Silver {
     * (reference: src/etl/silver/spark_silver.py:133). */
   private val dedupKeys = Seq("l_orderkey", "l_partkey")
 
+  /** Business rules (reference: spark_silver.py:82-87), expressed through the
+    * generic rule engine: positive quantity, non-negative price, key present.
+    * filterValid keeps them raw conjuncts so Catalyst pushes them to the scan. */
+  val businessRules: Seq[Validation.Rule] = Seq(
+    Validation.Rule("positive_quantity", col("l_quantity") > 0),
+    Validation.Rule("non_negative_price", col("l_extendedprice") >= 0),
+    Validation.Rule("order_key_present", col("l_orderkey").isNotNull))
+
   def cleanLineitem(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
 
-    // Business rules (reference: spark_silver.py:82-87): positive quantity,
-    // non-negative price, key present. Pushed to the scan by Catalyst.
-    val valid = l.filter(
-      col("l_quantity") > 0 &&
-      col("l_extendedprice") >= 0 &&
-      col("l_orderkey").isNotNull)
+    val valid = Validation.filterValid(l, businessRules)
 
     // Derived columns (reference: spark_silver.py:98-114).
     val derived = valid

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.Tables
+import graft.Exact.countAll
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generic validation-rule engine (reference:
+  * src/etl/transformations/data_cleaning.py:15-53,141-170): named rules with
+  * severities, evaluated as row-level flags and as a per-rule pass/fail
+  * report.
+  *
+  * The reference applies each rule as a Python lambda per VALUE per column
+  * (data_cleaning.py:150-152 — `data[col].apply(rule.validate)`, one pandas
+  * pass per rule×column). Here a rule is a named Catalyst `Column` predicate:
+  * row flags are one codegen'd projection, and the report is ONE aggregate
+  * pass computing every rule's violation count simultaneously — no per-rule
+  * jobs, no driver loop, shuffle-free (a global single-row aggregate).
+  * A NULL predicate counts as a violation, mirroring the reference's
+  * exception→False contract (data_cleaning.py:28-33).
+  */
+object Validation {
+
+  /** A named validation rule; `passes` is any boolean Column expression. */
+  final case class Rule(name: String, passes: Column, severity: String = "error")
+
+  /** Row-level flags: one boolean column per rule (`vr_<name>`), plus
+    * `failed_rules` (names of violated rules, stable rule order) and
+    * `is_valid` (no error-severity violations). */
+  def withRuleFlags(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val flagged = rules.foldLeft(df) { (d, r) =>
+      d.withColumn(s"vr_${r.name}", coalesce(r.passes, lit(false)))
+    }
+    val failed = array_compact(array(rules.map(r =>
+      when(!col(s"vr_${r.name}"), lit(r.name))): _*))
+    val errors = rules.filter(_.severity == "error")
+    val valid = if (errors.isEmpty) lit(true)
+      else errors.map(r => col(s"vr_${r.name}")).reduce(_ && _)
+    flagged.withColumn("failed_rules", failed).withColumn("is_valid", valid)
+  }
+
+  /** Rows passing every error-severity rule, as a plain conjunction of the
+    * raw predicates — null-rejecting semantics are identical (a NULL
+    * predicate drops the row) and Catalyst can still push the conjuncts
+    * into the scan, which a coalesce() wrapper would block. */
+  def filterValid(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val errors = rules.filter(_.severity == "error")
+    if (errors.isEmpty) df else df.filter(errors.map(_.passes).reduce(_ && _))
+  }
+
+  /** Per-rule report in ONE aggregate pass:
+    * (rule_name, severity, n_rows, n_fail, fail_rate). */
+  def ruleReport(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val agg = df.agg(
+      countAll.as("n_rows"),
+      rules.map(r => sum(when(coalesce(r.passes, lit(false)), 0L).otherwise(1L))
+        .cast("long").as(s"f_${r.name}")): _*)
+    val rows = rules.map(r => struct(
+      lit(r.name).as("rule_name"), lit(r.severity).as("severity"),
+      col("n_rows").as("n_rows"), col(s"f_${r.name}").as("n_fail"),
+      (col(s"f_${r.name}").cast("double") / col("n_rows").cast("double")).as("fail_rate")))
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Driver-query rule set over raw lineitem: (rule, equivalent DuckDB
+    * predicate) pairs — the oracle SQL is generated from the same list. */
+  val lineitemRules: Seq[(Rule, String)] = Seq(
+    (Rule("positive_quantity", col("l_quantity") > 0), "l_quantity > 0"),
+    (Rule("non_negative_price", col("l_extendedprice") >= 0), "l_extendedprice >= 0"),
+    (Rule("order_key_present", col("l_orderkey").isNotNull), "l_orderkey IS NOT NULL"),
+    (Rule("discount_in_range", col("l_discount") >= 0 && col("l_discount") <= 1,
+      severity = "warning"), "l_discount >= 0 AND l_discount <= 1"),
+    (Rule("tax_sane", col("l_tax") >= 0 && col("l_tax") < 0.5,
+      severity = "warning"), "l_tax >= 0 AND l_tax < 0.5"),
+    (Rule("ship_date_present", col("l_shipdate").isNotNull,
+      severity = "info"), "l_shipdate IS NOT NULL"))
+
+  def validationReport(spark: SparkSession, dir: String): DataFrame =
+    ruleReport(Tables.lineitem(spark, dir), lineitemRules.map(_._1))
+
+  /** DuckDB oracle mirroring validationReport, generated from lineitemRules. */
+  def validationReportOracle: String = {
+    val aggSel = (Seq("COUNT(*) AS n_rows") ++ lineitemRules.map { case (r, sql) =>
+      s"CAST(SUM(CASE WHEN coalesce($sql, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS f_${r.name}"
+    }).mkString(", ")
+    val branches = lineitemRules.map { case (r, _) =>
+      s"SELECT '${r.name}' AS rule_name, '${r.severity}' AS severity, n_rows, " +
+        s"f_${r.name} AS n_fail, CAST(f_${r.name} AS DOUBLE) / CAST(n_rows AS DOUBLE) AS fail_rate FROM a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT $aggSel FROM lineitem)
+       |$branches""".stripMargin
+  }
+}

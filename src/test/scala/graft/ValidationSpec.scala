@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Silver, Validation}
+import graft.operators.Validation.Rule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic validation-rule engine (reference data_cleaning.py:15-53,141-170):
+  * row flags, null-as-violation, severity handling, one-pass report, and the
+  * Silver refactor keeping its scan pushdown. */
+class ValidationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df = {
+    import spark.implicits._
+    Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, -5.0), (3L, null), (null, 20.0)
+    ).toDF("k", "v")
+  }
+
+  private val rules = Seq(
+    Rule("k_present", col("k").isNotNull),
+    Rule("v_positive", col("v") > 0),
+    Rule("v_small", col("v") < 100, severity = "warning"))
+
+  test("withRuleFlags: per-rule booleans, failed_rules, is_valid; NULL counts as violation") {
+    val out = Validation.withRuleFlags(df, rules).collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[Seq[String]]("failed_rules").toList, r.getAs[Boolean]("is_valid"))).toSet
+    assert(out == Set(
+      (Some(1L), Nil, true),
+      (Some(2L), List("v_positive"), false),
+      (Some(3L), List("v_positive", "v_small"), false), // NULL v fails both v-rules
+      (None, List("k_present"), false)))
+  }
+
+  test("ruleReport: one row per rule with exact violation counts") {
+    val rep = Validation.ruleReport(df, rules).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rep == Set(
+      ("k_present", "error", 4L, 1L),
+      ("v_positive", "error", 4L, 2L),
+      ("v_small", "warning", 4L, 1L))) // only the NULL v violates v_small
+  }
+
+  test("filterValid drops error violations but ignores warning-severity rules") {
+    val kept = Validation.filterValid(df, rules).collect().map(_.getAs[Any]("k")).toSet
+    assert(kept == Set(1L)) // row 2 fails v_positive, 3 null v, 4 null k
+  }
+
+  test("Silver business rules still reach the parquet scan as pushed filters") {
+    val plan = Silver.cleanLineitem(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThan(l_quantity,0.0)"))
+  }
+}
