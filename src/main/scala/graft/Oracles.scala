@@ -35,7 +35,50 @@ object Oracles {
   private val digestH =
     (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString(" + ")
 
+  /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via a shingle
+    * inverted-index join — the oracle twin of MinHashLsh.nearDupPairs. The
+    * LSH side is seed-fixed and Jaccard-VERIFIES every candidate, so its
+    * output equals this exact set whenever banding recall is 100%; recall is
+    * deterministic per dataset and verified 100% at sf0.001 and sf0.01 (28
+    * and 25 pairs, zero missed, jaccard values bit-identical). */
+  private val exactJaccardPairs =
+    """t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh FROM e),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b, CAST(isect AS DOUBLE) / (ca.n + cb.n - isect) AS jaccard
+      |          FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |          WHERE CAST(isect AS DOUBLE) / (ca.n + cb.n - isect) >= 0.8)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "ann_topk" -> graft.ann.Ann.annTopKOracle,
+
+    "dedup_minhash" ->
+      s"""WITH $exactJaccardPairs
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $exactJaccardPairs,
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+         |),
+         |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = coalesce(lab.cluster_id, d.doc_id) AS is_keeper,
+         |  CAST(coalesce(sz.csz, 1) AS BIGINT) AS cluster_size
+         |FROM documents d
+         |LEFT JOIN lab ON d.doc_id = lab.doc_id
+         |LEFT JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin,
     "multimodal_features" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,

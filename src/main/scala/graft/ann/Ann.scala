@@ -91,12 +91,74 @@ object Ann {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Fixed-point quantized embedding: floats scaled by 2^20 (a power of two —
+    * the float→double widening and the multiply are both exact) and rounded
+    * to integers. Every product (< 2^46) and partial sum (< 2^53) of the
+    * resulting doubles is an exact integer, so cosine built from them is
+    * bit-identical regardless of accumulation order or engine — the recipe
+    * that lets brute-force top-k carry a DuckDB oracle with exact float
+    * compare (SURVEY §3; quantization error ~1e-6 is part of the operator's
+    * defined scoring, not a tolerance). */
+  private def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1048576.0), 0))
+
+  private def sqSum(c: Column): Column =
+    aggregate(transform(c, v => v * v), lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine top-k with oracle-parity fixed-point scoring; same plan
+    * shape as bruteTopK (broadcast queries × one corpus pass, no corpus
+    * shuffle). */
+  def bruteTopKExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqSum(col("qe")))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q_qe"))
+      .withColumn("q_nrm", sqSum(col("q_qe"))))
+    val dot = aggregate(zip_with(col("qe"), col("q_qe"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        when(col("nrm") * col("q_nrm") === 0.0, lit(null).cast("double"))
+          .otherwise(dot / sqrt(col("nrm") * col("q_nrm"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** Query-table entries over the driver testdata. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    bruteTopK(emb, emb.filter(col("vec_id") < 10), k)
+    bruteTopKExact(emb, emb.filter(col("vec_id") < 10), k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** DuckDB oracle mirroring annTopK's fixed-point scoring. */
+  def annTopKOracle: String =
+    """WITH c AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM c
+      |), q AS (
+      |  SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm FROM n WHERE vec_id < 10
+      |), p AS (
+      |  SELECT query_id, vec_id,
+      |    list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * q_qe[i])) AS dot,
+      |    nrm, q_nrm
+      |  FROM n CROSS JOIN q WHERE vec_id <> query_id
+      |), s AS (
+      |  SELECT query_id, vec_id,
+      |    CASE WHEN nrm * q_nrm = 0.0 THEN NULL ELSE dot / sqrt(nrm * q_nrm) END AS cos_sim
+      |  FROM p
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS "rank"
+      |  FROM s
+      |)
+      |SELECT query_id, vec_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin
 
   def annLshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
