@@ -74,7 +74,35 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  /** Defensive copartitioning validation: zipPartitions pairs partitions by
+    * index, which is only correct if the planner gave both children the SAME
+    * partitioning spec. EnsureRequirements guarantees that today (identical
+    * ClusteredDistributions → identical exchanges, and AQE's
+    * CoalesceShufflePartitions applies one uniform spec to both stages), but
+    * a future planner change would otherwise surface as silent mis-joins —
+    * fail loudly instead. */
+  private def checkCopartitioned(): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val (lp, rp) = (left.outputPartitioning, right.outputPartitioning)
+    if (lp.numPartitions != rp.numPartitions)
+      throw new IllegalStateException(
+        s"AsOfJoinExec children are not co-partitioned: left=$lp right=$rp — " +
+          "the planner/AQE produced incompatible specs; as-of results would be wrong")
+    (lp, rp) match {
+      case (lh: HashPartitioning, rh: HashPartitioning) =>
+        val li = lh.expressions.indexWhere(_.semanticEquals(leftKey))
+        val ri = rh.expressions.indexWhere(_.semanticEquals(rightKey))
+        if (li < 0 || li != ri)
+          throw new IllegalStateException(
+            s"AsOfJoinExec hash keys misaligned: left=$lh (key $leftKey at $li), " +
+              s"right=$rh (key $rightKey at $ri) — partition pairing would mis-join")
+      case _ => // single partition / coalesced specs: the count check above
+                // is the strongest cheap invariant available
+    }
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
+    checkCopartitioned()
     // codegen'd hot path: both sides project (key, time) through an
     // UnsafeProjection once per row, and all comparisons go through
     // generated orderings over those 2-column rows — no per-row
@@ -104,6 +132,10 @@ case class AsOfJoinExec(
         case IntegerType | DateType => Some((r, i) => r.getInt(i).toLong)
         case ShortType => Some((r, i) => r.getShort(i).toLong)
         case ByteType => Some((r, i) => r.getByte(i).toLong)
+        // compact decimals order by their unscaled long — scales are equal on
+        // both sides (type equality is required by the logical node)
+        case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+          Some((r, i) => r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
         case _ => None
       }
     }

@@ -133,4 +133,27 @@ class AsOfNativeSpec extends AnyFunSuite {
         (n._4 == c._4 || (n._4.isNaN && c._4.isNaN)), s"mismatch: $n vs $c")
     }
   }
+
+  test("compact decimal keys take the primitive path and match the composed operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // decimal(12,2) key on both sides → unscaled-long comparisons
+    val left = (1 to 400).map(i => ((i % 11) + 0.25, ts(f"2024-01-${i % 27 + 1}%02d 12:00:00"), i))
+      .toDF("kd", "t", "n").withColumn("k", col("kd").cast("decimal(12,2)")).drop("kd")
+    val right = (1 to 300).map(i => ((i % 13) + 0.25, ts(f"2024-01-${i % 27 + 1}%02d 00:00:00"), i * 2.0))
+      .toDF("kd", "rt", "price").withColumn("k", col("kd").cast("decimal(12,2)")).drop("kd")
+    val native = NativeAsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getDecimal(r.fieldIndex("k")).toString, r.getTimestamp(0), r.getInt(1),
+        if (r.isNullAt(r.fieldIndex("matched_price"))) Double.NaN else r.getAs[Double]("matched_price")))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    val composed = AsOf.asofJoin(left, right, "k", "k", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getDecimal(r.fieldIndex("k")).toString, r.getTimestamp(0), r.getInt(1),
+        if (r.isNullAt(r.fieldIndex("matched_price"))) Double.NaN else r.getAs[Double]("matched_price")))
+      .sortBy(t => (t._1, t._2.getTime, t._3))
+    assert(native.length == composed.length && native.length == 400)
+    native.zip(composed).foreach { case (n, c) =>
+      assert(n._1 == c._1 && n._2 == c._2 && n._3 == c._3 &&
+        (n._4 == c._4 || (n._4.isNaN && c._4.isNaN)), s"mismatch: $n vs $c")
+    }
+  }
 }
