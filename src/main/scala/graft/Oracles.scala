@@ -53,6 +53,13 @@ object Oracles {
       |          FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
       |          WHERE CAST(isect AS DOUBLE) / (ca.n + cb.n - isect) >= 0.8)""".stripMargin
 
+  private val factJoinRollup =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
 
@@ -484,6 +491,10 @@ object Oracles {
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,
+
+    // identical result by construction — bucketing is a physical layout choice
+    "fact_join_shuffled" -> factJoinRollup,
+    "fact_join_bucketed" -> factJoinRollup,
 
     "scd2_merge" ->
       """WITH base AS (

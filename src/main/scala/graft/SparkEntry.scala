@@ -45,6 +45,9 @@ object SparkEntry {
     // star schema (reference: src/etl/gold/star_schema_builder.py)
     "dim_date"         -> ((s, d) => StarSchema.dimDate(s, d)),
     "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),
+    // bucketed-layout pair: identical rollup, shuffled vs exchange-free
+    "fact_join_shuffled" -> ((s, d) => graft.sources.Bucketed.factJoinShuffled(s, d)),
+    "fact_join_bucketed" -> ((s, d) => graft.sources.Bucketed.factJoinBucketed(s, d)),
     // streaming batch analogs + CDC + as-of (reference: src/streaming/)
     "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
     "events_sessions"  -> ((s, d) => Events.sessions(s, d)),

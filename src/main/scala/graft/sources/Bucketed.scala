@@ -1,6 +1,8 @@
 package graft.sources
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed table layout for co-located joins.
   *
@@ -25,4 +27,53 @@ object Bucketed {
   def bucketJoin(spark: SparkSession, leftTable: String, rightTable: String,
                  key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** The order-priority revenue rollup computed the naive way: lineitem ⋈
+    * orders from raw parquet — the join shuffles BOTH sides on the key every
+    * run. Benched as the control of the bucketed/shuffled pair. */
+  def factJoinShuffled(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    revenueRollup(l.join(o, "o_orderkey"))
+  }
+
+  /** The same rollup over pre-bucketed tables: both sides written bucketed +
+    * sorted by the join key, so every subsequent run joins exchange-free —
+    * the recurring-pipeline layout a 100 TB star schema wants. The one-time
+    * bucketed write happens on first use per session/dir (first bench run
+    * pays it; the per-query median reflects the steady state). */
+  def factJoinBucketed(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (lt, ot) = (s"b_lineitem_$tag", s"b_orders_$tag")
+    if (!spark.catalog.tableExists(lt)) {
+      dropStaleLocation(spark, lt)
+      writeBucketed(Tables.lineitem(spark, dir).select(
+        col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount")),
+        lt, "o_orderkey", buckets)
+    }
+    if (!spark.catalog.tableExists(ot)) {
+      dropStaleLocation(spark, ot)
+      writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        ot, "o_orderkey", buckets)
+    }
+    revenueRollup(bucketJoin(spark, lt, ot, "o_orderkey"))
+  }
+
+  /** The in-memory catalog forgets tables across JVMs but their warehouse
+    * directories survive, and saveAsTable refuses to reuse the location —
+    * clear a leftover dir for a table the catalog no longer knows. */
+  private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private def revenueRollup(joined: DataFrame): DataFrame =
+    joined.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
 }
