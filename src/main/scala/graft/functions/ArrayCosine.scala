@@ -92,5 +92,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("array_cosine"), VectorFunctions.info,
       (children: Seq[Expression]) => ArrayCosine(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }
 }

@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, BoundReference, Expression, JoinedRow, Literal, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{GenerateUnsafeRowJoiner, LazilyGeneratedOrdering}
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -143,15 +144,26 @@ case class AsOfJoinExec(
     val timeGetOpt = longGetter(timeType)
     val outputAttrs = output
     val combinedSchema = left.output ++ matched
-    val nPayload = payload.length
+
+    val leftSchema = StructType(left.output.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val payloadSchema = StructType(matched.map(a => StructField(a.name, a.dataType, a.nullable)))
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKtProj = UnsafeProjection.create(lKtB)
       val rKtProj = UnsafeProjection.create(rKtB)
       val payloadProj = UnsafeProjection.create(payloadB)
       val outProj = UnsafeProjection.create(outputAttrs, combinedSchema)
-      val nullPayload = new GenericInternalRow(nPayload)
+      // all-null payload as an UnsafeRow, built once per partition
+      val nullPayload = UnsafeProjection.create(matched.map(a =>
+        Literal.create(null, a.dataType): Expression))(InternalRow.empty).copy()
+      // sorted children emit UnsafeRows: appending the payload is then two
+      // generated memcpys instead of a per-field output projection
+      val rowJoiner = GenerateUnsafeRowJoiner.create(leftSchema, payloadSchema)
       val joined = new JoinedRow
+      def emit(lRow: InternalRow, payloadRow: UnsafeRow): InternalRow = lRow match {
+        case u: UnsafeRow => rowJoiner.join(u, payloadRow)
+        case _ => outProj(joined(lRow, payloadRow))
+      }
 
       // pending right head: each right row is projected exactly once. The
       // un-copied curKt safely survives across left rows — rKtProj's buffer
@@ -179,7 +191,7 @@ case class AsOfJoinExec(
 
         lIter.map { lRow =>
           val lKt = lKtProj(lRow)
-          var matchedRow: InternalRow = nullPayload
+          var matchedRow: UnsafeRow = nullPayload
           if (!lKt.isNullAt(0) && !lKt.isNullAt(1)) {
             val lk = keyGet(lKt, 0)
             val lt = timeGet(lKt, 1)
@@ -196,7 +208,7 @@ case class AsOfJoinExec(
             }
             if (haveLast && lastKeyL == lk) matchedRow = lastPayload
           }
-          outProj(joined(lRow, matchedRow))
+          emit(lRow, matchedRow)
         }
       } else {
         // generic path: codegen'd orderings over the projected (key, time)
@@ -206,7 +218,7 @@ case class AsOfJoinExec(
 
         lIter.map { lRow =>
           val lKt = lKtProj(lRow)
-          var matchedRow: InternalRow = nullPayload
+          var matchedRow: UnsafeRow = nullPayload
           if (!lKt.isNullAt(0) && !lKt.isNullAt(1)) {
             // consume every right row at or before (lk, lt)
             while (curRight != null && ktOrd.compare(curKt, lKt) <= 0) {
@@ -218,7 +230,7 @@ case class AsOfJoinExec(
               matchedRow = lastPayload
             }
           }
-          outProj(joined(lRow, matchedRow))
+          emit(lRow, matchedRow)
         }
       }
     }
@@ -227,6 +239,32 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning through the custom node: Catalyst's own ColumnPruning
+  * does not descend into plan nodes it doesn't know, so without this rule a
+  * `select`/`count` above an as-of join reads EVERY left column off the scan
+  * — at 100 TB the difference between a pruned parquet read and a full one.
+  * When a parent consumes a subset of the left child's output, narrow the
+  * left side to (consumed ∪ key ∪ time); the right side is pre-pruned by the
+  * API (NativeAsOf.asofJoin). */
+object AsOfColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+
+  private def prune(a: AsOfJoinPlan, consumed: AttributeSet): Option[AsOfJoinPlan] = {
+    val required = consumed ++ AttributeSet(Seq(a.leftKey, a.leftTime))
+    val kept = a.left.output.filter(required.contains)
+    if (kept.length < a.left.output.length) Some(a.copy(left = Project(kept, a.left)))
+    else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(list, a: AsOfJoinPlan) =>
+      prune(a, AttributeSet(list.flatMap(_.references))).map(Project(list, _)).getOrElse(p)
+    case g @ Aggregate(grouping, aggs, a: AsOfJoinPlan, hint) =>
+      prune(a, AttributeSet((grouping ++ aggs).flatMap(_.references)))
+        .map(Aggregate(grouping, aggs, _, hint)).getOrElse(g)
+  }
 }
 
 /** Plans AsOfJoinPlan into AsOfJoinExec. Injectable two ways: session-local
@@ -244,11 +282,13 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Public API over the custom plan node. */
 object NativeAsOf {
 
-  /** Idempotently adds the as-of strategy to the session planner. */
+  /** Idempotently adds the as-of strategy + pruning rule to the session. */
   def install(spark: SparkSession): Unit = synchronized {
     val em = spark.experimental
     if (!em.extraStrategies.contains(AsOfJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+    if (!em.extraOptimizations.contains(AsOfColumnPruning))
+      em.extraOptimizations = em.extraOptimizations :+ AsOfColumnPruning
   }
 
   /** For each left row, attach the most recent right row of the same key

@@ -17,4 +17,9 @@ object GraftInternal {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Optimized plan of a DataFrame (tests use this to assert optimizer rules
+    * like AsOfColumnPruning actually fired). */
+  def analyzedToOptimized(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan
 }

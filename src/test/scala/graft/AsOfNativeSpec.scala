@@ -134,6 +134,24 @@ class AsOfNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("column pruning pushes a narrow projection through the native as-of node") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.events(spark, dir) // 6 columns incl. the wide `props` json
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("__rt"))
+    val narrow = NativeAsOf.asofJoin(e, o, "user_id", "o_custkey", "ts", "__rt",
+      Seq("o_orderkey")).select("event_id", "matched_o_orderkey")
+    val asOfNode = org.apache.spark.sql.GraftInternal.analyzedToOptimized(narrow).collectFirst {
+      case a: graft.plans.AsOfJoinPlan => a
+    }
+    assert(asOfNode.isDefined)
+    val leftCols = asOfNode.get.left.output.map(_.name).toSet
+    assert(!leftCols.contains("props") && !leftCols.contains("value"),
+      s"unused wide columns not pruned from the as-of left side: $leftCols")
+    assert(leftCols.contains("user_id") && leftCols.contains("ts"))
+  }
+
   test("compact decimal keys take the primitive path and match the composed operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
