@@ -496,6 +496,45 @@ object Oracles {
     "fact_join_shuffled" -> factJoinRollup,
     "fact_join_bucketed" -> factJoinRollup,
 
+    "incremental_events" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, event_type, ts
+        |  FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+        |), wm AS (
+        |  SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS new_watermark FROM s
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts, new_watermark
+        |FROM s CROSS JOIN wm""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+        |), cur AS (
+        |  SELECT c_custkey,
+        |    md5(concat_ws(chr(1), coalesce(CAST(c_mktsegment AS VARCHAR), chr(2)),
+        |                          coalesce(CAST(c_nationkey AS VARCHAR), chr(2)))) AS current_hash
+        |  FROM base WHERE c_custkey % 10 <> 3
+        |), inc0 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UPGRADED' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 0 THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM base WHERE c_custkey % 10 <> 7
+        |), inc AS (
+        |  SELECT c_custkey,
+        |    md5(concat_ws(chr(1), coalesce(CAST(c_mktsegment AS VARCHAR), chr(2)),
+        |                          coalesce(CAST(c_nationkey AS VARCHAR), chr(2)))) AS incoming_hash
+        |  FROM inc0
+        |)
+        |SELECT coalesce(cur.c_custkey, inc.c_custkey) AS c_custkey,
+        |  current_hash, incoming_hash,
+        |  CASE WHEN current_hash IS NULL THEN 'insert'
+        |       WHEN incoming_hash IS NULL THEN 'delete'
+        |       WHEN current_hash <> incoming_hash THEN 'update'
+        |       ELSE 'no_change' END AS change_type
+        |FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey""".stripMargin,
+
     "scd2_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer

@@ -53,6 +53,8 @@ object SparkEntry {
     "events_sessions"  -> ((s, d) => Events.sessions(s, d)),
     "events_json"      -> ((s, d) => Events.jsonStats(s, d)),
     "cdc_apply"        -> ((s, d) => Cdc.cdcApply(s, d)),
+    "incremental_events" -> ((s, d) => Incremental.incrementalEvents(s, d)),
+    "snapshot_diff"    -> ((s, d) => Incremental.snapshotDiffCustomers(s, d)),
     "asof_join"        -> ((s, d) => AsOf.eventsAsofOrders(s, d)),
     "asof_native"      -> ((s, d) => AsOf.eventsAsofOrdersNative(s, d)),
     // LLM-pipeline: text analysis (SURVEY §2 #29-32)
