@@ -38,6 +38,33 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("event_type"), col("events_count"), col("approx_users"), col("total_value"))
 
+  /** Watermarked SLIDING-window aggregation (reference
+    * stream_aggregations.py:30,536 — WindowType.SLIDING): each event lands in
+    * len/slide overlapping windows; Spark expands them declaratively, state
+    * is bounded by the watermark. */
+  def slidingWindowAgg(events: DataFrame, watermark: String = "10 minutes",
+                       windowLen: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("events_count"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("events_count"), col("total_value"))
+
+  /** Streaming keep-first deduplication by business key within the watermark
+    * horizon (reference realtime_silver_processor.py:581-601 — its
+    * row_number-over-kafka_timestamp formulation is not executable on an
+    * unbounded stream; the Spark-native shape is
+    * dropDuplicatesWithinWatermark, whose per-key state expires with the
+    * watermark instead of growing forever). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Built-in session windows (gap-based) per user. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
                        watermark: String = "10 minutes"): DataFrame =

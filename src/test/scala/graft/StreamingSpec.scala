@@ -56,6 +56,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows land each event in len/slide overlapping windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.slidingWindowAgg(input.toDF(), watermark = "10 minutes",
+        windowLen = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("slide_test").outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:40:00"), "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts("2024-01-01 14:00:00"), "click", 1.0)) // close windows
+      q.processAllAvailable()
+      val starts = spark.table("slide_test").collect()
+        .filter(_.getAs[Double]("total_value") == 2.0)
+        .map(_.getAs[java.sql.Timestamp]("window_start").toString).sorted
+      // 10:40 event belongs to the [10:00,11:00) and [10:30,11:30) windows
+      assert(starts.toSeq == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"), starts.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first row per key within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream_test").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 10:01:00"), "click", 99.0), // dup key inside horizon
+        Ev(1, ts("2024-01-01 10:02:00"), "view", 7.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      assert(out.toSet == Set((1L, "click", 1.0), (1L, "view", 7.0)), out.mkString(";"))
+    } finally q.stop()
+  }
+
   test("built-in session windows merge events within the gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
