@@ -488,6 +488,8 @@ object Oracles {
 
     "corr_matrix" -> graft.operators.Stats.corrMatrixOracle,
 
+    "trend_detection" -> graft.operators.Stats.trendDetectionOracle,
+
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,

@@ -29,6 +29,7 @@ object SparkEntry {
     "date_gaps"        -> ((s, d) => Quality.dateGaps(s, d)),
     "drift_check"      -> ((s, d) => Quality.driftCheck(s, d)),
     "corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
+    "trend_detection"  -> ((s, d) => Stats.trendDetection(s, d)),
     "enriched_sales"   -> ((s, d) => Enrichment.enrichedSales(s, d)),
     "validation_report" -> ((s, d) => Validation.validationReport(s, d)),
     // transformations (reference: src/etl/transformations/)

@@ -55,6 +55,86 @@ object Stats {
       .withColumn("strong", abs(col("corr")) >= 0.7)
   }
 
+  /** Per-country revenue trend via linear-regression slope over the daily
+    * series (reference: statistical_analyzer.py:263-313 `analyze_time_series`
+    * + `_detect_trend`:797-819). The reference pulls the series to the driver
+    * and calls scipy's linregress; here both levels are distributed
+    * aggregates — daily rollup (one shuffle), then per-country exact moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) over (epoch-day, daily cents). scipy's
+    * t-test p-value is not reproducible cross-engine, so significance is
+    * |r| >= 0.3 computed from the same exact moments (documented semantics
+    * change, same increasing/decreasing/no_trend contract). */
+  def trendDetection(spark: SparkSession, dir: String, minAbsR: Double = 0.3): DataFrame = {
+    val daily = Tables.ordersWithCountry(spark, dir)
+      .select(col("country"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("country", "day").agg(sum("cents").as("y"))
+      .withColumn("x", datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+    def dec(c: String): Column = col(c).cast("decimal(19,0)")
+    val m = daily.groupBy("country").agg(
+      countAll.as("n_days"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec("x") * dec("y")).as("sxy"),
+      sum(dec("x") * dec("x")).as("sxx"),
+      sum(dec("y") * dec("y")).as("syy"))
+    val nD = col("n_days").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val denX = nD * d("sxx") - d("sx") * d("sx")
+    val denY = nD * d("syy") - d("sy") * d("sy")
+    m.withColumn("slope",
+        when(col("n_days") < 3 || denX === 0.0, lit(null).cast("double"))
+          .otherwise(num / denX / lit(100.0)))
+      .withColumn("r",
+        when(col("n_days") < 3 || denX === 0.0 || denY === 0.0, lit(null).cast("double"))
+          .otherwise(num / (sqrt(denX) * sqrt(denY))))
+      .withColumn("trend",
+        when(col("n_days") < 3, "insufficient_data")
+          .when(col("r").isNull || abs(col("r")) < minAbsR, "no_trend")
+          .when(col("slope") > 0, "increasing")
+          .when(col("slope") < 0, "decreasing")
+          .otherwise("stable"))
+      .select("country", "n_days", "slope", "r", "trend")
+  }
+
+  /** DuckDB oracle mirroring trendDetection (same exact-moment recipe). */
+  def trendDetectionOracle: String =
+    """WITH daily AS (
+      |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), xy AS (
+      |  SELECT country, y, CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS x FROM daily
+      |), m AS (
+      |  SELECT country, COUNT(*) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+      |  FROM xy GROUP BY 1
+      |), p AS (
+      |  SELECT country, n_days,
+      |    CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+      |    CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
+      |  FROM m
+      |), s AS (
+      |  SELECT country, n_days,
+      |    CASE WHEN n_days < 3 OR den_x = 0.0 THEN NULL ELSE num / den_x / 100.0 END AS slope,
+      |    CASE WHEN n_days < 3 OR den_x = 0.0 OR den_y = 0.0 THEN NULL
+      |         ELSE num / (sqrt(den_x) * sqrt(den_y)) END AS r
+      |  FROM p
+      |)
+      |SELECT country, n_days, slope, r,
+      |  CASE WHEN n_days < 3 THEN 'insufficient_data'
+      |       WHEN r IS NULL OR abs(r) < 0.3 THEN 'no_trend'
+      |       WHEN slope > 0 THEN 'increasing'
+      |       WHEN slope < 0 THEN 'decreasing'
+      |       ELSE 'stable' END AS trend
+      |FROM s""".stripMargin
+
   /** DuckDB oracle mirroring corrMatrix, generated from the same
     * measure/pair lists so the two can never drift. */
   def corrMatrixOracle: String = {
