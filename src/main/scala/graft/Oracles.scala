@@ -62,6 +62,8 @@ object Oracles {
 
   val sql: Map[String, String] = Map(
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
+    "ann_filtered" -> graft.ann.Ann.annFilteredOracle,
+    "faceted_search" -> graft.text.Search.facetedSearchOracle,
 
     "dedup_minhash" ->
       s"""WITH $exactJaccardPairs

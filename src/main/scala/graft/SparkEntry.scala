@@ -73,6 +73,8 @@ object SparkEntry {
     "dedup_clusters"   -> ((s, d) => graft.dedup.DedupClusters.clusters(s, d)),
     // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),
+    "ann_filtered"     -> ((s, d) => graft.ann.Ann.annFiltered(s, d)),
+    "faceted_search"   -> ((s, d) => graft.text.Search.facetedSearch(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),

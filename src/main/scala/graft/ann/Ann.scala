@@ -135,6 +135,32 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Metadata-filtered ANN (reference: src/vector_search/typesense_client.py:120
+    * `search_with_filters` — vector search constrained by attribute
+    * predicates). Spark-first: the predicate is an ordinary Column pushed
+    * into the corpus scan BEFORE scoring — the engine never scores vectors
+    * the filter excludes, and at 100 TB the parquet reader skips row groups
+    * via the pushed filter. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, pred: Column, k: Int): DataFrame =
+    bruteTopKExact(corpus.filter(pred), queries, k)
+
+  /** Driver query: top-k restricted to even-labelled corpus vectors. */
+  def annFiltered(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    filteredTopK(emb, emb.filter(col("vec_id") < 10), col("label") % 2 === 0, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle for annFiltered — annTopKOracle with the label predicate
+    * applied to the corpus side only. */
+  def annFilteredOracle: String =
+    annTopKOracle.replace(
+      "), p AS (",
+      """), cf AS (
+        |  SELECT n.* FROM n JOIN embeddings e USING (vec_id) WHERE e.label % 2 = 0
+        |), p AS (""".stripMargin)
+      .replace("FROM n CROSS JOIN q", "FROM cf CROSS JOIN q")
+
   /** DuckDB oracle mirroring annTopK's fixed-point scoring. */
   def annTopKOracle: String =
     """WITH c AS (

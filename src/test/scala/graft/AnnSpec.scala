@@ -39,6 +39,15 @@ class AnnSpec extends AnyFunSuite {
     assert(r.length == 1 && math.abs(r(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
+  test("filtered ANN only returns corpus vectors passing the predicate") {
+    val emb = Tables.embeddings(spark, dir)
+    val res = Ann.annFiltered(spark, dir).select("vec_id")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getAs[Int]("label") % 2 == 0))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Ann.embeddingNearDups(spark, dir, threshold = 0.35).collect()
     pairs.foreach { r =>
