@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Gold, Silver}
+import graft.operators.{Enrichment, Gold, Silver, Stats}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape guards: the scale properties BASELINE.md promises must survive
@@ -35,10 +35,27 @@ class PlanSpec extends AnyFunSuite {
       Gold.salesSummary(spark, dir),
       Gold.productAnalysis(spark, dir),
       Gold.dailyMetrics(spark, dir),
-      Silver.cleanLineitem(spark, dir)
+      Silver.cleanLineitem(spark, dir),
+      Enrichment.enrichedSales(spark, dir),
+      Stats.trendDetection(spark, dir)
     ).foreach { df =>
       val plan = formatted(df)
       assert(!plan.contains("SinglePartition"), "grouped query collapsed to one partition")
     }
+  }
+
+  test("enriched_sales broadcasts the static metadata, not the part table") {
+    val plan = formatted(Enrichment.enrichedSales(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "country metadata should broadcast")
+    // the part join must stay a key join (shuffle or AQE-broadcast at tiny SF
+    // is fine) — what we pin is that the scan only reads the two part columns
+    assert(!plan.contains("p_retailprice"), "part scan reads unused columns")
+  }
+
+  test("corr_matrix is one distributed aggregate over a pruned lineitem scan") {
+    val plan = formatted(Stats.corrMatrix(spark, dir))
+    assert(!plan.contains("Window"), "corr must not use windows")
+    assert(!plan.contains("l_orderkey"), "lineitem scan reads columns the moments never use")
+    assert(plan.contains("HashAggregate"), "moments should be hash-aggregated (partial+final)")
   }
 }
