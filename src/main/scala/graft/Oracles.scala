@@ -492,6 +492,8 @@ object Oracles {
 
     "trend_detection" -> graft.operators.Stats.trendDetectionOracle,
 
+    "descriptive_stats" -> graft.operators.Stats.descriptiveStatsOracle,
+
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,

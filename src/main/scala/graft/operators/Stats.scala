@@ -97,6 +97,108 @@ object Stats {
       .select("country", "n_days", "slope", "r", "trend")
   }
 
+  /** Descriptive-statistics profile per order priority (reference:
+    * statistical_analyzer.py:315-335 `_calculate_descriptive_stats` — count,
+    * mean, sample std/variance, min/max/range, coefficient of variation,
+    * skewness, excess kurtosis). The reference computes on a driver-side
+    * list; here it is the anomaly_orders shifted-moment recipe extended to
+    * 4th order: d = cents - (S div n) keeps every Σd^k an exact integer in
+    * DECIMAL(38,0) (no catastrophic cancellation, no engine divergence), and
+    * the final central-moment formulas are one fixed IEEE sequence.
+    * Skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2²-3 are
+    * scale-invariant, so they are computed directly in cents. */
+  def descriptiveStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val centers = o.groupBy(col("o_orderpriority").as("g"))
+      .agg(countAll.as("n"), sum("cents").as("s"),
+        min("cents").as("mn"), max("cents").as("mx"))
+      .withColumn("center", expr("s div n"))
+    val d = (col("cents") - col("center"))            // |d| < price range: fits long
+    val d2 = (d * d).as("__d2")                       // ≤ ~1e14: exact long
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val m = o.join(broadcast(centers), col("o_orderpriority") === col("g"))
+      .select(col("g"), col("n"), col("s"), col("mn"), col("mx"), col("center"), d.as("__d"), d2)
+      .groupBy("g", "n", "s", "mn", "mx", "center")
+      .agg(
+        sum(dec(col("__d2"))).as("sd2"),
+        sum(dec(col("__d2")) * dec(col("__d"))).as("sd3"),
+        sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4"))
+    val nD = col("n").cast("double")
+    val t = (col("s") % col("n")).cast("double")      // Σd = S mod n: exact
+    val sd2 = col("sd2").cast("double")
+    val sd3 = col("sd3").cast("double")
+    val sd4 = col("sd4").cast("double")
+    val m2 = (sd2 - (t * t) / nD) / nD                // population central moments (cents^k)
+    val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
+    val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
+      - lit(3.0) * t * t * t * t / (nD * nD * nD)) / nD
+    val mean = (col("s").cast("double") / nD) / lit(100.0)
+    val varSample = when(col("n") <= 1, lit(null).cast("double"))
+      .otherwise((sd2 - (t * t) / nD) / (nD - lit(1.0)) / lit(10000.0))
+    m.select(
+        col("g").as("o_orderpriority"),
+        col("n"), mean.as("mean"),
+        varSample.as("variance"),
+        sqrt(varSample).as("std_dev"),
+        (col("mn").cast("double") / lit(100.0)).as("min_value"),
+        (col("mx").cast("double") / lit(100.0)).as("max_value"),
+        ((col("mx") - col("mn")).cast("double") / lit(100.0)).as("value_range"),
+        when(col("n") <= 1 || col("s") === 0, lit(null).cast("double"))
+          .otherwise(sqrt(varSample) / abs(mean)).as("cv"),
+        when(m2 === 0.0, lit(null).cast("double"))
+          .otherwise(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+        when(m2 === 0.0, lit(null).cast("double"))
+          .otherwise(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+  }
+
+  /** DuckDB oracle mirroring descriptiveStats — identical moment expansion
+    * and IEEE sequencing. */
+  def descriptiveStatsOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+      |), c AS (
+      |  SELECT o_orderpriority AS g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+      |    CAST(MIN(cents) AS BIGINT) AS mn, CAST(MAX(cents) AS BIGINT) AS mx
+      |  FROM o GROUP BY 1
+      |), cc AS (
+      |  SELECT *, s // n AS center FROM c
+      |), j AS (
+      |  SELECT g, n, s, mn, mx, center,
+      |    cents - center AS d, (cents - center) * (cents - center) AS d2
+      |  FROM o JOIN cc ON o_orderpriority = g
+      |), m AS (
+      |  SELECT g, n, s, mn, mx, center,
+      |    SUM(CAST(d2 AS DECIMAL(19,0))) AS sd2,
+      |    SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sd3,
+      |    SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0))) AS sd4
+      |  FROM j GROUP BY 1, 2, 3, 4, 5, 6
+      |), p AS (
+      |  SELECT g, n, s, mn, mx,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
+      |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+      |  FROM m
+      |), q AS (
+      |  SELECT g, n, s, mn, mx, nd, t, sd2, sd3, sd4,
+      |    (sd2 - (t * t) / nd) / nd AS m2,
+      |    (sd3 - 3.0 * t * sd2 / nd + 2.0 * t * t * t / (nd * nd)) / nd AS m3,
+      |    (sd4 - 4.0 * t * sd3 / nd + 6.0 * t * t * sd2 / (nd * nd)
+      |       - 3.0 * t * t * t * t / (nd * nd * nd)) / nd AS m4,
+      |    (CAST(s AS DOUBLE) / nd) / 100.0 AS mean,
+      |    CASE WHEN n <= 1 THEN NULL
+      |         ELSE (sd2 - (t * t) / nd) / (nd - 1.0) / 10000.0 END AS variance
+      |  FROM p
+      |)
+      |SELECT g AS o_orderpriority, n, mean, variance, sqrt(variance) AS std_dev,
+      |  CAST(mn AS DOUBLE) / 100.0 AS min_value,
+      |  CAST(mx AS DOUBLE) / 100.0 AS max_value,
+      |  CAST(mx - mn AS DOUBLE) / 100.0 AS value_range,
+      |  CASE WHEN n <= 1 OR s = 0 THEN NULL ELSE sqrt(variance) / abs(mean) END AS cv,
+      |  CASE WHEN m2 = 0.0 THEN NULL ELSE m3 / sqrt(m2 * m2 * m2) END AS skewness,
+      |  CASE WHEN m2 = 0.0 THEN NULL ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis
+      |FROM q""".stripMargin
+
   /** DuckDB oracle mirroring trendDetection (same exact-moment recipe). */
   def trendDetectionOracle: String =
     """WITH daily AS (
