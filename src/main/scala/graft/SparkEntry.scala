@@ -77,6 +77,7 @@ object SparkEntry {
     "ann_filtered"     -> ((s, d) => graft.ann.Ann.annFiltered(s, d)),
     "faceted_search"   -> ((s, d) => graft.text.Search.facetedSearch(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
+    "ann_ivf"          -> ((s, d) => graft.ann.Ann.annIvfTopK(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)

@@ -192,6 +192,64 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other canonical scale path besides LSH:
+    * a KMeans coarse quantizer partitions the corpus into `nLists` inverted
+    * lists; each query probes only its `nProbe` nearest centroids and
+    * exact-rescored candidates come from those lists alone, so a query scores
+    * ~nProbe/nLists of the corpus. Spark shape: centroids are a broadcast
+    * k×dim table (constant-size at any corpus scale); list assignment is one
+    * MLlib transform pass; the probe join shuffles on the list id — the
+    * inverted lists ARE the partitioning at 100 TB. Seeded, deterministic
+    * replay; rows-only (KMeans-seed-dependent) with a recall spec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__arr"))
+      .withColumn("__vec", array_to_vector(col("__arr")))
+      .persist()
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__vec").setPredictionCol("list_id")
+    val model = km.fit(c)
+    val lists = model.transform(c).select(col("vec_id"), col("list_id"))
+    // centroid table: constant-size (nLists × dim) → broadcast to queries
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (v, i) => (i, v.toArray) })
+      .toDF("c_id", "c_vec")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_arr"), col("embedding").as("q_emb"))
+    // each query ranks the nLists centroids (tiny crossJoin) and keeps nProbe
+    val qDist = q.crossJoin(broadcast(centroids))
+      .withColumn("__d2", aggregate(
+        zip_with(col("q_arr"), col("c_vec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("c_id"))
+    val probes = qDist.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("c_id").as("list_id"), col("q_emb"))
+    // candidates = corpus vectors in the probed lists; exact cosine re-score
+    val cand = lists.join(probes, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+    val cEmb = corpus.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val out = cand.join(cEmb, "vec_id")
+      .withColumn("cos_sim", cosine(spark, "embedding", "q_emb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+    c.unpersist()
+    out
+  }
+
+  def annIvfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopK(emb, emb.filter(col("vec_id") < 10), k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs via shared LSH buckets. `threshold` is
     * a demo value for the synthetic set (max pairwise cosine ≈ 0.51); real
     * near-dup dedup uses ~0.95. */

@@ -39,6 +39,18 @@ class AnnSpec extends AnyFunSuite {
     assert(r.length == 1 && math.abs(r(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
+  test("IVF top-k recall >= 0.8 vs brute force at nProbe=3/8 lists") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val brute = Ann.bruteTopK(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 (|brute|=${brute.size}, |ivf|=${ivf.size})")
+  }
+
   test("filtered ANN only returns corpus vectors passing the predicate") {
     val emb = Tables.embeddings(spark, dir)
     val res = Ann.annFiltered(spark, dir).select("vec_id")
