@@ -494,6 +494,8 @@ object Oracles {
 
     "descriptive_stats" -> graft.operators.Stats.descriptiveStatsOracle,
 
+    "stationarity_check" -> graft.operators.Stats.stationarityOracle,
+
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,

@@ -31,6 +31,7 @@ object SparkEntry {
     "corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
     "trend_detection"  -> ((s, d) => Stats.trendDetection(s, d)),
     "descriptive_stats" -> ((s, d) => Stats.descriptiveStats(s, d)),
+    "stationarity_check" -> ((s, d) => Stats.stationarityCheck(s, d)),
     "enriched_sales"   -> ((s, d) => Enrichment.enrichedSales(s, d)),
     "validation_report" -> ((s, d) => Validation.validationReport(s, d)),
     // transformations (reference: src/etl/transformations/)

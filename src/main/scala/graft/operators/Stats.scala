@@ -199,6 +199,94 @@ object Stats {
       |  CASE WHEN m2 = 0.0 THEN NULL ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis
       |FROM q""".stripMargin
 
+  /** Stationarity check per country (reference: statistical_analyzer.py:821-852
+    * `_test_stationarity` — split the series in two and compare variances;
+    * similar variance ⇒ stationary). The reference splits a driver-side list
+    * at its midpoint; here the split is a fixed calendar date (deterministic
+    * and distribution-friendly — no global sort to find the midpoint) and
+    * each half's variance is the exact shifted-moment recipe. Stationary iff
+    * n >= 20 and the variance ratio lies in [0.5, 2.0] (the reference's
+    * "similar variance" made explicit). */
+  def stationarityCheck(spark: SparkSession, dir: String,
+                        splitDate: String = "1995-07-01"): DataFrame = {
+    val daily = Tables.ordersWithCountry(spark, dir)
+      .select(col("country"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("country", "day").agg(sum("cents").as("y"))
+      .withColumn("half", when(col("day") < lit(splitDate).cast("date"), "first").otherwise("second"))
+    val centers = daily.groupBy(col("country").as("cg"), col("half").as("hg"))
+      .agg(countAll.as("n"), sum("y").as("s"))
+      .withColumn("center", expr("s div n"))
+    val d = (col("y") - col("center")).cast("decimal(19,0)")
+    val byHalf = daily.join(broadcast(centers),
+        col("country") === col("cg") && col("half") === col("hg"))
+      .groupBy("country", "half", "n", "s", "center")
+      .agg(sum(d * d).as("sd2"))
+    val t = (col("s") % col("n")).cast("double")
+    val varD = when(col("n") <= 1, lit(null).cast("double"))
+      .otherwise((col("sd2").cast("double") - (t * t) / col("n").cast("double"))
+        / (col("n").cast("double") - lit(1.0)))
+    val halves = byHalf.select(col("country"), col("half"), col("n"), varD.as("v"))
+    val first = halves.filter(col("half") === "first")
+      .select(col("country"), col("n").as("n_first"), col("v").as("var_first"))
+    val second = halves.filter(col("half") === "second")
+      .select(col("country").as("c2"), col("n").as("n_second"), col("v").as("var_second"))
+    first.join(second, col("country") === col("c2"), "full_outer")
+      .select(
+        coalesce(col("country"), col("c2")).as("country"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_second"), lit(0L)).as("n_second"),
+        col("var_first"), col("var_second"))
+      .withColumn("variance_ratio",
+        when(col("var_first").isNull || col("var_second").isNull || col("var_second") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(col("var_first") / col("var_second")))
+      .withColumn("is_stationary",
+        col("n_first") + col("n_second") >= 20 &&
+          coalesce(col("variance_ratio") >= 0.5 && col("variance_ratio") <= 2.0, lit(false)))
+  }
+
+  /** DuckDB oracle mirroring stationarityCheck. */
+  def stationarityOracle: String =
+    """WITH daily AS (
+      |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |), h AS (
+      |  SELECT *, CASE WHEN day < DATE '1995-07-01' THEN 'first' ELSE 'second' END AS half
+      |  FROM daily
+      |), c AS (
+      |  SELECT country AS cg, half AS hg, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s
+      |  FROM h GROUP BY 1, 2
+      |), cc AS (SELECT *, s // n AS center FROM c
+      |), m AS (
+      |  SELECT cg AS country, hg AS half, n, s,
+      |    SUM(CAST(y - center AS DECIMAL(19,0)) * CAST(y - center AS DECIMAL(19,0))) AS sd2
+      |  FROM h JOIN cc ON country = cg AND half = hg
+      |  GROUP BY 1, 2, 3, 4
+      |), v AS (
+      |  SELECT country, half, n,
+      |    CASE WHEN n <= 1 THEN NULL
+      |         ELSE (CAST(sd2 AS DOUBLE) - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / CAST(n AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) - 1.0) END AS v
+      |  FROM m
+      |), f AS (SELECT country, n AS n_first, v AS var_first FROM v WHERE half = 'first'
+      |), s2 AS (SELECT country AS c2, n AS n_second, v AS var_second FROM v WHERE half = 'second'
+      |), j AS (
+      |  SELECT coalesce(country, c2) AS country,
+      |    coalesce(n_first, 0) AS n_first, coalesce(n_second, 0) AS n_second,
+      |    var_first, var_second,
+      |    CASE WHEN var_first IS NULL OR var_second IS NULL OR var_second = 0.0 THEN NULL
+      |         ELSE var_first / var_second END AS variance_ratio
+      |  FROM f FULL OUTER JOIN s2 ON country = c2
+      |)
+      |SELECT country, n_first, n_second, var_first, var_second, variance_ratio,
+      |  n_first + n_second >= 20 AND
+      |    coalesce(variance_ratio >= 0.5 AND variance_ratio <= 2.0, FALSE) AS is_stationary
+      |FROM j""".stripMargin
+
   /** DuckDB oracle mirroring trendDetection (same exact-moment recipe). */
   def trendDetectionOracle: String =
     """WITH daily AS (
