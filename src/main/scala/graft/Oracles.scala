@@ -496,6 +496,8 @@ object Oracles {
 
     "stationarity_check" -> graft.operators.Stats.stationarityOracle,
 
+    "feature_matrix" -> graft.operators.FeatureEng.customerFeaturesOracle,
+
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,

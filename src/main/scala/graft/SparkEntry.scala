@@ -45,6 +45,7 @@ object SparkEntry {
     "seasonality"       -> ((s, d) => AdvancedFeatures.seasonality(s, d)),
     "iqr_outliers"      -> ((s, d) => AdvancedFeatures.iqrOutliers(s, d)),
     "median_prices"     -> ((s, d) => AdvancedFeatures.medianPrices(s, d)),
+    "feature_matrix"    -> ((s, d) => FeatureEng.customerFeatures(s, d)),
     // star schema (reference: src/etl/gold/star_schema_builder.py)
     "dim_date"         -> ((s, d) => StarSchema.dimDate(s, d)),
     "fact_sales"       -> ((s, d) => StarSchema.factSales(s, d)),
