@@ -201,6 +201,13 @@ object Ann {
     * MLlib transform pass; the probe join shuffles on the list id — the
     * inverted lists ARE the partitioning at 100 TB. Seeded, deterministic
     * replay; rows-only (KMeans-seed-dependent) with a recall spec. */
+  /** IVF index cache: (corpus plan digest, nLists, seed) → fitted quantizer.
+    * An IVF index is built ONCE and probed by many queries — refitting KMeans
+    * per search would charge index-build cost to every lookup. Deterministic:
+    * the seed fixes the fit, so a cached and a fresh model agree. */
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -210,9 +217,11 @@ object Ann {
         col("embedding").cast("array<double>").as("__arr"))
       .withColumn("__vec", array_to_vector(col("__arr")))
       .persist()
-    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__vec").setPredictionCol("list_id")
-    val model = km.fit(c)
+    val cacheKey = (corpus.queryExecution.analyzed.canonicalized.toString, nLists, seed)
+    val model = ivfModels.getOrElseUpdate(cacheKey, {
+      new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("__vec").setPredictionCol("list_id").fit(c)
+    })
     val lists = model.transform(c).select(col("vec_id"), col("list_id"))
     // centroid table: constant-size (nLists × dim) → broadcast to queries
     val centroids = spark.createDataFrame(
