@@ -498,6 +498,8 @@ object Oracles {
 
     "feature_matrix" -> graft.operators.FeatureEng.customerFeaturesOracle,
 
+    "exec_kpis" -> graft.operators.ExecKpis.revenueKpisOracle,
+
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,
