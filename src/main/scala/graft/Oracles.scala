@@ -500,6 +500,8 @@ object Oracles {
 
     "exec_kpis" -> graft.operators.ExecKpis.revenueKpisOracle,
 
+    "customer_segments" -> graft.operators.Segments.customerSegmentsOracle,
+
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,

@@ -21,6 +21,7 @@ object SparkEntry {
     "cohort_analysis"  -> ((s, d) => Gold.cohortAnalysis(s, d)),
     "rollup_sales"     -> ((s, d) => Gold.rollupSales(s, d)),
     "exec_kpis"        -> ((s, d) => ExecKpis.revenueKpis(s, d)),
+    "customer_segments" -> ((s, d) => Segments.customerSegments(s, d)),
     // silver layer + data quality (reference: src/etl/silver/spark_silver.py)
     "silver_clean"     -> ((s, d) => Silver.cleanLineitem(s, d)),
     "dq_profile"       -> ((s, d) => Quality.dqProfileOrders(s, d)),
