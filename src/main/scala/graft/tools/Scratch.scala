@@ -2,11 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc profiling entry point (not part of the library surface). */
+/** Ad-hoc profiling entry point (not part of the library surface).
+  * SPARK_GRAFT_QUERIES = comma-separated SparkEntry.queries keys to time
+  * (default: the as-of pair); SPARK_GRAFT_REPS = times per query (default 3).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "asof_join,asof_native")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,9 +29,15 @@ object Scratch {
       r
     }
 
-    (1 to 3).foreach { i =>
-      time(s"asof_composed count #$i") { graft.operators.AsOf.eventsAsofOrders(spark, sfDir).count() }
-      time(s"asof_native count #$i") { graft.operators.AsOf.eventsAsofOrdersNative(spark, sfDir).count() }
+    (1 to reps).foreach { i =>
+      names.foreach { name =>
+        graft.SparkEntry.queries.get(name) match {
+          case Some(fn) =>
+            time(s"$name #$i") { fn(spark, sfDir).count() }
+            spark.catalog.clearCache()
+          case None => println(s"[scratch] unknown query: $name")
+        }
+      }
     }
     spark.stop()
   }
