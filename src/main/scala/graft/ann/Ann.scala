@@ -265,9 +265,19 @@ object Ann {
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
                         tables: Int = 12, bits: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val b0 = if (bits > 0) bits else adaptiveBits(emb.count())
+    // identical vectors collapse to one keeper before the LSH stage (same
+    // rationale as the text dedup collapse: m copies per vector inflate
+    // buckets m× and pairs m²); cross pairs inherit the keeper pair's
+    // cosine, within pairs score the keeper against itself so values match
+    // the uncollapsed pipeline bit-for-bit
+    val keeperByVec = emb.groupBy("embedding").agg(min(col("vec_id")).as("keeper"))
+    val members = emb.join(keeperByVec, "embedding").select("vec_id", "keeper")
+      .localCheckpoint(false)
+    val keepers = emb.join(
+      members.filter(col("vec_id") === col("keeper")).select("vec_id"), "vec_id")
+    val b0 = if (bits > 0) bits else adaptiveBits(keepers.count())
     val pl = planes(tables, b0, 64, 42L)
-    val buckets = withBuckets(emb.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
+    val buckets = withBuckets(keepers.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
       .select("tbl", "bucket", "vec_id")
     // ids only through the bucket join; embeddings re-attached once per side
     val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
@@ -276,12 +286,25 @@ object Ann {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
-    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    cand.join(ea, "vec_a").join(eb, "vec_b")
+    val ea = keepers.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = keepers.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val kPairs = cand.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos_sim", cosine(spark, "emb_a", "emb_b"))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
-      .orderBy(col("vec_a"), col("vec_b"))
+    val mA = members.select(col("keeper").as("vec_a"), col("vec_id").as("a_id"))
+    val mB = members.select(col("keeper").as("vec_b"), col("vec_id").as("b_id"))
+    val cross = kPairs.join(mA, "vec_a").join(mB, "vec_b")
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"), col("cos_sim"))
+    val selfCos = keepers
+      .withColumn("cos_sim", cosine(spark, "embedding", "embedding"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id").as("keeper"), col("cos_sim"))
+    val within = members.join(selfCos, "keeper").as("x")
+      .join(members.as("y"),
+        col("x.keeper") === col("y.keeper") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("x.cos_sim"))
+    cross.unionByName(within).orderBy(col("vec_a"), col("vec_b"))
   }
 }

@@ -77,10 +77,28 @@ object MinHashLsh {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup pairs above `threshold`. Exact duplicates collapse to one
+    * keeper before the LSH stage (identical normalized text ⇒ identical
+    * shingles), then keeper-level pairs expand back to ALL copy-level pairs:
+    * cross-group pairs inherit the keeper pair's jaccard, within-group pairs
+    * are jaccard 1.0 by construction. Output is identical to running LSH on
+    * the full corpus (the exact all-pairs oracle stays hash-green), but a
+    * corpus with m copies per doc pays LSH cost once per distinct doc plus
+    * work proportional to the emitted pairs — not m²-inflated buckets. */
+  def nearDupPairsOf(docs: DataFrame, threshold: Double = 0.8,
+                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val (members, keeperDocs) = Collapse.byNormalizedText(docs)
+    // only shingle-eligible groups (≥3 tokens) emit within pairs — mirrors
+    // the oracle's shingling filter; copies share their keeper's eligibility
+    val eligible = shingleDocs(keeperDocs).select(col("doc_id").as("keeper"))
+    val kPairs = candidatePairs(keeperDocs, numHashes, bands)
+      .filter(col("jaccard") >= threshold)
+    Collapse.expandPairs(members, kPairs, eligible, Seq(lit(1.0).as("jaccard")))
+  }
+
   /** Near-dup pairs above `threshold` over the documents table. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
                    numHashes: Int = 16, bands: Int = 4): DataFrame =
-    candidatePairs(Tables.documents(spark, dir), numHashes, bands)
-      .filter(col("jaccard") >= threshold)
+    nearDupPairsOf(Tables.documents(spark, dir), threshold, numHashes, bands)
       .orderBy(col("doc_a"), col("doc_b"))
 }

@@ -26,9 +26,21 @@ object SimHash {
       .select(col("doc_id"), expr("simhash64(__tokens)").as("simhash"))
   }
 
-  /** Candidate pairs sharing ≥1 16-bit band, with exact Hamming distance. */
+  /** Candidate pairs sharing ≥1 16-bit band, with exact Hamming distance.
+    * Exact-duplicate copies collapse to keepers before the pigeonhole join
+    * (identical text ⇒ identical simhash ⇒ hamming 0) and expand back after
+    * — same output, no m²-inflated buckets on duplicated corpora. */
   def nearDupPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sh = simhashDocs(Tables.documents(spark, dir))
+    val (members, keeperDocs) = Collapse.byNormalizedText(Tables.documents(spark, dir))
+    val kPairs = keeperPairs(keeperDocs, maxHamming)
+    Collapse.expandPairs(members, kPairs,
+      members.select(col("keeper")).distinct(), Seq(lit(0L).as("hamming")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Banded pigeonhole pairs among (already distinct) docs. */
+  private def keeperPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhashDocs(docs)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
@@ -44,6 +56,5 @@ object SimHash {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 }
