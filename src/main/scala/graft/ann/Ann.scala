@@ -269,29 +269,17 @@ object Ann {
     // rationale as the text dedup collapse: m copies per vector inflate
     // buckets m× and pairs m²); cross pairs inherit the keeper pair's
     // cosine, within pairs score the keeper against itself so values match
-    // the uncollapsed pipeline bit-for-bit
+    // the uncollapsed pipeline bit-for-bit. Adaptive: skipped when the
+    // corpus has (almost) no identical vectors.
+    if (graft.dedup.Collapse.duplicationFactor(emb, col("embedding"))
+        < graft.dedup.Collapse.CollapseThreshold)
+      return embeddingNearDupsDirect(spark, emb, threshold, tables, bits)
     val keeperByVec = emb.groupBy("embedding").agg(min(col("vec_id")).as("keeper"))
     val members = emb.join(keeperByVec, "embedding").select("vec_id", "keeper")
       .localCheckpoint(false)
     val keepers = emb.join(
       members.filter(col("vec_id") === col("keeper")).select("vec_id"), "vec_id")
-    val b0 = if (bits > 0) bits else adaptiveBits(keepers.count())
-    val pl = planes(tables, b0, 64, 42L)
-    val buckets = withBuckets(keepers.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
-      .select("tbl", "bucket", "vec_id")
-    // ids only through the bucket join; embeddings re-attached once per side
-    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
-    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
-    val cand = a.join(b, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .dropDuplicates("vec_a", "vec_b")
-    val ea = keepers.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val eb = keepers.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    val kPairs = cand.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("cos_sim", cosine(spark, "emb_a", "emb_b"))
-      .filter(col("cos_sim") >= threshold)
-      .select("vec_a", "vec_b", "cos_sim")
+    val kPairs = lshVectorPairs(spark, keepers, threshold, tables, bits)
     val mA = members.select(col("keeper").as("vec_a"), col("vec_id").as("a_id"))
     val mB = members.select(col("keeper").as("vec_b"), col("vec_id").as("b_id"))
     val cross = kPairs.join(mA, "vec_a").join(mB, "vec_b")
@@ -306,5 +294,33 @@ object Ann {
         col("x.keeper") === col("y.keeper") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("x.cos_sim"))
     cross.unionByName(within).orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Uncollapsed path: LSH pairs over the full vector set. */
+  private def embeddingNearDupsDirect(spark: SparkSession, emb: DataFrame,
+      threshold: Double, tables: Int, bits: Int): DataFrame =
+    lshVectorPairs(spark, emb, threshold, tables, bits)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** SRP-LSH candidate pairs over a vector set with exact cosine re-score:
+    * ids only through the bucket join, embeddings re-attached once per side. */
+  private def lshVectorPairs(spark: SparkSession, vectors: DataFrame,
+      threshold: Double, tables: Int, bits: Int): DataFrame = {
+    val b0 = if (bits > 0) bits else adaptiveBits(vectors.count())
+    val pl = planes(tables, b0, 64, 42L)
+    val buckets = withBuckets(vectors.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
+      .select("tbl", "bucket", "vec_id")
+    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+    val ea = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos_sim", cosine(spark, "emb_a", "emb_b"))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
   }
 }

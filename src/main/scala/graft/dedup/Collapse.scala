@@ -13,11 +13,27 @@ import org.apache.spark.sql.functions._
   * reproduces EXACTLY the pairs the uncollapsed pipeline would emit. */
 object Collapse {
 
+  /** Normalized-text identity hash shared by every text detector. */
+  def normHash: Column = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  /** Ratio rows/distinct-identities (approximate — the decision it feeds only
+    * picks between two pipelines with IDENTICAL outputs, so HLL error is
+    * harmless). One cheap aggregate scan. */
+  def duplicationFactor(df: DataFrame, identity: Column): Double = {
+    val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(identity).as("d")).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    if (d == 0) 1.0 else n.toDouble / d.toDouble
+  }
+
+  /** Collapse only pays when copies are plural enough to beat its extra
+    * hash-groupBy + expansion joins; below this the direct pipeline wins. */
+  val CollapseThreshold = 1.05
+
   /** (members(doc_id, keeper), keeperDocs): keeper = min doc_id per distinct
     * normalized text. `members` is lazily checkpointed (read 3×). */
   def byNormalizedText(docs: DataFrame): (DataFrame, DataFrame) = {
     val hashed = docs
-      .withColumn("h", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("h", normHash)
       .select("doc_id", "h")
     val keeperByHash = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
     val members = hashed.join(keeperByHash, "h").select("doc_id", "keeper")

@@ -35,23 +35,27 @@ object DedupClusters {
     // near-dup edges among keepers yield exactly the connected components of
     // the full pair graph (the dedup_clusters oracle stays hash-green).
     val docs = graft.Tables.documents(spark, dir)
-    val hashed = docs
-      .withColumn("h", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
-      .select("doc_id", "h")
-    val keeperByHash = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper"))
-    val withKeeper = hashed.join(keeperByHash, "h").localCheckpoint(false)
-    val starEdges = withKeeper.filter(col("doc_id") =!= col("keeper"))
-      .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
-    val keeperDocs = docs.join(
-      withKeeper.filter(col("doc_id") === col("keeper")).select("doc_id"), "doc_id")
+    // adaptive (same decision as the pair detectors): on a low-duplication
+    // corpus the direct LSH pair graph is cheaper; on a duplicated one the
+    // keeper graph avoids m²-inflated buckets. Components are identical.
+    val collapse =
+      Collapse.duplicationFactor(docs, Collapse.normHash) >= Collapse.CollapseThreshold
     // lazy localCheckpoint: the pair list is read twice (once per direction)
     // and the edge list is read every propagation round — materialize each
     // once; blocks are GC-freed when the frames fall out of scope
-    val pairs = MinHashLsh.candidatePairs(keeperDocs)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .unionByName(starEdges)
-      .localCheckpoint(false)
+    val pairs = (if (!collapse) {
+      MinHashLsh.candidatePairs(docs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+    } else {
+      val (members, keeperDocs) = Collapse.byNormalizedText(docs)
+      val starEdges = members.filter(col("doc_id") =!= col("keeper"))
+        .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
+      MinHashLsh.candidatePairs(keeperDocs)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .unionByName(starEdges)
+    }).localCheckpoint(false)
     // undirected: propagate labels both ways
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

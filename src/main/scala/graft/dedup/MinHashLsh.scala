@@ -87,6 +87,11 @@ object MinHashLsh {
     * work proportional to the emitted pairs — not m²-inflated buckets. */
   def nearDupPairsOf(docs: DataFrame, threshold: Double = 0.8,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // adaptive: the collapse+expand detour only pays on duplicated corpora;
+    // both paths emit identical pairs (verified bit-for-bit), so this is a
+    // pure performance decision
+    if (Collapse.duplicationFactor(docs, Collapse.normHash) < Collapse.CollapseThreshold)
+      return candidatePairs(docs, numHashes, bands).filter(col("jaccard") >= threshold)
     val (members, keeperDocs) = Collapse.byNormalizedText(docs)
     // only shingle-eligible groups (≥3 tokens) emit within pairs — mirrors
     // the oracle's shingling filter; copies share their keeper's eligibility

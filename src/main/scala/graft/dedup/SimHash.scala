@@ -31,7 +31,11 @@ object SimHash {
     * (identical text ⇒ identical simhash ⇒ hamming 0) and expand back after
     * — same output, no m²-inflated buckets on duplicated corpora. */
   def nearDupPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val (members, keeperDocs) = Collapse.byNormalizedText(Tables.documents(spark, dir))
+    val docs = Tables.documents(spark, dir)
+    // adaptive: collapse only pays on duplicated corpora; outputs identical
+    if (Collapse.duplicationFactor(docs, Collapse.normHash) < Collapse.CollapseThreshold)
+      return keeperPairs(docs, maxHamming).orderBy(col("doc_a"), col("doc_b"))
+    val (members, keeperDocs) = Collapse.byNormalizedText(docs)
     val kPairs = keeperPairs(keeperDocs, maxHamming)
     Collapse.expandPairs(members, kPairs,
       members.select(col("keeper")).distinct(), Seq(lit(0L).as("hamming")))
