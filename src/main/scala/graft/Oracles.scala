@@ -500,6 +500,15 @@ object Oracles {
 
     "exec_kpis" -> graft.operators.ExecKpis.revenueKpisOracle,
 
+    "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
+    "financial_kpis" -> graft.operators.Views.financialKpisOracle,
+    "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,
+    "anomaly_kpis" -> graft.operators.Views.anomalyKpisOracle,
+    "quality_scorecard" -> graft.operators.QualityScore.scorecardOracle,
+    "sales_forecast" -> graft.operators.Forecast.salesForecastOracle,
+    "doc_chunks" -> graft.text.Chunking.docChunksOracle,
+    "chunk_embeddings" -> graft.text.Chunking.chunkEmbeddingsOracle,
+
     "customer_segments" -> graft.operators.Segments.customerSegmentsOracle,
 
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,

@@ -22,6 +22,15 @@ object SparkEntry {
     "rollup_sales"     -> ((s, d) => Gold.rollupSales(s, d)),
     "exec_kpis"        -> ((s, d) => ExecKpis.revenueKpis(s, d)),
     "customer_segments" -> ((s, d) => Segments.customerSegments(s, d)),
+    // materialized-view suite (reference: materialized_views_manager.py:263,490,801,921)
+    "operational_kpis" -> ((s, d) => Views.operationalKpis(s, d)),
+    "financial_kpis"   -> ((s, d) => Views.financialKpis(s, d)),
+    "daily_sales_kpi"  -> ((s, d) => Views.dailySalesKpi(s, d)),
+    "anomaly_kpis"     -> ((s, d) => Views.anomalyKpis(s, d)),
+    // quality-dimension scorecard (reference: data_quality_engine.py:739-815)
+    "quality_scorecard" -> ((s, d) => QualityScore.scorecard(s, d)),
+    // per-group OLS forecast (reference: src/analytics/ml/predictor.py)
+    "sales_forecast"   -> ((s, d) => Forecast.salesForecast(s, d)),
     // silver layer + data quality (reference: src/etl/silver/spark_silver.py)
     "silver_clean"     -> ((s, d) => Silver.cleanLineitem(s, d)),
     "dq_profile"       -> ((s, d) => Quality.dqProfileOrders(s, d)),
@@ -70,6 +79,9 @@ object SparkEntry {
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
     "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),
     "token_histogram"  -> ((s, d) => graft.text.Curation.tokenHistogram(s, d)),
+    // chunking + deterministic embedding (reference: text_embeddings.py:137,56)
+    "doc_chunks"       -> ((s, d) => graft.text.Chunking.docChunks(s, d)),
+    "chunk_embeddings" -> ((s, d) => graft.text.Chunking.chunkEmbeddings(s, d)),
     // LLM-pipeline: dedup (SURVEY §2 #21-24)
     "dedup_exact"      -> ((s, d) => graft.dedup.Dedup.exactDedup(s, d)),
     "dedup_minhash"    -> ((s, d) => graft.dedup.MinHashLsh.nearDupPairs(s, d)),

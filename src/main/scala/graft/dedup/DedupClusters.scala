@@ -49,7 +49,12 @@ object DedupClusters {
         .select(col("doc_a"), col("doc_b"))
     } else {
       val (members, keeperDocs) = Collapse.byNormalizedText(docs)
-      val starEdges = members.filter(col("doc_id") =!= col("keeper"))
+      // star edges only for shingle-eligible (≥3 token) keeper groups: short
+      // docs never enter any pair on the direct path, so their exact copies
+      // must stay singleton clusters (mirrors nearDupPairsOf's `eligible`)
+      val eligible = MinHashLsh.shingleDocs(keeperDocs).select(col("doc_id").as("keeper"))
+      val starEdges = members.join(eligible, "keeper")
+        .filter(col("doc_id") =!= col("keeper"))
         .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b"))
       MinHashLsh.candidatePairs(keeperDocs)
         .filter(col("jaccard") >= threshold)
