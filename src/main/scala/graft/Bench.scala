@@ -47,18 +47,25 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       // median of the successful runs (even count → lower middle, i.e. the
-      // faster of the two central observations)
+      // faster of the two central observations); min is the contention-robust
+      // statistic on this shared box — the median-vs-min spread IS the
+      // co-tenant-contention indicator (BASELINE.md: gate on min, monitor
+      // median)
       val median = times.sorted.lift((times.size - 1) / 2)
-      (name, median.getOrElse(0.0), times.size == runs)
+      val minT = times.minOption
+      (name, median.getOrElse(0.0), minT.getOrElse(0.0), times.size == runs)
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + num(v) }
+    val qs = results.collect { case (k, v, _, true) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qsMin = results.collect { case (k, _, m, true) => "\"" + k + "\":" + num(m) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    val totalMin = results.collect { case (_, _, m, true) => m }.sum
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(!_._3)) sys.exit(1)
+    if (results.exists(!_._4)) sys.exit(1)
   }
 }

@@ -88,26 +88,42 @@ object Oracles {
          |FROM documents d
          |LEFT JOIN lab ON d.doc_id = lab.doc_id
          |LEFT JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin,
+    // The Spark side synthesizes REAL container headers (PNG IHDR / WAV fmt)
+    // around the text body and then genuinely PARSES them back; the oracle
+    // predicts what the parser must find in closed form (same deterministic
+    // synthesis parameters), so any parse bug hash-fails the row.
     "multimodal_features" ->
       s"""WITH m AS (
          |  SELECT doc_id, text,
          |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-         |    encode(text) AS payload
+         |    encode(text) AS body
          |  FROM documents
          |), f AS (
          |  SELECT doc_id, media_type,
-         |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-         |    lower(substr(hex(payload), 1, 8)) AS magic_hex,
+         |    CAST(octet_length(body) AS BIGINT) AS body_len,
+         |    lower(substr(hex(body), 1, 8)) AS body_magic,
          |    sha256(text) AS content_digest -- VARCHAR overload; hashes the same utf8 bytes
          |  FROM m
-         |), h AS (
-         |  SELECT *, CAST($digestH AS BIGINT) AS hv,
-         |    CAST(greatest(1, n_bytes // 5) AS BIGINT) AS step
+         |), g AS (
+         |  SELECT doc_id, media_type, content_digest,
+         |    CAST(CASE media_type WHEN 'image' THEN body_len + 33
+         |                         WHEN 'audio' THEN body_len + 44
+         |                         ELSE body_len END AS BIGINT) AS n_bytes,
+         |    CASE media_type WHEN 'image' THEN '89504e47'
+         |                    WHEN 'audio' THEN '52494646'
+         |                    ELSE body_magic END AS magic_hex,
+         |    CAST(CASE WHEN media_type = 'image' THEN 64 + doc_id % 1857 END AS BIGINT) AS width,
+         |    CAST(CASE WHEN media_type = 'image' THEN 64 + body_len % 1017 END AS BIGINT) AS height,
+         |    CAST(CASE WHEN media_type = 'audio'
+         |              THEN ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 AS INT) + 1] END AS BIGINT) AS sample_rate,
+         |    CAST(CASE WHEN media_type = 'audio' THEN 1 + doc_id % 2 END AS BIGINT) AS channels,
+         |    CAST($digestH AS BIGINT) AS hv
          |  FROM f
+         |), h AS (
+         |  SELECT *, CAST(greatest(1, n_bytes // 5) AS BIGINT) AS step FROM g
          |)
-         |SELECT doc_id, media_type, n_bytes, magic_hex,
-         |  CAST(64 + hv % 1857 AS BIGINT) AS fake_width,
-         |  CAST(64 + (hv // 1857) % 1017 AS BIGINT) AS fake_height,
+         |SELECT doc_id, media_type, n_bytes, magic_hex, width, height,
+         |  sample_rate, channels,
          |  CAST(CASE WHEN media_type = 'video' THEN 1 + hv % 300 ELSE 1 END AS BIGINT) AS n_frames,
          |  concat_ws(',', 0, step, 2 * step, 3 * step, 4 * step) AS sample_offsets,
          |  content_digest

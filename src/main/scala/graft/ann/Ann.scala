@@ -204,9 +204,29 @@ object Ann {
   /** IVF index cache: (corpus plan digest, nLists, seed) → fitted quantizer.
     * An IVF index is built ONCE and probed by many queries — refitting KMeans
     * per search would charge index-build cost to every lookup. Deterministic:
-    * the seed fixes the fit, so a cached and a fresh model agree. */
+    * the seed fixes the fit, so a cached and a fresh model agree. Bounded:
+    * LRU over `MaxIvfModels` entries, so a long-lived session querying many
+    * distinct corpora cannot grow the cache without limit (centroid tables
+    * are small, but plan-digest keys accumulate). */
+  private val MaxIvfModels = 4
   private val ivfModels =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+    new java.util.LinkedHashMap[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]): Boolean =
+        size() > MaxIvfModels
+    }
+
+  private def cachedIvfModel(key: (String, Int, Long))(
+      fit: => org.apache.spark.ml.clustering.KMeansModel): org.apache.spark.ml.clustering.KMeansModel =
+    ivfModels.synchronized {
+      val hit = ivfModels.get(key)
+      if (hit != null) hit
+      else { val m = fit; ivfModels.put(key, m); m }
+    }
+
+  /** Test hook: current IVF cache occupancy. */
+  private[graft] def ivfCacheSize: Int = ivfModels.synchronized(ivfModels.size())
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
@@ -218,10 +238,15 @@ object Ann {
       .withColumn("__vec", array_to_vector(col("__arr")))
       .persist()
     val cacheKey = (corpus.queryExecution.analyzed.canonicalized.toString, nLists, seed)
-    val model = ivfModels.getOrElseUpdate(cacheKey, {
+    val model = cachedIvfModel(cacheKey) {
       new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
         .setFeaturesCol("__vec").setPredictionCol("list_id").fit(c)
-    })
+    }
+    // the persist exists for the iterative KMeans fit (an eager action);
+    // releasing it here means the one downstream list-assignment pass
+    // recomputes the cheap projection instead of pinning corpus-sized
+    // blocks for the (lazy) returned frame's lifetime
+    c.unpersist()
     val lists = model.transform(c).select(col("vec_id"), col("list_id"))
     // centroid table: constant-size (nLists × dim) → broadcast to queries
     val centroids = spark.createDataFrame(
@@ -249,7 +274,6 @@ object Ann {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
-    c.unpersist()
     out
   }
 
@@ -263,8 +287,11 @@ object Ann {
     * a demo value for the synthetic set (max pairwise cosine ≈ 0.51); real
     * near-dup dedup uses ~0.95. */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                        tables: Int = 12, bits: Int = 0): DataFrame = {
+                        tables: Int = 12, bits: Int = 0,
+                        ordered: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    def sorted(df: DataFrame): DataFrame =
+      if (ordered) df.orderBy(col("vec_a"), col("vec_b")) else df
     // identical vectors collapse to one keeper before the LSH stage (same
     // rationale as the text dedup collapse: m copies per vector inflate
     // buckets m× and pairs m²); cross pairs inherit the keeper pair's
@@ -273,13 +300,17 @@ object Ann {
     // corpus has (almost) no identical vectors.
     if (graft.dedup.Collapse.duplicationFactor(emb, col("embedding"))
         < graft.dedup.Collapse.CollapseThreshold)
-      return embeddingNearDupsDirect(spark, emb, threshold, tables, bits)
+      return sorted(lshVectorPairs(spark, emb, threshold, tables, bits))
     val keeperByVec = emb.groupBy("embedding").agg(min(col("vec_id")).as("keeper"))
     val members = emb.join(keeperByVec, "embedding").select("vec_id", "keeper")
       .localCheckpoint(false)
     val keepers = emb.join(
       members.filter(col("vec_id") === col("keeper")).select("vec_id"), "vec_id")
-    val kPairs = lshVectorPairs(spark, keepers, threshold, tables, bits)
+    // auto-sized bucket bits come from the PRE-collapse corpus count so the
+    // hyperplane/bucket geometry — and hence the candidate set — is the same
+    // on both adaptive paths (a metadata-only parquet count)
+    val kPairs = lshVectorPairs(spark, keepers, threshold, tables, bits,
+      countForBits = emb.count())
     val mA = members.select(col("keeper").as("vec_a"), col("vec_id").as("a_id"))
     val mB = members.select(col("keeper").as("vec_b"), col("vec_id").as("b_id"))
     val cross = kPairs.join(mA, "vec_a").join(mB, "vec_b")
@@ -293,20 +324,19 @@ object Ann {
       .join(members.as("y"),
         col("x.keeper") === col("y.keeper") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("x.cos_sim"))
-    cross.unionByName(within).orderBy(col("vec_a"), col("vec_b"))
+    sorted(cross.unionByName(within))
   }
 
-  /** Uncollapsed path: LSH pairs over the full vector set. */
-  private def embeddingNearDupsDirect(spark: SparkSession, emb: DataFrame,
-      threshold: Double, tables: Int, bits: Int): DataFrame =
-    lshVectorPairs(spark, emb, threshold, tables, bits)
-      .orderBy(col("vec_a"), col("vec_b"))
-
   /** SRP-LSH candidate pairs over a vector set with exact cosine re-score:
-    * ids only through the bucket join, embeddings re-attached once per side. */
+    * ids only through the bucket join, embeddings re-attached once per side.
+    * `countForBits` overrides the row count used for auto-sizing `bits`
+    * (callers that pre-filter the vector set pass the original corpus count
+    * so both paths share one bucket geometry). */
   private def lshVectorPairs(spark: SparkSession, vectors: DataFrame,
-      threshold: Double, tables: Int, bits: Int): DataFrame = {
-    val b0 = if (bits > 0) bits else adaptiveBits(vectors.count())
+      threshold: Double, tables: Int, bits: Int,
+      countForBits: Long = -1L): DataFrame = {
+    val b0 = if (bits > 0) bits
+      else adaptiveBits(if (countForBits >= 0) countForBits else vectors.count())
     val pl = planes(tables, b0, 64, 42L)
     val buckets = withBuckets(vectors.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
       .select("tbl", "bucket", "vec_id")

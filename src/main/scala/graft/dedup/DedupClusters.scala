@@ -25,8 +25,11 @@ object DedupClusters {
     * the final label frame is `localCheckpoint`ed (tiny — one row per
     * edge-touched doc), and its blocks are released by the ContextCleaner
     * once the returned frame is unreferenced (or on `clearCache`). */
+  /** `ordered = false` skips the final global sort (driver-compare
+    * convenience only — production callers avoid the full-output range
+    * exchange). */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8,
-               maxIters: Int = 10): DataFrame = {
+               maxIters: Int = 10, ordered: Boolean = true): DataFrame = {
     // Exact duplicates collapse to one keeper BEFORE the LSH stage: a corpus
     // where docs carry m identical copies otherwise inflates every LSH
     // bucket m× and the true pair count m² — measured 20× wall-clock at a
@@ -98,12 +101,12 @@ object DedupClusters {
     labels.unpersist()
 
     // everyone else is a singleton cluster of itself
-    Tables.documents(spark, dir).select(col("doc_id"))
+    val out = Tables.documents(spark, dir).select(col("doc_id"))
       .join(dupLabels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .withColumn("cluster_size", coalesce(col("__sz"), lit(1L)).cast("long"))
       .drop("__sz")
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 }

@@ -101,9 +101,12 @@ object MinHashLsh {
     Collapse.expandPairs(members, kPairs, eligible, Seq(lit(1.0).as("jaccard")))
   }
 
-  /** Near-dup pairs above `threshold` over the documents table. */
+  /** Near-dup pairs above `threshold` over the documents table. `ordered =
+    * false` skips the output sort (driver-compare convenience only). */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
-                   numHashes: Int = 16, bands: Int = 4): DataFrame =
-    nearDupPairsOf(Tables.documents(spark, dir), threshold, numHashes, bands)
-      .orderBy(col("doc_a"), col("doc_b"))
+                   numHashes: Int = 16, bands: Int = 4,
+                   ordered: Boolean = true): DataFrame = {
+    val pairs = nearDupPairsOf(Tables.documents(spark, dir), threshold, numHashes, bands)
+    if (ordered) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs
+  }
 }

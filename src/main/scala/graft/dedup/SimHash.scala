@@ -30,16 +30,20 @@ object SimHash {
     * Exact-duplicate copies collapse to keepers before the pigeonhole join
     * (identical text ⇒ identical simhash ⇒ hamming 0) and expand back after
     * — same output, no m²-inflated buckets on duplicated corpora. */
-  def nearDupPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  /** `ordered = false` skips the output sort (driver-compare convenience
+    * only — composed callers re-sort or consume keyed). */
+  def nearDupPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                   ordered: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    def sorted(df: DataFrame): DataFrame =
+      if (ordered) df.orderBy(col("doc_a"), col("doc_b")) else df
     // adaptive: collapse only pays on duplicated corpora; outputs identical
     if (Collapse.duplicationFactor(docs, Collapse.normHash) < Collapse.CollapseThreshold)
-      return keeperPairs(docs, maxHamming).orderBy(col("doc_a"), col("doc_b"))
+      return sorted(keeperPairs(docs, maxHamming))
     val (members, keeperDocs) = Collapse.byNormalizedText(docs)
     val kPairs = keeperPairs(keeperDocs, maxHamming)
-    Collapse.expandPairs(members, kPairs,
-      members.select(col("keeper")).distinct(), Seq(lit(0L).as("hamming")))
-      .orderBy(col("doc_a"), col("doc_b"))
+    sorted(Collapse.expandPairs(members, kPairs,
+      members.select(col("keeper")).distinct(), Seq(lit(0L).as("hamming"))))
   }
 
   /** Banded pigeonhole pairs among (already distinct) docs. */

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * multimodal column pattern for LLM-data pipelines (brief requirement). */
 case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Features extracted per record by the (stubbed) decoder.
+/** Features extracted per record by the decoder. Container fields are
+  * nullable: width/height for images, sample_rate/channels for audio.
   * `sample_offsets` is a comma-joined string (not array<long>) so the frame
   * stays oracle-comparable and parquet-friendly for downstream SQL engines. */
 case class MediaFeatures(
@@ -16,66 +17,138 @@ case class MediaFeatures(
     media_type: String,
     n_bytes: Long,
     magic_hex: String,
-    fake_width: Long,
-    fake_height: Long,
+    width: Option[Long],
+    height: Option[Long],
+    sample_rate: Option[Long],
+    channels: Option[Long],
     n_frames: Long,
     sample_offsets: String,
     content_digest: String)
 
-/** Multimodal binary-column plumbing.
+/** Multimodal binary-column plumbing with REAL container parsing for two
+  * modalities.
   *
-  * Real image/audio codecs aren't in this container, so the decode step is a
-  * clearly-marked deterministic STUB (`decodeStub`) — but the Spark-side
-  * shape is real: typed `Dataset[MediaRecord]`, per-partition batch iteration
-  * via `mapPartitions` (the Scala analog of `mapInPandas` batches), a binary
-  * payload column with typed metadata, and frame-sampling offsets. Swap
-  * `decodeStub` for a JNI/codec call and nothing else changes.
+  * The media table is synthesized from `documents` with genuine container
+  * headers — a well-formed PNG signature + IHDR chunk (big-endian dims,
+  * CRC32-correct) for images, a canonical 44-byte RIFF/WAVE header
+  * (little-endian fmt fields) for audio — wrapping the document text as the
+  * payload body. The decoder does what a production decoder does: dispatch
+  * on the actual magic bytes and parse width/height (PNG IHDR) or sample
+  * rate/channels (WAV fmt) from the binary header. Only video remains a
+  * documented deterministic stub (no pure-JVM container format to parse;
+  * frame count derives from the content digest).
   *
-  * The fake "decoded" dimensions are content-addressed from the SHA-256
-  * digest (not JVM `Arrays.hashCode`) so the whole operator is reproducible
-  * in any engine — which is what lets `multimodal_features` be fully
-  * oracle-checked instead of rows-only.
+  * Spark shape: typed `Dataset[MediaRecord]`, per-partition batch iteration
+  * via `mapPartitions` (the Scala analog of `mapInPandas` batches — decoder
+  * init amortizes per partition), a binary payload column with typed
+  * metadata, frame-sampling offsets. Swap `parseHeader`'s video branch for a
+  * JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
-  /** Fabricates a media table from `documents`: payload = utf8 bytes of the
-    * text (stand-in for image/audio bytes), media_type round-robins. */
-  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"))
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+  private val PngHeaderLen = 33 // 8 sig + 4 len + 4 "IHDR" + 13 data + 4 crc
+  private val WavHeaderLen = 44 // canonical RIFF/WAVE/fmt /data layout
+  private val WavRates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
 
-  /** STUB decoder — deterministic fake for the codec call. A real deployment
-    * replaces the body (and only the body) with e.g. an image decode +
-    * resize; the batch shape, schema and partitioning are already correct.
-    * All fake fields derive from the SHA-256 digest so they are portable
-    * across engines (h = first 24 digest bits). */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16(v: Long): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+  /** A real PNG signature + IHDR chunk (8-bit RGB, CRC32-correct) followed
+    * by `body`. Header-accurate fixture: IHDR parses in any PNG reader. */
+  def pngBytes(width: Long, height: Long, body: Array[Byte]): Array[Byte] = {
+    val data = be32(width) ++ be32(height) ++ Array[Byte](8, 2, 0, 0, 0)
+    val typeAndData = "IHDR".getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    PngSig ++ be32(13) ++ typeAndData ++ be32(crc.getValue) ++ body
+  }
+
+  /** A canonical 44-byte WAV header (PCM16) followed by `body` as the data
+    * chunk. */
+  def wavBytes(sampleRate: Long, channels: Long, body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(36L + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+  /** Fabricates the media table from `documents`: media_type round-robins on
+    * doc_id; image/audio payloads carry REAL container headers (dims and
+    * audio params derived deterministically from doc_id and body length so
+    * the oracle can predict what the parser must find); video stays a raw
+    * byte payload. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)].map {
+      case (docId, text) =>
+        val body = text.getBytes("UTF-8")
+        (docId % 3) match {
+          case 0 => MediaRecord(docId, "image",
+            pngBytes(64 + docId % 1857, 64 + body.length % 1017, body))
+          case 1 => MediaRecord(docId, "audio",
+            wavBytes(WavRates((docId % 5).toInt), 1 + docId % 2, body))
+          case _ => MediaRecord(docId, "video", body)
+        }
+    }
+  }
+
+  private def u8(b: Byte): Long = b & 0xffL
+  private def readBe32(b: Array[Byte], off: Int): Long =
+    (u8(b(off)) << 24) | (u8(b(off + 1)) << 16) | (u8(b(off + 2)) << 8) | u8(b(off + 3))
+  private def readLe32(b: Array[Byte], off: Int): Long =
+    u8(b(off)) | (u8(b(off + 1)) << 8) | (u8(b(off + 2)) << 16) | (u8(b(off + 3)) << 24)
+  private def readLe16(b: Array[Byte], off: Int): Long =
+    u8(b(off)) | (u8(b(off + 1)) << 8)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= PngHeaderLen && PngSig.indices.forall(i => b(i) == PngSig(i))
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= WavHeaderLen &&
+      b.slice(0, 4).sameElements("RIFF".getBytes("US-ASCII")) &&
+      b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))
+
+  /** Decode one record: REAL header parsing for PNG (IHDR big-endian dims)
+    * and WAV (fmt little-endian rate/channels); video falls back to the
+    * documented digest-derived frame-count stub. The content digest covers
+    * the media BODY (payload minus container header) — the content, not the
+    * container. */
+  def decode(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val n = bytes.length.toLong
     val magic = bytes.take(4).map(b => f"$b%02x").mkString
+    val (width, height, sampleRate, channels, headerLen) =
+      if (isPng(bytes))
+        (Some(readBe32(bytes, 16)), Some(readBe32(bytes, 20)), None, None, PngHeaderLen)
+      else if (isWav(bytes))
+        (None, None, Some(readLe32(bytes, 24)), Some(readLe16(bytes, 22)), WavHeaderLen)
+      else (None, None, None, None, 0)
+    val body = if (headerLen == 0) bytes else bytes.drop(headerLen)
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(bytes).map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(digest.substring(0, 6), 16) // 24 bits, content-addressed
-    val width = 64 + h % 1857L          // 64..1920
-    val height = 64 + (h / 1857L) % 1017L // 64..1080
+      .digest(body).map(b => f"$b%02x").mkString
+    // STUB (video only): no pure-JVM video container to parse — frame count
+    // is content-addressed from the digest (first 24 bits) so the operator
+    // stays reproducible in any engine
+    val h = java.lang.Long.parseLong(digest.substring(0, 6), 16)
     val frames = if (r.media_type == "video") 1 + h % 300L else 1L
     val step = math.max(1L, n / 5)
     val offsets = (0 until 5).map(i => i * step).mkString(",")
-    MediaFeatures(r.doc_id, r.media_type, n, magic, width, height, frames, offsets, digest)
+    MediaFeatures(r.doc_id, r.media_type, n, magic, width, height,
+      sampleRate, channels, frames, offsets, digest)
   }
 
   /** Batch feature extraction: one decoder instance per partition, streaming
     * over the rows — the shape a real codec needs (expensive init amortized,
     * no per-row driver involvement). */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
+    media.mapPartitions { it =>
       // real decoders initialize here (per partition, not per row)
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 

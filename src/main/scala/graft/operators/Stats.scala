@@ -106,7 +106,14 @@ object Stats {
     * DECIMAL(38,0) (no catastrophic cancellation, no engine divergence), and
     * the final central-moment formulas are one fixed IEEE sequence.
     * Skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2²-3 are
-    * scale-invariant, so they are computed directly in cents. */
+    * scale-invariant, so they are computed directly in cents.
+    *
+    * Scale bound (documented contract): Σd⁴ accumulates in DECIMAL(38,0)
+    * with |d| < ~5.6e7 cents, i.e. ~1e31 per row worst-case — groups beyond
+    * ~10M rows can approach the decimal cap, where Spark (non-ANSI) returns
+    * NULL while DuckDB raises. For corpora with group cardinalities at that
+    * scale, compute the profile at dollar resolution (|d| < 5.6e5 ⇒ 1e23 per
+    * row, 1e15 rows of headroom) — a different documented scoring unit. */
   def descriptiveStats(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_orderpriority"),

@@ -44,7 +44,10 @@ object Bucketed {
     * bucketed write happens on first use per session/dir (first bench run
     * pays it; the per-query median reflects the steady state). */
   def factJoinBucketed(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // table names are scoped per PROCESS (pid tag): two JVMs sharing one
+    // warehouse (bench + tests) otherwise race — each, seeing no catalog
+    // entry, would delete the other's live bucketed directory mid-run
+    val tag = s"${java.lang.Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
     val (lt, ot) = (s"b_lineitem_$tag", s"b_orders_$tag")
     if (!spark.catalog.tableExists(lt)) {
       dropStaleLocation(spark, lt)
@@ -62,7 +65,9 @@ object Bucketed {
 
   /** The in-memory catalog forgets tables across JVMs but their warehouse
     * directories survive, and saveAsTable refuses to reuse the location —
-    * clear a leftover dir for a table the catalog no longer knows. */
+    * clear a leftover dir for a table the catalog no longer knows. Safe
+    * against concurrent JVMs because table names carry the pid: a leftover
+    * dir under OUR name can only be a dead prior incarnation's. */
   private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)

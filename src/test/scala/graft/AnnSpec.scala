@@ -67,4 +67,18 @@ class AnnSpec extends AnyFunSuite {
       assert(r.getAs[Double]("cos_sim") >= 0.35)
     }
   }
+
+  test("IVF model cache is bounded — many distinct corpora don't accumulate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // six distinct tiny corpora (distinct plans via distinct literal data)
+    (0 until 6).foreach { c =>
+      val corpus = (0 until 24).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() + c))).toDF("vec_id", "embedding")
+      val q = corpus.filter(col("vec_id") === 0L)
+      Ann.ivfTopK(corpus, q, k = 3, nLists = 2, nProbe = 1).count()
+    }
+    assert(Ann.ivfCacheSize <= 4,
+      s"IVF cache grew to ${Ann.ivfCacheSize} entries — eviction not working")
+  }
 }

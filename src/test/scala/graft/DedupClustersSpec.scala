@@ -23,4 +23,38 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(clusters < n)
     spark.catalog.clearCache()
   }
+
+  test("duplicated sub-3-token docs stay singletons on the collapsed path") {
+    import spark.implicits._
+    // exact copies push duplication factor over the collapse threshold;
+    // the short-doc group must NOT form a cluster — on the direct path those
+    // docs never shingle, so they never pair (the oracle agrees)
+    val longText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (
+      Seq((0L, longText), (1L, longText), (2L, longText)) ++     // long exact dups
+        Seq((3L, "hi there"), (4L, "hi there"), (5L, "hi there")) ++ // short exact dups
+        (6L to 15L).map(i => (i, (1 to 40).map(j => s"w${i}_$j").mkString(" ")))
+      ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_short_dup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupClusters.clusters(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    // long dups cluster under the min id
+    assert(Seq(0L, 1L, 2L).forall(id => out(id) == (0L, 3L)))
+    // short dups remain singleton clusters of themselves
+    assert(Seq(3L, 4L, 5L).forall(id => out(id) == (id, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("ordered=false emits no global sort (production escape hatch)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case s: Sort if s.global => s }.size
+    val unordered = DedupClusters.clusters(spark, TestSpark.sfDir, ordered = false)
+    assert(globalSorts(unordered) == 0)
+    val unorderedReport = graft.dedup.DedupReport.report(spark, TestSpark.sfDir, ordered = false)
+    assert(globalSorts(unorderedReport) == 0)
+    spark.catalog.clearCache()
+  }
 }

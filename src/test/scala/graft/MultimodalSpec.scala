@@ -7,30 +7,61 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
-  test("decode stub is deterministic and content-addressed") {
-    val r = MediaRecord(7L, "image", "some fake image bytes".getBytes("UTF-8"))
-    val a = Multimodal.decodeStub(r)
-    val b = Multimodal.decodeStub(r)
-    assert(a == b)
-    assert(a.n_bytes == 21)
-    assert(a.content_digest.matches("[0-9a-f]{64}"))
-    assert(a.magic_hex.length == 8)
-    assert(a.fake_width >= 64 && a.fake_height >= 64)
-    // offsets are a comma-joined string so the frame stays oracle-comparable
-    assert(a.sample_offsets.split(",").length == 5)
-    // content-addressed dims: h = first 24 digest bits (portable hex parse)
-    val h = java.lang.Long.parseLong(a.content_digest.substring(0, 6), 16)
-    assert(a.fake_width == 64 + h % 1857)
-    assert(a.fake_height == 64 + (h / 1857) % 1017)
+  test("decode genuinely parses a PNG IHDR header") {
+    val body = "pixel payload".getBytes("UTF-8")
+    val r = MediaRecord(7L, "image", Multimodal.pngBytes(640, 480, body))
+    val f = Multimodal.decode(r)
+    assert(f.width.contains(640L) && f.height.contains(480L))
+    assert(f.sample_rate.isEmpty && f.channels.isEmpty)
+    assert(f.magic_hex == "89504e47")
+    assert(f.n_bytes == 33 + body.length)
+    assert(f.n_frames == 1L)
+    // digest covers the BODY (content), not the container header
+    val bodyDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body).map(b => f"$b%02x").mkString
+    assert(f.content_digest == bodyDigest)
   }
 
-  test("batch extraction covers every document with typed metadata") {
+  test("decode genuinely parses a WAV fmt header") {
+    val body = "sample payload".getBytes("UTF-8")
+    val r = MediaRecord(8L, "audio", Multimodal.wavBytes(44100, 2, body))
+    val f = Multimodal.decode(r)
+    assert(f.sample_rate.contains(44100L) && f.channels.contains(2L))
+    assert(f.width.isEmpty && f.height.isEmpty)
+    assert(f.magic_hex == "52494646") // "RIFF"
+    assert(f.n_bytes == 44 + body.length)
+  }
+
+  test("video falls back to the documented digest-derived stub") {
+    val bytes = "some fake video bytes".getBytes("UTF-8")
+    val r = MediaRecord(9L, "video", bytes)
+    val a = Multimodal.decode(r)
+    assert(a == Multimodal.decode(r)) // deterministic
+    assert(a.content_digest.matches("[0-9a-f]{64}"))
+    val h = java.lang.Long.parseLong(a.content_digest.substring(0, 6), 16)
+    assert(a.n_frames == 1 + h % 300)
+    assert(a.width.isEmpty && a.sample_rate.isEmpty)
+    assert(a.sample_offsets.split(",").length == 5)
+  }
+
+  test("batch extraction parses container-derived metadata for every document") {
     val media = Multimodal.mediaFromDocuments(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == media.count())
     assert(feats.map(_.media_type).toSet == Set("image", "audio", "video"))
     feats.foreach { f =>
       assert(f.n_bytes > 0)
+      f.media_type match {
+        case "image" =>
+          // content-derived, parsed back out of the real IHDR bytes
+          assert(f.width.exists(_ >= 64) && f.height.exists(_ >= 64))
+          assert(f.magic_hex == "89504e47")
+        case "audio" =>
+          assert(f.sample_rate.exists(Set(8000L, 16000L, 22050L, 44100L, 48000L)))
+          assert(f.channels.exists(c => c == 1L || c == 2L))
+        case _ =>
+          assert(f.width.isEmpty && f.sample_rate.isEmpty)
+      }
       val offs = f.sample_offsets.split(",").map(_.toLong)
       assert(offs.length == 5)
       assert(offs.forall(o => o >= 0 && o < math.max(1, f.n_bytes) * 5))
