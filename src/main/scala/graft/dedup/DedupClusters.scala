@@ -73,18 +73,25 @@ object DedupClusters {
     // active vertices = docs touched by at least one near-dup edge
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id")).persist()
+    var pinned = labels // the frame actually persisted (labels may be a view)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // the doc's previous label rides through the aggregate (each doc has
+      // exactly one labels row, so max(old) recovers it; message rows carry
+      // null) — the changed-count then scans the aggregated frame alone:
+      // one action and ZERO extra joins per round
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.select("doc_id", "cluster_id").unionByName(msgs)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"),
+          lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
+      val next = labels.select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
+        .unionByName(msgs)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"), max("old").as("old"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("old")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       i += 1
     }
@@ -98,7 +105,7 @@ object DedupClusters {
     val dupLabels = labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("__sz"))
       .localCheckpoint(true)
-    labels.unpersist()
+    pinned.unpersist()
 
     // everyone else is a singleton cluster of itself
     val out = Tables.documents(spark, dir).select(col("doc_id"))

@@ -54,9 +54,10 @@ object Chunking {
     * expressed in q20 fixed point so the result is bit-identical on any
     * engine (the float path for ANN is `Embeddings.embedding`). */
   def chunkEmbeddings(spark: SparkSession, dir: String, chunkSize: Int = 32,
-                      overlap: Int = 8, dim: Int = Embeddings.Dim): DataFrame = {
+                      overlap: Int = 8, dim: Int = Embeddings.Dim,
+                      ordered: Boolean = true): DataFrame = {
     val c = chunkDocs(Tables.documents(spark, dir), chunkSize, overlap)
-    c.withColumn("__v", Embeddings.rawComponents(col("chunk_text"), dim))
+    val out = c.withColumn("__v", Embeddings.rawComponents(col("chunk_text"), dim))
       .withColumn("__n2", aggregate(col("__v"), lit(0L), (a, x) => a + x * x))
       .select(col("doc_id"), col("chunk_id"), col("__n2"),
         posexplode(col("__v")).as(Seq("dim", "__x")))
@@ -64,7 +65,10 @@ object Chunking {
         when(col("__n2") === 0L, lit(0L))
           .otherwise(round(col("__x").cast("double") * lit(1048576.0)
             / sqrt(col("__n2").cast("double"))).cast("long")).as("q20"))
-      .orderBy("doc_id", "chunk_id", "dim")
+    // compare-only convenience: the dim-level frame is the library's largest
+    // derived output (docs × chunks × dim rows) — production callers keep it
+    // unsorted
+    if (ordered) out.orderBy("doc_id", "chunk_id", "dim") else out
   }
 
   private def chunkSqlCte(chunkSize: Int, overlap: Int): String = {
