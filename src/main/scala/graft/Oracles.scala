@@ -23,6 +23,43 @@ object Oracles {
 
   private val revDec = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
 
+  /** RFM oracle — reused verbatim by rfm_segment_rollup (nested WITH). */
+  private val rfmSql =
+    s"""WITH m AS (
+         |  SELECT o_custkey AS customer_id, n_name AS country,
+         |    MIN(CAST(o_orderdate AS DATE)) AS first_purchase,
+         |    MAX(CAST(o_orderdate AS DATE)) AS last_purchase,
+         |    COUNT(*) AS transaction_count,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |  $ordersJoin
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT *,
+         |    CAST(date_diff('day', first_purchase, last_purchase) AS BIGINT) AS customer_lifetime_days,
+         |    CAST(NTILE(5) OVER (ORDER BY last_purchase DESC, customer_id) AS BIGINT) AS recency_score,
+         |    CAST(NTILE(5) OVER (ORDER BY transaction_count DESC, customer_id) AS BIGINT) AS frequency_score,
+         |    CAST(NTILE(5) OVER (ORDER BY total_spent DESC, customer_id) AS BIGINT) AS monetary_score
+         |  FROM m
+         |), s2 AS (
+         |  SELECT *, CAST(recency_score AS VARCHAR) || CAST(frequency_score AS VARCHAR) ||
+         |    CAST(monetary_score AS VARCHAR) AS rfm_score
+         |  FROM s
+         |)
+         |SELECT *,
+         |  CASE
+         |    WHEN regexp_matches(rfm_score, '^[1-2][1-2][1-2]$$') THEN 'Champions'
+         |    WHEN regexp_matches(rfm_score, '^[1-3][3-5][1-2]$$') THEN 'Big Spenders'
+         |    WHEN regexp_matches(rfm_score, '^[1-3][1-3][3-5]$$') THEN 'Loyal Customers'
+         |    WHEN regexp_matches(rfm_score, '^[1-2][3-5][3-5]$$') THEN 'New Customers'
+         |    WHEN regexp_matches(rfm_score, '^[3-4][1-3][1-3]$$') THEN 'Potential Loyalists'
+         |    WHEN regexp_matches(rfm_score, '^[2-3][2-3][2-3]$$') THEN 'Need Attention'
+         |    WHEN regexp_matches(rfm_score, '^[4-5][1-2][1-2]$$') THEN 'Cannot Lose Them'
+         |    WHEN regexp_matches(rfm_score, '^[4-5][4-5][1-2]$$') THEN 'At Risk'
+         |    ELSE 'Others'
+         |  END AS customer_segment
+         |FROM s2""".stripMargin
+
   import graft.text.TextOps.{sqlList, enStop, esStop, frStop, deStop}
 
   /** Hex-nibble value of char `pos` (1-based) of content_digest: '0'-'9' →
@@ -383,41 +420,40 @@ object Oracles {
          |JOIN part ON l_partkey = p_partkey
          |GROUP BY 1, 2, 3, 4""".stripMargin,
 
-    "rfm_segments" ->
-      s"""WITH m AS (
-         |  SELECT o_custkey AS customer_id, n_name AS country,
-         |    MIN(CAST(o_orderdate AS DATE)) AS first_purchase,
-         |    MAX(CAST(o_orderdate AS DATE)) AS last_purchase,
-         |    COUNT(*) AS transaction_count,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
-         |  $ordersJoin
-         |  GROUP BY 1, 2
-         |), s AS (
+    "rfm_segments" -> rfmSql,
+
+    "rfm_segment_rollup" ->
+      s"""WITH rfm AS (
+         |$rfmSql
+         |), a AS (SELECT MAX(last_purchase) AS ref_date FROM rfm),
+         |r2 AS (
+         |  SELECT customer_id, customer_segment, total_spent, transaction_count,
+         |    CAST(recency_score + frequency_score + monetary_score AS BIGINT) AS score3,
+         |    -- "asof" is a DuckDB parser keyword (ASOF JOIN) — don't name a column that
+         |    CAST(date_diff('day', last_purchase, ref_date) AS BIGINT) AS days_since
+         |  FROM rfm CROSS JOIN a
+         |), ranked AS (
          |  SELECT *,
-         |    CAST(date_diff('day', first_purchase, last_purchase) AS BIGINT) AS customer_lifetime_days,
-         |    CAST(NTILE(5) OVER (ORDER BY last_purchase DESC, customer_id) AS BIGINT) AS recency_score,
-         |    CAST(NTILE(5) OVER (ORDER BY transaction_count DESC, customer_id) AS BIGINT) AS frequency_score,
-         |    CAST(NTILE(5) OVER (ORDER BY total_spent DESC, customer_id) AS BIGINT) AS monetary_score
-         |  FROM m
-         |), s2 AS (
-         |  SELECT *, CAST(recency_score AS VARCHAR) || CAST(frequency_score AS VARCHAR)
-         |    || CAST(monetary_score AS VARCHAR) AS rfm_score
-         |  FROM s
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY customer_segment ORDER BY total_spent, customer_id) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY customer_segment) AS BIGINT) AS n
+         |  FROM r2
+         |), agg AS (
+         |  SELECT customer_segment, n AS customer_count,
+         |    SUM(CAST(total_spent AS DECIMAL(18,6))) AS rev,
+         |    CAST(SUM(transaction_count) AS BIGINT) AS txn,
+         |    CAST(SUM(score3) AS BIGINT) AS s3,
+         |    CAST(SUM(CASE WHEN days_since <= 180 THEN 1 ELSE 0 END) AS BIGINT) AS active_180d,
+         |    CAST(SUM(CASE WHEN days_since <= 365 THEN 1 ELSE 0 END) AS BIGINT) AS active_365d,
+         |    MIN(CASE WHEN rn = (n + 1) // 2 THEN total_spent END) AS median_customer_value
+         |  FROM ranked GROUP BY 1, 2
          |)
-         |SELECT *,
-         |  CASE
-         |    WHEN regexp_matches(rfm_score, '^[1-2][1-2][1-2]$$') THEN 'Champions'
-         |    WHEN regexp_matches(rfm_score, '^[1-3][3-5][1-2]$$') THEN 'Big Spenders'
-         |    WHEN regexp_matches(rfm_score, '^[1-3][1-3][3-5]$$') THEN 'Loyal Customers'
-         |    WHEN regexp_matches(rfm_score, '^[1-2][3-5][3-5]$$') THEN 'New Customers'
-         |    WHEN regexp_matches(rfm_score, '^[3-4][1-3][1-3]$$') THEN 'Potential Loyalists'
-         |    WHEN regexp_matches(rfm_score, '^[2-3][2-3][2-3]$$') THEN 'Need Attention'
-         |    WHEN regexp_matches(rfm_score, '^[4-5][1-2][1-2]$$') THEN 'Cannot Lose Them'
-         |    WHEN regexp_matches(rfm_score, '^[4-5][4-5][1-2]$$') THEN 'At Risk'
-         |    ELSE 'Others'
-         |  END AS customer_segment
-         |FROM s2""".stripMargin,
+         |SELECT customer_segment, customer_count,
+         |  CAST(rev AS DOUBLE) AS segment_revenue,
+         |  CAST(rev AS DOUBLE) / CAST(customer_count AS DOUBLE) AS avg_customer_value,
+         |  CAST(txn AS DOUBLE) / CAST(customer_count AS DOUBLE) AS avg_transactions,
+         |  CAST(s3 AS DOUBLE) / (3.0 * CAST(customer_count AS DOUBLE)) AS avg_value_score,
+         |  active_180d, active_365d, median_customer_value
+         |FROM agg""".stripMargin,
 
     "daily_metrics" ->
       s"""WITH d AS (

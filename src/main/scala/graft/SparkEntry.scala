@@ -22,6 +22,7 @@ object SparkEntry {
     "rollup_sales"     -> ((s, d) => Gold.rollupSales(s, d)),
     "exec_kpis"        -> ((s, d) => ExecKpis.revenueKpis(s, d)),
     "customer_segments" -> ((s, d) => Segments.customerSegments(s, d)),
+    "rfm_segment_rollup" -> ((s, d) => Segments.rfmSegmentRollup(s, d)),
     // materialized-view suite (reference: materialized_views_manager.py:263,490,801,921)
     "operational_kpis" -> ((s, d) => Views.operationalKpis(s, d)),
     "financial_kpis"   -> ((s, d) => Views.financialKpis(s, d)),

@@ -114,4 +114,42 @@ object Segments {
       |  CAST(customer_count AS DOUBLE) * 100.0
       |    / CAST(SUM(customer_count) OVER () AS DOUBLE) AS segment_percentage
       |FROM agg""".stripMargin
+
+  /** RFM segment rollup (reference: materialized_views_manager.py:864-921 —
+    * the customer_segments_realtime materialized view: per-RFM-segment
+    * customer counts, revenue, value metrics, activity windows and exact
+    * median customer value). Built on Gold.rfmSegments' exact distributed
+    * NTILEs; the rollup itself is one shuffle on the segment key, and the
+    * activity as-of date is the data's own max purchase date (broadcast one
+    * row) instead of the reference's NOW(). Averages are ratios of exact
+    * sums; the median is a discrete order statistic over the hash-stable
+    * per-customer totals. */
+  def rfmSegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Gold.rfmSegments(spark, dir).select(
+      col("customer_id"), col("customer_segment"), col("total_spent"),
+      col("transaction_count"), col("last_purchase"),
+      (col("recency_score") + col("frequency_score") + col("monetary_score")).as("__score3"))
+    val asof = broadcast(seg.agg(max(col("last_purchase")).as("__asof")))
+    val w = Window.partitionBy(col("customer_segment"))
+      .orderBy(col("total_spent"), col("customer_id"))
+    val ranked = seg.crossJoin(asof)
+      .withColumn("__days_since", datediff(col("__asof"), col("last_purchase")).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("customer_segment"))).cast("long"))
+    val agg = ranked.groupBy(col("customer_segment"), col("n").as("customer_count"))
+      .agg(
+        sum(col("total_spent").cast("decimal(18,6)")).as("__rev"),
+        sum(col("transaction_count")).cast("long").as("__txn"),
+        sum(col("__score3")).cast("long").as("__s3"),
+        sum(when(col("__days_since") <= 180, 1L).otherwise(0L)).cast("long").as("active_180d"),
+        sum(when(col("__days_since") <= 365, 1L).otherwise(0L)).cast("long").as("active_365d"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("total_spent"))).as("median_customer_value"))
+    agg.select(
+      col("customer_segment"), col("customer_count"),
+      col("__rev").cast("double").as("segment_revenue"),
+      (col("__rev").cast("double") / col("customer_count").cast("double")).as("avg_customer_value"),
+      (col("__txn").cast("double") / col("customer_count").cast("double")).as("avg_transactions"),
+      (col("__s3").cast("double") / (lit(3.0) * col("customer_count").cast("double"))).as("avg_value_score"),
+      col("active_180d"), col("active_365d"), col("median_customer_value"))
+  }
 }
