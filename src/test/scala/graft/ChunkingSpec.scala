@@ -79,6 +79,27 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk+embed runs unchanged under Structured Streaming (stateless projection)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val out = Chunking.chunkDocs(docs, 4, 1)
+      .withColumn("embedding", Embeddings.embedding(col("chunk_text")))
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d e f g"), (2L, "short doc"))
+      q.processAllAvailable()
+      val rows = spark.table("chunk_stream").collect()
+      // doc 1: 7 tokens, chunkSize 4 / stride 3 -> chunks at 0 and 3 ("d e f g")
+      val byDoc = rows.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+      assert(byDoc == Map(1L -> 2, 2L -> 1), byDoc.toString)
+      rows.foreach(r => assert(r.getSeq[Float](r.fieldIndex("embedding")).length == Embeddings.Dim))
+    } finally q.stop()
+  }
+
   test("identical chunk texts embed identically (cosine 1 end-to-end)") {
     import spark.implicits._
     val corpus = Seq(

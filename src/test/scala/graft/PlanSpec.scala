@@ -58,4 +58,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("l_orderkey"), "lineitem scan reads columns the moments never use")
     assert(plan.contains("HashAggregate"), "moments should be hash-aggregated (partial+final)")
   }
+
+  test("doc chunking is scan-parallel: no exchange below the chunk generate") {
+    val plan = formatted(graft.text.Chunking.chunkDocs(Tables.documents(spark, dir)))
+    assert(!plan.contains("Exchange"), "chunking should be a pure projection over the scan")
+    assert(plan.contains("Generate"), "chunk explode missing")
+  }
+
+  test("quality scorecard is one aggregate pass over a pruned fact join") {
+    val plan = formatted(graft.operators.QualityScore.scorecard(spark, dir))
+    // exactly one big-table join (lineitem x orders); customer/nation broadcast
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1, "more than one shuffle join")
+    assert(plan.contains("BroadcastHashJoin"), "customer/nation dims should broadcast")
+    // scan pruning: the lineitem scan must not read the wide comment-ish cols
+    assert(!plan.contains("l_returnflag"), "lineitem scan reads columns the rules never use")
+  }
+
+  test("forecast aggregates partially before its per-country shuffle") {
+    val plan = formatted(graft.operators.Forecast.salesForecast(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "customer/nation dims should broadcast")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "expected partial+final aggregates at both rollup levels")
+  }
+
+  test("operational KPIs shuffle once on the bucket key") {
+    val plan = formatted(graft.operators.Views.operationalKpis(spark, dir))
+    // one hash-partitioned exchange (the bucket key); the windows and the
+    // rollup all reuse that partitioning
+    assert("""(?m)^\(\d+\) Exchange""".r.findAllIn(plan).size == 1,
+      "operational KPIs should partition once by bucket")
+    assert(!plan.contains("SinglePartition"), "collapsed to one partition")
+  }
 }
