@@ -100,6 +100,7 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,
+    "embed_neardup" -> graft.ann.Ann.embedNearDupsOracle,
     "faceted_search" -> graft.text.Search.facetedSearchOracle,
 
     "dedup_minhash" ->

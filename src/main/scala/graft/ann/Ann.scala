@@ -105,6 +105,18 @@ object Ann {
   private def sqSum(c: Column): Column =
     aggregate(transform(c, v => v * v), lit(0.0), (acc, v) => acc + v)
 
+  /** Oracle-parity cosine between two float-array columns: both sides
+    * quantized to q20 integers, so every product and partial sum is an exact
+    * integer and the score is bit-identical in any engine (the
+    * bruteTopKExact recipe as a reusable scalar). NULL when either norm is
+    * zero. */
+  private def fixedPointCosine(a: Column, b: Column): Column = {
+    val (qa, qb) = (quantize(a), quantize(b))
+    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val nn = sqSum(qa) * sqSum(qb)
+    when(nn === 0.0, lit(null).cast("double")).otherwise(dot / sqrt(nn))
+  }
+
   /** Exact cosine top-k with oracle-parity fixed-point scoring; same plan
     * shape as bruteTopK (broadcast queries × one corpus pass, no corpus
     * shuffle). */
@@ -286,8 +298,14 @@ object Ann {
   /** Embedding-cosine near-dup pairs via shared LSH buckets. `threshold` is
     * a demo value for the synthetic set (max pairwise cosine ≈ 0.51); real
     * near-dup dedup uses ~0.95. */
+  /** `tables` defaults higher than the top-k path's 12: the pair-list
+    * contract is "every pair above threshold" (the oracle is the exact
+    * all-pairs set), and at the demo threshold 0.4 a near-threshold pair's
+    * per-table collision probability is only ~0.1, so recall needs more
+    * independent tables than top-k (which only competes within the
+    * candidate pool) — 24 tables measured recall 1.0 at both gate SFs. */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                        tables: Int = 12, bits: Int = 0,
+                        tables: Int = 24, bits: Int = 0,
                         ordered: Boolean = true): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     def sorted(df: DataFrame): DataFrame =
@@ -317,7 +335,7 @@ object Ann {
       .select(least(col("a_id"), col("b_id")).as("vec_a"),
         greatest(col("a_id"), col("b_id")).as("vec_b"), col("cos_sim"))
     val selfCos = keepers
-      .withColumn("cos_sim", cosine(spark, "embedding", "embedding"))
+      .withColumn("cos_sim", fixedPointCosine(col("embedding"), col("embedding")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_id").as("keeper"), col("cos_sim"))
     val within = members.join(selfCos, "keeper").as("x")
@@ -326,6 +344,30 @@ object Ann {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("x.cos_sim"))
     sorted(cross.unionByName(within))
   }
+
+  /** DuckDB oracle for embeddingNearDups (threshold 0.4): the exact
+    * all-pairs q20-fixed-point cosine. Valid as an oracle for the LSH query
+    * because (a) candidates are exact-rescored with the same fixed-point
+    * scoring, and (b) SRP banding recall is 100% at the gate SFs — the LSH
+    * pair set equals this exact set (verified at sf0.001 and sf0.01; same
+    * contract as dedup_minhash's exact-Jaccard twin). The oracle side is
+    * deliberately O(n²) — it is the spec, not the scale path. */
+  def embedNearDupsOracle: String =
+    """WITH c AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM c
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS dot,
+      |    a.nrm AS na, b.nrm AS nb
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |)
+      |SELECT vec_a, vec_b,
+      |  CASE WHEN na * nb = 0.0 THEN NULL ELSE dot / sqrt(na * nb) END AS cos_sim
+      |FROM p
+      |WHERE na * nb > 0 AND dot / sqrt(na * nb) >= 0.4""".stripMargin
 
   /** SRP-LSH candidate pairs over a vector set with exact cosine re-score:
     * ids only through the bucket join, embeddings re-attached once per side.
@@ -348,8 +390,11 @@ object Ann {
       .dropDuplicates("vec_a", "vec_b")
     val ea = vectors.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val eb = vectors.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    // fixed-point (q20) re-score: candidates are few, and the quantized
+    // score is what lets the pair list carry an exact DuckDB oracle when
+    // banding recall is 100% (same contract as dedup_minhash)
     cand.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("cos_sim", cosine(spark, "emb_a", "emb_b"))
+      .withColumn("cos_sim", fixedPointCosine(col("emb_a"), col("emb_b")))
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
