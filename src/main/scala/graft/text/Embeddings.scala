@@ -27,8 +27,17 @@ object Embeddings {
   val Dim = 16
 
   /** Integer components in [-1000, 1000]: v_i = hex32(md5(text·"|"·i)) mod
-    * 2001 - 1000. Returns array<long> of length `dim`. */
+    * 2001 - 1000. Returns array<long> of length `dim`. One fused codegen'd
+    * pass (graft.functions.EmbedComponents — the declarative
+    * conv(substring(md5(concat(…))),16,10) form builds `dim` separate hash
+    * trees and round-trips hex strings; EmbedComponentsSpec pins the two
+    * forms equal). */
   def rawComponents(text: Column, dim: Int = Dim): Column =
+    graft.functions.EmbedComponents.of(text, dim)
+
+  /** The declarative reference form of rawComponents — the spec the fused
+    * expression is tested against (and the shape the DuckDB oracle mirrors). */
+  def rawComponentsReference(text: Column, dim: Int = Dim): Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>
       conv(substring(md5(concat(text, lit("|"), i.cast("string"))), 1, 8), 16, 10)
         .cast("long") % 2001 - 1000)

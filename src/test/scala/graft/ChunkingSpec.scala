@@ -43,6 +43,22 @@ class ChunkingSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
   }
 
+  test("fused embed components match the declarative md5 reference form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(50)
+    val mismatch = docs.select(
+        Embeddings.rawComponents(col("text")).as("fused"),
+        Embeddings.rawComponentsReference(col("text")).as("ref"))
+      .filter(col("fused") =!= col("ref")).count()
+    assert(mismatch == 0, s"$mismatch docs diverge from the declarative spec")
+    // multi-byte text too (the digest runs over UTF-8 bytes)
+    val uni = Seq(Tuple1("héllo wörld — ありがとう")).toDF("text")
+    val r = uni.select(
+      Embeddings.rawComponents(col("text")).as("fused"),
+      Embeddings.rawComponentsReference(col("text")).as("ref")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("embedding is unit-norm, fixed-width, and deterministic") {
     import spark.implicits._
     val df = Seq(Tuple1("the quick brown fox")).toDF("text")
