@@ -35,7 +35,15 @@ object Tables {
     * conf here would be unsafe: the scan re-reads it lazily at execution. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, dir, "events")
+    // schema-dispatch: the driver's file carries ns-as-long (converted here);
+    // corpora rewritten by other tools (replication harnesses) carry a real
+    // timestamp column already — accept both layouts
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
