@@ -102,6 +102,7 @@ object Oracles {
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,
     "embed_neardup" -> graft.ann.Ann.embedNearDupsOracle,
     "faceted_search" -> graft.text.Search.facetedSearchOracle,
+    "advanced_search" -> graft.text.Search.advancedSearchOracle,
 
     "dedup_minhash" ->
       s"""WITH $exactJaccardPairs

@@ -93,6 +93,7 @@ object SparkEntry {
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),
     "ann_filtered"     -> ((s, d) => graft.ann.Ann.annFiltered(s, d)),
     "faceted_search"   -> ((s, d) => graft.text.Search.facetedSearch(s, d)),
+    "advanced_search"  -> ((s, d) => graft.text.Search.advancedSearch(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
     "ann_ivf"          -> ((s, d) => graft.ann.Ann.annIvfTopK(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
