@@ -558,6 +558,7 @@ object Oracles {
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,
     "anomaly_kpis" -> graft.operators.Views.anomalyKpisOracle,
+    "realtime_metrics" -> graft.operators.Views.realtimeMetricsOracle,
     "quality_scorecard" -> graft.operators.QualityScore.scorecardOracle,
     "sales_forecast" -> graft.operators.Forecast.salesForecastOracle,
     "doc_chunks" -> graft.text.Chunking.docChunksOracle,

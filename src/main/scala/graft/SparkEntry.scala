@@ -28,6 +28,7 @@ object SparkEntry {
     "financial_kpis"   -> ((s, d) => Views.financialKpis(s, d)),
     "daily_sales_kpi"  -> ((s, d) => Views.dailySalesKpi(s, d)),
     "anomaly_kpis"     -> ((s, d) => Views.anomalyKpis(s, d)),
+    "realtime_metrics" -> ((s, d) => Views.realtimeMetrics(s, d)),
     // quality-dimension scorecard (reference: data_quality_engine.py:739-815)
     "quality_scorecard" -> ((s, d) => QualityScore.scorecard(s, d)),
     // per-group OLS forecast (reference: src/analytics/ml/predictor.py)

@@ -108,6 +108,76 @@ object Views {
       |       ELSE 'needs_improvement' END AS performance_grade
       |FROM agg""".stripMargin
 
+  /** Real-time sales metrics per hour (reference `:325`
+    * `_get_realtime_sales_metrics_query` — hourly volume/revenue/avg/
+    * distinct buyers/min/max, exact-sum stddev, and the count of sales above
+    * 2× the GLOBAL average). The global-average comparison is a broadcast
+    * one-row aggregate joined into the bucket rollup — the reference's
+    * correlated subquery without re-scanning per row. */
+  def realtimeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd HH").as("bucket"),
+      col("user_id"), centsL(col("value")).as("centi"))
+    val globalAvg = broadcast(e.agg(
+      sum(col("centi").cast("decimal(19,0)")).as("__gs"), countAll.as("__gn")))
+    val agg = e.groupBy("bucket").agg(
+      countAll.as("n_events"),
+      countDistinct(col("user_id")).as("unique_users"),
+      sum(col("centi").cast("decimal(19,0)")).as("__s"),
+      sum((col("centi").cast("decimal(19,0)") * col("centi").cast("decimal(19,0)")).cast("decimal(38,0)")).as("__q"),
+      min("centi").as("__mn"), max("centi").as("__mx"))
+    // the outlier count needs the global scalar inside an aggregate — a
+    // second conditional rollup after the broadcast join (one extra pass
+    // over the hour-partitioned frame, never a per-row subquery)
+    val n = col("n_events").cast("double")
+    agg
+      .crossJoin(globalAvg)
+      .join(
+        e.crossJoin(globalAvg)
+          .filter(col("centi").cast("double") > col("__gs").cast("double") / col("__gn").cast("double") * 2.0)
+          .groupBy("bucket").agg(countAll.as("outlier_sales")),
+        Seq("bucket"), "left")
+      .select(
+        col("bucket"), col("n_events"), col("unique_users"),
+        (col("__s").cast("double") / 100.0).as("total_revenue"),
+        (col("__s").cast("double") / 100.0 / n).as("avg_sale"),
+        (col("__mn").cast("double") / 100.0).as("min_sale"),
+        (col("__mx").cast("double") / 100.0).as("max_sale"),
+        (rollStd(col("n_events"), col("__s"), col("__q")) / 100.0).as("revenue_stddev"),
+        coalesce(col("outlier_sales"), lit(0L)).cast("long").as("outlier_sales"))
+  }
+
+  def realtimeMetricsOracle: String =
+    """WITH e AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
+      |    user_id, CAST(round(value * 100) AS BIGINT) AS centi
+      |  FROM events
+      |), g AS (
+      |  SELECT SUM(CAST(centi AS DECIMAL(19,0))) AS gs, COUNT(*) AS gn FROM e
+      |), agg AS (
+      |  SELECT bucket, COUNT(*) AS n_events,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+      |    SUM(CAST(centi AS DECIMAL(19,0))) AS s,
+      |    SUM(CAST(CAST(centi AS DECIMAL(19,0)) * CAST(centi AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS q,
+      |    MIN(centi) AS mn, MAX(centi) AS mx
+      |  FROM e GROUP BY 1
+      |), outl AS (
+      |  SELECT bucket, COUNT(*) AS outlier_sales
+      |  FROM e CROSS JOIN g
+      |  WHERE CAST(centi AS DOUBLE) > CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) * 2.0
+      |  GROUP BY 1
+      |)
+      |SELECT agg.bucket, n_events, unique_users,
+      |  CAST(s AS DOUBLE) / 100.0 AS total_revenue,
+      |  CAST(s AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE) AS avg_sale,
+      |  CAST(mn AS DOUBLE) / 100.0 AS min_sale,
+      |  CAST(mx AS DOUBLE) / 100.0 AS max_sale,
+      |  CASE WHEN n_events <= 1 THEN NULL
+      |       ELSE sqrt((CAST(n_events AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |                 / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1.0))) / 100.0 END AS revenue_stddev,
+      |  CAST(coalesce(outlier_sales, 0) AS BIGINT) AS outlier_sales
+      |FROM agg LEFT JOIN outl ON agg.bucket = outl.bucket""".stripMargin
+
   // ------------------------------------------------------- financial KPIs
 
   /** Financial KPIs per month (reference `:490` — a revenue stream FULL
