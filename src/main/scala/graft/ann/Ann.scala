@@ -108,14 +108,13 @@ object Ann {
   /** Oracle-parity cosine between two float-array columns: both sides
     * quantized to q20 integers, so every product and partial sum is an exact
     * integer and the score is bit-identical in any engine (the
-    * bruteTopKExact recipe as a reusable scalar). NULL when either norm is
-    * zero. */
-  private def fixedPointCosine(a: Column, b: Column): Column = {
-    val (qa, qb) = (quantize(a), quantize(b))
-    val dot = aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val nn = sqSum(qa) * sqSum(qb)
-    when(nn === 0.0, lit(null).cast("double")).otherwise(dot / sqrt(nn))
-  }
+    * bruteTopKExact recipe as a reusable scalar) — fused into one codegen'd
+    * loop (graft.functions.ArrayCosineQ20; the declarative
+    * quantize/zip_with/aggregate chain walked each array four times and
+    * measured 23× slower on the near-dup candidate path). NULL when either
+    * norm is zero. */
+  private def fixedPointCosine(a: Column, b: Column): Column =
+    graft.functions.ArrayCosineQ20.of(a, b)
 
   /** Exact cosine top-k with oracle-parity fixed-point scoring; same plan
     * shape as bruteTopK (broadcast queries × one corpus pass, no corpus

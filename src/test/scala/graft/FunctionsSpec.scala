@@ -43,4 +43,28 @@ class FunctionsSpec extends AnyFunSuite {
       .withColumn("diff", abs(col("fused") - col("declarative")))
     assert(both.agg(max("diff")).head.getDouble(0) < 1e-9)
   }
+
+  test("array_cosine_q20 matches the declarative quantize/aggregate chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // include exact-tie quantization inputs: x*2^20 = k + 0.5 at x = (2k+1)/2^21
+    val tie = (3f / 2097152.0f)
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array.fill(16)(rnd.nextFloat() * 2 - 1) ++ Array(tie, -tie)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = df.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = df.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    def quant(c: org.apache.spark.sql.Column) = transform(c, x => round(x.cast("double") * lit(1048576.0), 0))
+    val dot = aggregate(zip_with(quant(col("ea")), quant(col("eb")), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def sq(c: org.apache.spark.sql.Column) = aggregate(transform(quant(c), v => v * v), lit(0.0), (acc, v) => acc + v)
+    val nn = sq(col("ea")) * sq(col("eb"))
+    val declarative = when(nn === 0.0, lit(null).cast("double")).otherwise(dot / sqrt(nn))
+    val mismatch = pairs
+      .withColumn("fused", graft.functions.ArrayCosineQ20.of(col("ea"), col("eb")))
+      .withColumn("decl", declarative)
+      .filter(not(col("fused") <=> col("decl"))).count()
+    assert(mismatch == 0)
+  }
 }
