@@ -229,12 +229,15 @@ object Ann {
     }
 
   private def cachedIvfModel(key: (String, Int, Long))(
-      fit: => org.apache.spark.ml.clustering.KMeansModel): org.apache.spark.ml.clustering.KMeansModel =
-    ivfModels.synchronized {
-      val hit = ivfModels.get(key)
-      if (hit != null) hit
-      else { val m = fit; ivfModels.put(key, m); m }
-    }
+      fit: => org.apache.spark.ml.clustering.KMeansModel): org.apache.spark.ml.clustering.KMeansModel = {
+    // lock only the map get/put — a KMeans fit inside the monitor would
+    // serialize concurrent ivfTopK calls on DIFFERENT corpora behind one fit.
+    // Two threads racing the same cold key may both fit (seeded ⇒ identical
+    // models, so either result is correct); last put wins.
+    val hit = ivfModels.synchronized(ivfModels.get(key))
+    if (hit != null) hit
+    else { val m = fit; ivfModels.synchronized(ivfModels.put(key, m)); m }
+  }
 
   /** Test hook: current IVF cache occupancy. */
   private[graft] def ivfCacheSize: Int = ivfModels.synchronized(ivfModels.size())

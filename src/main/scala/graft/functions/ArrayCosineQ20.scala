@@ -30,6 +30,10 @@ case class ArrayCosineQ20(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can return NULL from non-null inputs (length mismatch, zero norm); without
+  // this, non-nullable children make nullSafeCodeGen render ev.isNull as the
+  // literal `false` and the generated `false = true;` fails Janino compile
+  override def nullable: Boolean = true
   override def prettyName: String = "array_cosine_q20"
 
   @inline private def q20(x: Double): Double = {

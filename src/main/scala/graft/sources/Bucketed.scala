@@ -49,6 +49,7 @@ object Bucketed {
     // entry, would delete the other's live bucketed directory mid-run
     val tag = s"${java.lang.Integer.toHexString(dir.hashCode)}_${ProcessHandle.current().pid()}"
     val (lt, ot) = (s"b_lineitem_$tag", s"b_orders_$tag")
+    sweepDeadIncarnations(spark)
     if (!spark.catalog.tableExists(lt)) {
       dropStaleLocation(spark, lt)
       writeBucketed(Tables.lineitem(spark, dir).select(
@@ -68,6 +69,29 @@ object Bucketed {
     * clear a leftover dir for a table the catalog no longer knows. Safe
     * against concurrent JVMs because table names carry the pid: a leftover
     * dir under OUR name can only be a dead prior incarnation's. */
+  /** Pid-scoped table names fix the cross-JVM delete race but leave each dead
+    * JVM's bucketed copy of lineitem+orders on disk forever. Sweep, once per
+    * JVM, every warehouse dir matching our naming scheme whose pid suffix no
+    * longer names a live process — a dead incarnation's dir can have no
+    * reader. Live pids (ours or a concurrent bench/test JVM's) are untouched. */
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val BucketedDir = "b_(?:lineitem|orders)_[0-9a-f]+_([0-9]+)".r
+
+  private def sweepDeadIncarnations(spark: SparkSession): Unit =
+    if (swept.compareAndSet(false, true)) {
+      val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.listStatus(warehouse).foreach { st =>
+        st.getPath.getName match {
+          case BucketedDir(pid) =>
+            val alive = ProcessHandle.of(pid.toLong)
+              .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE)
+            if (!alive) fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+
   private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
