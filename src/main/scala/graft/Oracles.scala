@@ -554,6 +554,9 @@ object Oracles {
 
     "exec_kpis" -> graft.operators.ExecKpis.revenueKpisOracle,
 
+    "churn_risk" -> graft.operators.Churn.churnRiskOracle,
+    "customer_clv" -> graft.operators.Churn.customerClvOracle,
+
     "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,

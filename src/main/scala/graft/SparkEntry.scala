@@ -100,7 +100,10 @@ object SparkEntry {
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)
-    "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d))
+    "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d)),
+
+    "churn_risk"       -> ((s, d) => Churn.churnRisk(s, d)),
+    "customer_clv"     -> ((s, d) => Churn.customerClv(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are
