@@ -557,6 +557,11 @@ object Oracles {
     "churn_risk" -> graft.operators.Churn.churnRiskOracle,
     "customer_clv" -> graft.operators.Churn.customerClvOracle,
 
+    "change_points" -> graft.operators.TimeSeries.changePointsOracle,
+    "anomalous_periods" -> graft.operators.TimeSeries.anomalousPeriodsOracle,
+    "seasonality_check" -> graft.operators.TimeSeries.seasonalityCheckOracle,
+    "normality_check" -> graft.operators.Stats.normalityCheckOracle,
+
     "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,

@@ -103,7 +103,12 @@ object SparkEntry {
     "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d)),
 
     "churn_risk"       -> ((s, d) => Churn.churnRisk(s, d)),
-    "customer_clv"     -> ((s, d) => Churn.customerClv(s, d))
+    "customer_clv"     -> ((s, d) => Churn.customerClv(s, d)),
+
+    "change_points"    -> ((s, d) => TimeSeries.changePoints(s, d)),
+    "anomalous_periods" -> ((s, d) => TimeSeries.anomalousPeriods(s, d)),
+    "seasonality_check" -> ((s, d) => TimeSeries.seasonalityCheck(s, d)),
+    "normality_check"  -> ((s, d) => Stats.normalityCheck(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are
