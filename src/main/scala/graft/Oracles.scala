@@ -562,6 +562,11 @@ object Oracles {
     "seasonality_check" -> graft.operators.TimeSeries.seasonalityCheckOracle,
     "normality_check" -> graft.operators.Stats.normalityCheckOracle,
 
+    "vault_model" -> graft.operators.Vault.vaultModelOracle,
+    "vault_integrity" -> graft.operators.Vault.vaultIntegrityOracle,
+    "referential_integrity" -> graft.operators.Integrity.referentialIntegrityOracle,
+    "behavioral_analytics" -> graft.operators.Behavior.behavioralAnalyticsOracle,
+
     "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,

@@ -108,7 +108,12 @@ object SparkEntry {
     "change_points"    -> ((s, d) => TimeSeries.changePoints(s, d)),
     "anomalous_periods" -> ((s, d) => TimeSeries.anomalousPeriods(s, d)),
     "seasonality_check" -> ((s, d) => TimeSeries.seasonalityCheck(s, d)),
-    "normality_check"  -> ((s, d) => Stats.normalityCheck(s, d))
+    "normality_check"  -> ((s, d) => Stats.normalityCheck(s, d)),
+
+    "vault_model"      -> ((s, d) => Vault.vaultModel(s, d)),
+    "vault_integrity"  -> ((s, d) => Vault.vaultIntegrity(s, d)),
+    "referential_integrity" -> ((s, d) => Integrity.referentialIntegrity(s, d)),
+    "behavioral_analytics" -> ((s, d) => Behavior.behavioralAnalytics(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data Vault 2.0 raw-vault modeling over the order/customer stream
+  * (reference: dbt/macros/data_vault_modeling.sql — hub/link/satellite
+  * layout with hash keys, and `test_data_vault_integrity`:3-101).
+  *
+  * Hash keys are md5 over the business keys (chr(1)-separated, chr(2) null
+  * sentinel — the repo's cross-engine checksum recipe, Incremental.rowHash);
+  * the satellite carries an md5 hashdiff over the tracked attributes, the
+  * standard DV2 change-detection column.
+  *
+  * Scale shapes: hub/link/sat all derive from ONE pass over orders (hash
+  * keys are projections — no shuffle); the integrity report's orphan checks
+  * are key-shuffle anti-joins and the duplicate checks are groupBy counts on
+  * the hash key — each a single exchange on a key that scales with data.
+  */
+object Vault {
+
+  private def hk(cols: Column*): Column =
+    md5(concat_ws("", cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+
+  /** The raw-vault build at order grain: link_order_customer with both hub
+    * hash keys plus the order-satellite hashdiff and payload. One scan, zero
+    * shuffles — hash keys are pure projections. */
+  def vaultModel(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+      hk(col("o_orderkey"), col("o_custkey")).as("link_order_customer_hk"),
+      hk(col("o_orderkey")).as("order_hk"),
+      hk(col("o_custkey")).as("customer_hk"),
+      col("o_orderkey").as("order_key"),
+      col("o_custkey").as("customer_key"),
+      // price enters the hashdiff as integer cents: double→string rendering
+      // is not portable across engines (SURVEY §3), integer strings are
+      hk(col("o_orderstatus"), round(col("o_totalprice") * 100, 0).cast("long"),
+        col("o_orderpriority")).as("sat_order_hashdiff"),
+      col("o_orderstatus").as("order_status"),
+      col("o_orderpriority").as("order_priority"))
+  }
+
+  /** Vault integrity test report (reference macro `test_data_vault_integrity`:
+    * hub null business keys, orphaned satellites, orphaned link references,
+    * duplicate hash keys). The hub side loads from a drifted customer
+    * snapshot (key % 10 != 3 — the snapshot_diff convention) so orphan
+    * references genuinely exist, as they do mid-load in a real vault. */
+  def vaultIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val link = vaultModel(spark, dir)
+      .select("link_order_customer_hk", "order_hk", "customer_hk")
+    val hubCustomer = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 =!= 3)
+      .select(hk(col("c_custkey")).as("customer_hk"), col("c_custkey"))
+    val hubOrder = Tables.orders(spark, dir)
+      .select(hk(col("o_orderkey")).as("order_hk"))
+    val satCustomer = Tables.customer(spark, dir)
+      .select(hk(col("c_custkey")).as("customer_hk"))
+
+    val nullKeys = hubCustomer.agg(
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).cast("long").as("n"))
+      .select(lit("hub_null_business_keys").as("test_type"), col("n").as("n_failures"))
+    val orphanSat = satCustomer.join(
+        hubCustomer.select("customer_hk"), Seq("customer_hk"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("orphaned_satellite_customer").as("test_type"), col("n").as("n_failures"))
+    val orphanLinkCust = link.join(
+        hubCustomer.select("customer_hk"), Seq("customer_hk"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("orphaned_link_customer_ref").as("test_type"), col("n").as("n_failures"))
+    val orphanLinkOrder = link.join(hubOrder, Seq("order_hk"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("orphaned_link_order_ref").as("test_type"), col("n").as("n_failures"))
+    val dupHub = hubCustomer.groupBy("customer_hk").count()
+      .filter(col("count") > 1).agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("duplicate_hub_hash_key").as("test_type"), col("n").as("n_failures"))
+    val dupLink = link.groupBy("link_order_customer_hk").count()
+      .filter(col("count") > 1).agg(count(lit(1)).cast("long").as("n"))
+      .select(lit("duplicate_link_hash_key").as("test_type"), col("n").as("n_failures"))
+    nullKeys.union(orphanSat).union(orphanLinkCust).union(orphanLinkOrder)
+      .union(dupHub).union(dupLink)
+  }
+
+  def vaultModelOracle: String =
+    """SELECT
+      |  md5(concat_ws(chr(1),
+      |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_custkey AS VARCHAR), chr(2)))) AS link_order_customer_hk,
+      |  md5(coalesce(CAST(o_orderkey AS VARCHAR), chr(2))) AS order_hk,
+      |  md5(coalesce(CAST(o_custkey AS VARCHAR), chr(2))) AS customer_hk,
+      |  o_orderkey AS order_key,
+      |  o_custkey AS customer_key,
+      |  md5(concat_ws(chr(1),
+      |    coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)),
+      |    coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), chr(2)),
+      |    coalesce(CAST(o_orderpriority AS VARCHAR), chr(2)))) AS sat_order_hashdiff,
+      |  o_orderstatus AS order_status,
+      |  o_orderpriority AS order_priority
+      |FROM orders""".stripMargin
+
+  def vaultIntegrityOracle: String =
+    """WITH link AS (
+      |  SELECT md5(concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR))) AS link_hk,
+      |    md5(CAST(o_orderkey AS VARCHAR)) AS order_hk,
+      |    md5(CAST(o_custkey AS VARCHAR)) AS customer_hk
+      |  FROM orders
+      |), hub_c AS (
+      |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS customer_hk, c_custkey
+      |  FROM customer WHERE c_custkey % 10 != 3
+      |), hub_o AS (
+      |  SELECT md5(CAST(o_orderkey AS VARCHAR)) AS order_hk FROM orders
+      |), sat_c AS (
+      |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS customer_hk FROM customer
+      |)
+      |SELECT 'hub_null_business_keys' AS test_type,
+      |  CAST((SELECT COUNT(*) FROM hub_c WHERE c_custkey IS NULL) AS BIGINT) AS n_failures
+      |UNION ALL
+      |SELECT 'orphaned_satellite_customer',
+      |  CAST((SELECT COUNT(*) FROM sat_c WHERE customer_hk NOT IN (SELECT customer_hk FROM hub_c)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orphaned_link_customer_ref',
+      |  CAST((SELECT COUNT(*) FROM link WHERE customer_hk NOT IN (SELECT customer_hk FROM hub_c)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orphaned_link_order_ref',
+      |  CAST((SELECT COUNT(*) FROM link WHERE order_hk NOT IN (SELECT order_hk FROM hub_o)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'duplicate_hub_hash_key',
+      |  CAST((SELECT COUNT(*) FROM (SELECT customer_hk FROM hub_c GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'duplicate_link_hash_key',
+      |  CAST((SELECT COUNT(*) FROM (SELECT link_hk FROM link GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)""".stripMargin
+}
