@@ -567,6 +567,9 @@ object Oracles {
     "referential_integrity" -> graft.operators.Integrity.referentialIntegrityOracle,
     "behavioral_analytics" -> graft.operators.Behavior.behavioralAnalyticsOracle,
 
+    "distribution_profile" -> graft.operators.Stats.distributionProfileOracle,
+    "ab_test_results" -> graft.operators.Experiment.abTestResultsOracle,
+
     "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,

@@ -113,7 +113,10 @@ object SparkEntry {
     "vault_model"      -> ((s, d) => Vault.vaultModel(s, d)),
     "vault_integrity"  -> ((s, d) => Vault.vaultIntegrity(s, d)),
     "referential_integrity" -> ((s, d) => Integrity.referentialIntegrity(s, d)),
-    "behavioral_analytics" -> ((s, d) => Behavior.behavioralAnalytics(s, d))
+    "behavioral_analytics" -> ((s, d) => Behavior.behavioralAnalytics(s, d)),
+
+    "distribution_profile" -> ((s, d) => Stats.distributionProfile(s, d)),
+    "ab_test_results"  -> ((s, d) => Experiment.abTestResults(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

@@ -426,6 +426,132 @@ object Stats {
       |  CASE WHEN jb_stat IS NULL THEN NULL ELSE jb_stat < 5.991464547107979 END AS is_normal
       |FROM jb""".stripMargin
 
+  private val distPcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)
+
+  /** Distribution profile per order priority (reference:
+    * statistical_analyzer.py:106-162 `analyze_distribution` with
+    * `_calculate_percentiles`:337 and `_identify_distribution`:392) — the
+    * nine-point percentile ladder plus a shape classification from skewness/
+    * kurtosis. Percentiles are discrete order statistics (rn = ceil(n·p)) —
+    * np.percentile interpolates, which is not engine-portable (SURVEY §3).
+    * The reference's Shapiro-Wilk gate is replaced by the Jarque-Bera
+    * critical-value decision (same normal/not contract, reproducible), and
+    * the lognormal probe is dropped: it needs ln() over the data, and
+    * transcendental libm vs Java rounding diverges between engines.
+    *
+    * One shuffle on the group key serves both the rank window and the moment
+    * aggregate; the center join is a broadcast (group cardinality is small). */
+  def distributionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority"), col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val centers = o.groupBy(col("o_orderpriority").as("g"))
+      .agg(countAll.as("n"), sum("cents").as("s"))
+      .withColumn("center", expr("s div n"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"), col("o_orderkey"))
+    val d = (col("cents") - col("center"))
+    val d2 = (d * d).as("__d2")
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val ranked = o.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(centers), col("o_orderpriority") === col("g"))
+      .select(col("g"), col("n"), col("s"), col("cents"), col("rn"), d.as("__d"), d2)
+    val pctAggs = distPcts.map { p =>
+      min(when(col("rn") === ceil(col("n") * (p / 100.0)), col("cents"))).as(s"__p$p")
+    }
+    val m = ranked.groupBy("g", "n", "s")
+      .agg(pctAggs.head, pctAggs.tail ++ Seq(
+        sum(dec(col("__d2"))).as("sd2"),
+        sum(dec(col("__d2")) * dec(col("__d"))).as("sd3"),
+        sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4")): _*)
+    val nD = col("n").cast("double")
+    val t = (col("s") % col("n")).cast("double")
+    val sd2 = col("sd2").cast("double")
+    val sd3 = col("sd3").cast("double")
+    val sd4 = col("sd4").cast("double")
+    val m2 = (sd2 - (t * t) / nD) / nD
+    val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
+    val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
+      - lit(3.0) * t * t * t * t / (nD * nD * nD)) / nD
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    val pctCols = distPcts.map(p => (col(s"__p$p").cast("double") / 100.0).as(s"p$p"))
+    val base = m.select(
+      Seq(col("g").as("o_orderpriority"), col("n"),
+        when(m2 === 0.0, lit(null).cast("double")).otherwise(g1).as("skewness"),
+        when(m2 === 0.0, lit(null).cast("double")).otherwise(g2).as("kurtosis")) ++
+        pctCols: _*)
+    val jb = col("n").cast("double") / lit(6.0) * (col("skewness") * col("skewness") +
+      (col("kurtosis") * col("kurtosis")) / lit(4.0))
+    base
+      .withColumn("distribution_type",
+        when(col("skewness").isNull, "unknown")
+          .when(col("n") >= 8 && jb < 5.991464547107979, "normal")
+          .when(abs(col("kurtosis") + 1.2) < 0.5, "uniform")
+          .when(col("skewness") > 1.5, "exponential")
+          .when(abs(col("skewness")) < 0.5 && abs(col("kurtosis")) < 0.5, "approximately_normal")
+          .when(col("skewness") > 0.5, "right_skewed")
+          .when(col("skewness") < -0.5, "left_skewed")
+          .otherwise("unknown"))
+  }
+
+  /** DuckDB oracle mirroring distributionProfile. */
+  def distributionProfileOracle: String = {
+    val pctSel = distPcts.map(p =>
+      s"MIN(CASE WHEN rn = CAST(ceil(n * ${p / 100.0}) AS BIGINT) THEN cents END) AS pp$p")
+      .mkString(",\n      |    ")
+    val pctOut = distPcts.map(p => s"CAST(pp$p AS DOUBLE) / 100.0 AS p$p").mkString(", ")
+    s"""WITH o AS (
+      |  SELECT o_orderpriority, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), c AS (
+      |  SELECT o_orderpriority AS g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      |  FROM o GROUP BY 1
+      |), cc AS (SELECT *, s // n AS center FROM c
+      |), j AS (
+      |  SELECT g, n, s, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    cents - center AS d, (cents - center) * (cents - center) AS d2
+      |  FROM o JOIN cc ON o_orderpriority = g
+      |), m AS (
+      |  SELECT g, n, s,
+      |    $pctSel,
+      |    SUM(CAST(d2 AS DECIMAL(19,0))) AS sd2,
+      |    SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sd3,
+      |    SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0))) AS sd4
+      |  FROM j GROUP BY 1, 2, 3
+      |), p AS (
+      |  SELECT g, n, s, ${distPcts.map(p => s"pp$p").mkString(", ")},
+      |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
+      |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+      |  FROM m
+      |), q AS (
+      |  SELECT *,
+      |    (sd2 - (t * t) / nd) / nd AS m2,
+      |    (sd3 - 3.0 * t * sd2 / nd + 2.0 * t * t * t / (nd * nd)) / nd AS m3,
+      |    (sd4 - 4.0 * t * sd3 / nd + 6.0 * t * t * sd2 / (nd * nd)
+      |       - 3.0 * t * t * t * t / (nd * nd * nd)) / nd AS m4
+      |  FROM p
+      |), r AS (
+      |  SELECT g AS o_orderpriority, n, nd,
+      |    CASE WHEN m2 = 0.0 THEN NULL ELSE m3 / sqrt(m2 * m2 * m2) END AS skewness,
+      |    CASE WHEN m2 = 0.0 THEN NULL ELSE m4 / (m2 * m2) - 3.0 END AS kurtosis,
+      |    $pctOut
+      |  FROM q
+      |)
+      |SELECT o_orderpriority, n, skewness, kurtosis, ${distPcts.map(p => s"p$p").mkString(", ")},
+      |  CASE WHEN skewness IS NULL THEN 'unknown'
+      |       WHEN n >= 8 AND nd / 6.0 * (skewness * skewness + (kurtosis * kurtosis) / 4.0)
+      |            < 5.991464547107979 THEN 'normal'
+      |       WHEN abs(kurtosis + 1.2) < 0.5 THEN 'uniform'
+      |       WHEN skewness > 1.5 THEN 'exponential'
+      |       WHEN abs(skewness) < 0.5 AND abs(kurtosis) < 0.5 THEN 'approximately_normal'
+      |       WHEN skewness > 0.5 THEN 'right_skewed'
+      |       WHEN skewness < -0.5 THEN 'left_skewed'
+      |       ELSE 'unknown' END AS distribution_type
+      |FROM r""".stripMargin
+  }
+
   /** DuckDB oracle mirroring corrMatrix, generated from the same
     * measure/pair lists so the two can never drift. */
   def corrMatrixOracle: String = {
