@@ -89,4 +89,51 @@ class PlanSpec extends AnyFunSuite {
       "operational KPIs should partition once by bucket")
     assert(!plan.contains("SinglePartition"), "collapsed to one partition")
   }
+
+  test("vault model is a pure projection: no exchange, no join") {
+    val plan = formatted(graft.operators.Vault.vaultModel(spark, dir))
+    assert(!plan.contains("Exchange"), "hash-key build must not shuffle")
+    assert(!plan.contains("Join"), "hash-key build must not join")
+  }
+
+  test("churn risk: the customer join reuses the orders-aggregate key") {
+    val plan = formatted(graft.operators.Churn.churnRisk(spark, dir))
+    // the as-of scalar broadcasts; the only data-sized exchanges are on the
+    // shared customer key (orders rollup + customer side of the join)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "as-of scalar should broadcast")
+    assert(!plan.contains("SinglePartition") || plan.contains("BroadcastExchange"),
+      "churn collapsed to one partition")
+    // orders scan pruned: never reads o_orderstatus
+    assert(!plan.contains("o_orderstatus"), "orders scan reads columns churn never uses")
+  }
+
+  test("behavioral analytics: all three range windows share one user shuffle") {
+    val plan = formatted(graft.operators.Behavior.behavioralAnalytics(spark, dir))
+    // exactly one data-sized (hash-partitioned) exchange — the user key; the
+    // only other exchange is the 1-row as-of scalar's SinglePartition agg
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashExchanges >= 1, "user_id window shuffle missing")
+    assert("Window".r.findAllIn(plan).size <= 2, "range windows did not fuse")
+    assert(!plan.contains("props"), "events scan reads the wide props column")
+  }
+
+  test("distribution profile: rank window and moment aggregate share the group key") {
+    val plan = formatted(graft.operators.Stats.distributionProfile(spark, dir))
+    assert(plan.contains("Window"), "percentile rank window missing")
+    assert(!plan.contains("SinglePartition"), "profile collapsed to one partition")
+  }
+
+  test("ab test is one aggregate pass: no join, no window") {
+    val plan = formatted(graft.operators.Experiment.abTestResults(spark, dir))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      "ab test should be a single aggregate")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial+final aggregate")
+  }
+
+  test("referential integrity: calendar-sized parents broadcast") {
+    val plan = formatted(graft.operators.Integrity.referentialIntegrity(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "nation/region parents should broadcast")
+  }
 }
