@@ -570,6 +570,9 @@ object Oracles {
     "distribution_profile" -> graft.operators.Stats.distributionProfileOracle,
     "ab_test_results" -> graft.operators.Experiment.abTestResultsOracle,
 
+    "pii_scan" -> graft.text.Dlp.piiScanOracle,
+    "pii_redact" -> graft.text.Dlp.piiRedactOracle,
+
     "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,

@@ -116,7 +116,10 @@ object SparkEntry {
     "behavioral_analytics" -> ((s, d) => Behavior.behavioralAnalytics(s, d)),
 
     "distribution_profile" -> ((s, d) => Stats.distributionProfile(s, d)),
-    "ab_test_results"  -> ((s, d) => Experiment.abTestResults(s, d))
+    "ab_test_results"  -> ((s, d) => Experiment.abTestResults(s, d)),
+
+    "pii_scan"         -> ((s, d) => graft.text.Dlp.piiScan(s, d)),
+    "pii_redact"       -> ((s, d) => graft.text.Dlp.piiRedact(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are
