@@ -573,6 +573,9 @@ object Oracles {
     "pii_scan" -> graft.text.Dlp.piiScanOracle,
     "pii_redact" -> graft.text.Dlp.piiRedactOracle,
 
+    "quality_trends" -> graft.operators.Monitoring.qualityTrendsOracle,
+    "subject_erasure" -> graft.operators.Monitoring.subjectErasureOracle,
+
     "operational_kpis" -> graft.operators.Views.operationalKpisOracle,
     "financial_kpis" -> graft.operators.Views.financialKpisOracle,
     "daily_sales_kpi" -> graft.operators.Views.dailySalesKpiOracle,

@@ -119,7 +119,10 @@ object SparkEntry {
     "ab_test_results"  -> ((s, d) => Experiment.abTestResults(s, d)),
 
     "pii_scan"         -> ((s, d) => graft.text.Dlp.piiScan(s, d)),
-    "pii_redact"       -> ((s, d) => graft.text.Dlp.piiRedact(s, d))
+    "pii_redact"       -> ((s, d) => graft.text.Dlp.piiRedact(s, d)),
+
+    "quality_trends"   -> ((s, d) => Monitoring.qualityTrends(s, d)),
+    "subject_erasure"  -> ((s, d) => Monitoring.subjectErasure(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are
