@@ -37,7 +37,12 @@ object Behavior {
     val w30 = Window.partitionBy("user_id").orderBy("es").rangeBetween(-30 * day, 0)
     val asof = e.agg(max(col("es")).as("g"))
     val windowed = e
-      .withColumn("purchase_velocity", count(lit(1)).over(wVel).cast("double") / lit(24.0))
+      // purchases only — the reference's stream is all purchases so it counts
+      // rows; over a multi-type event stream the purchase-named metric must
+      // filter, or 24 views would read as 1 purchase/hour
+      .withColumn("purchase_velocity",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wVel)
+          .cast("double") / lit(24.0))
       .withColumn("events_7d", count(lit(1)).over(w7).cast("long"))
       .withColumn("__sum30", sum(col("cents")).over(w30))
       .withColumn("__n30", count(lit(1)).over(w30))
@@ -71,7 +76,8 @@ object Behavior {
       |  FROM events
       |), w AS (
       |  SELECT *,
-      |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY es
       |      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 24.0
       |      AS purchase_velocity,
       |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY es

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Vault {
 
   private def hk(cols: Column*): Column =
-    md5(concat_ws("", cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+    md5(concat_ws("\u0001", cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
 
   /** The raw-vault build at order grain: link_order_customer with both hub
     * hash keys plus the order-satellite hashdiff and payload. One scan, zero

@@ -77,12 +77,17 @@ object Dlp {
 
   def redactText(docs: DataFrame): DataFrame = {
     val t = col("text")
+    // the catch-all email pass (`***@domain`) runs AFTER the keep-2 pass and
+    // only reaches 1-char local parts: a local already masked to `xx***` ends
+    // in '*', which is outside the local-part class, so it cannot re-match
     docs.select(
       col("doc_id"),
       regexp_replace(
         regexp_replace(
-          regexp_replace(t,
-            "([A-Za-z0-9._%+-]{2})[A-Za-z0-9._%+-]*@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})", "$1***@$2"),
+          regexp_replace(
+            regexp_replace(t,
+              "([A-Za-z0-9._%+-]{2})[A-Za-z0-9._%+-]*@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})", "$1***@$2"),
+            "[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})", "***@$1"),
           "\\d{3}[-.]\\d{3}[-.](\\d{4})", "***-***-$1"),
         "\\d{3}-\\d{2}-(\\d{4})", "***-**-$1").as("redacted_text"),
       (regexp_count(t, lit(emailPat)) + regexp_count(t, lit(phonePat)) +
@@ -128,8 +133,10 @@ object Dlp {
       |    CAST(len(regexp_extract_all(text, '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT) AS n_redactions,
       |    regexp_replace(
       |      regexp_replace(
-      |        regexp_replace(text,
-      |          '([A-Za-z0-9._%+-]{2})[A-Za-z0-9._%+-]*@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})', '\\1***@\\2', 'g'),
+      |        regexp_replace(
+      |          regexp_replace(text,
+      |            '([A-Za-z0-9._%+-]{2})[A-Za-z0-9._%+-]*@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})', '\\1***@\\2', 'g'),
+      |          '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,})', '***@\\1', 'g'),
       |        '\\d{3}[-.]\\d{3}[-.](\\d{4})', '***-***-\\1', 'g'),
       |      '\\d{3}-\\d{2}-(\\d{4})', '***-**-\\1', 'g') AS redacted_text
       |  FROM planted

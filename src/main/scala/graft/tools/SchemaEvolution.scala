@@ -52,7 +52,8 @@ object SchemaEvolution {
 
   private def backwardIssues(oldS: StructType, newS: StructType): Seq[String] = {
     val newF = newS.fields.map(f => f.name -> f).toMap
-    oldS.fields.toSeq.flatMap { of =>
+    val oldNames = oldS.fieldNames.toSet
+    val existing = oldS.fields.toSeq.flatMap { of =>
       newF.get(of.name) match {
         case None =>
           Seq(s"Field '${of.name}' was removed (breaks backward compatibility)")
@@ -68,6 +69,15 @@ object SchemaEvolution {
           typeIssue ++ nullIssue
       }
     }
+    // an added REQUIRED field also breaks backward reads (old data has no
+    // value for it); the reference files this only under forward
+    // (schema_evolution_manager.py:185) — by its own backward definition
+    // ("new schema can read old data") it belongs here too
+    val addedRequired = newS.fields.toSeq.collect {
+      case nf if !oldNames.contains(nf.name) && !nf.nullable =>
+        s"Added non-nullable field '${nf.name}' (old data has no value for it)"
+    }
+    existing ++ addedRequired
   }
 
   private def forwardIssues(oldS: StructType, newS: StructType): Seq[String] = {

@@ -31,6 +31,17 @@ class DlpSpec extends AnyFunSuite {
       "redacted text still matches a PII pattern")
   }
 
+  test("redact catches 1-char local-part emails the keep-2 mask cannot") {
+    import spark.implicits._
+    val docs = Seq((1L, "reach me at a@example.com or bob@corp.io")).toDF("doc_id", "text")
+    val out = Dlp.redactText(docs).head()
+    assert(out.getAs[Long]("n_redactions") == 2)
+    val t = out.getAs[String]("redacted_text")
+    assert(t.contains("***@example.com") && t.contains("bo***@corp.io"), t)
+    assert(Dlp.scanText(Dlp.redactText(docs).select(col("doc_id"), col("redacted_text").as("text")))
+      .head().getAs[Long]("n_findings") == 0)
+  }
+
   test("redact masks keep the disclosure-safe tail only") {
     val sample = Dlp.piiRedact(spark, dir)
       .filter(col("n_redactions") > 0).head()

@@ -45,6 +45,10 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val (okF, issues) = checkCompatibility(v1, v2, Forward)
     assert(!okF)
     assert(issues == Seq("Added non-nullable field 'extra_req' (breaks forward compatibility)"))
+    // …and backward too: old data has no value for the required column
+    val (okB, issuesB) = checkCompatibility(v1, v2, Backward)
+    assert(!okB)
+    assert(issuesB.exists(_.contains("'extra_req'")))
   }
 
   test("evolution plan: changes, impacts and reversible migration steps") {
