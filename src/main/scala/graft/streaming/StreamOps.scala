@@ -65,6 +65,32 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join (reference
+    * enhanced_kafka_streams.py:40,52-58 — StreamOperation.JOIN with
+    * inner/left/outer JoinType over windows). Spark's native shape: both
+    * sides watermarked, an equi-key plus an event-time interval condition —
+    * the interval bounds how long each side's state lives, so the join runs
+    * unbounded with finite state. `joinType` supports "inner" and
+    * "leftOuter" (left-outer emits unmatched rows once the watermark passes
+    * the interval). Columns are prefixed to keep both sides' timestamps. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id",
+                   intervalSeconds: Long = 600,
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"),
+      joinType)
+  }
+
   /** Built-in session windows (gap-based) per user. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
                        watermark: String = "10 minutes"): DataFrame =

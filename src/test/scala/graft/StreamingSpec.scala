@@ -114,4 +114,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains((1L, 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches same-user events inside the interval only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(clicks.toDF(), buys.toDF(), intervalSeconds = 600)
+      .writeStream.format("memory").queryName("ssj_test").outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 10:00:00"), "click", 1.0))
+      buys.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), "purchase", 9.0),  // inside 10 min
+        Ev(2, ts("2024-01-01 10:30:00"), "purchase", 5.0),  // outside
+        Ev(3, ts("2024-01-01 10:05:00"), "purchase", 3.0))  // no matching click
+      q.processAllAvailable()
+      val out = spark.table("ssj_test").collect()
+        .map(r => (r.getAs[Long]("l_key"), r.getAs[String]("r_type"), r.getAs[Double]("r_value")))
+      assert(out.toSeq == Seq((1L, "purchase", 9.0)), out.mkString(";"))
+    } finally q.stop()
+  }
 }
