@@ -944,6 +944,442 @@ object Oracles {
         |FROM events ASOF LEFT JOIN o
         |  ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin,
 
+    "time_features" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders
+        |), r AS (SELECT MAX(order_date) AS ref_date FROM o)
+        |SELECT o_orderkey, order_date,
+        |  CAST(year(order_date) AS BIGINT) AS order_year,
+        |  CAST(month(order_date) AS BIGINT) AS order_month,
+        |  CAST(day(order_date) AS BIGINT) AS order_day,
+        |  CAST(isodow(order_date) - 1 AS BIGINT) AS order_weekday,
+        |  CAST(quarter(order_date) AS BIGINT) AS order_quarter,
+        |  (isodow(order_date) - 1) IN (5, 6) AS is_weekend,
+        |  sin(2*pi() * month(order_date) / 12.0) AS month_sin,
+        |  cos(2*pi() * month(order_date) / 12.0) AS month_cos,
+        |  sin(2*pi() * (isodow(order_date) - 1) / 7.0) AS weekday_sin,
+        |  cos(2*pi() * (isodow(order_date) - 1) / 7.0) AS weekday_cos,
+        |  CAST(date_diff('day', order_date, ref_date) AS BIGINT) AS days_since
+        |FROM o, r""".stripMargin,
+
+    "group_ratio_features" ->
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country, o_totalprice
+         |  $ordersJoin
+         |), g AS (
+         |  SELECT country AS g_country,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |      AS country_mean_totalprice,
+         |    MAX(o_totalprice) AS country_max_totalprice,
+         |    COUNT(*) AS country_orders
+         |  FROM oc GROUP BY 1
+         |)
+         |SELECT o_orderkey, country, o_totalprice,
+         |  country_mean_totalprice, country_max_totalprice, country_orders,
+         |  o_totalprice / (country_mean_totalprice + 1e-8) AS price_to_country_mean_ratio,
+         |  o_totalprice / (country_max_totalprice + 1e-8) AS price_to_country_max_ratio
+         |FROM oc JOIN g ON country = g_country""".stripMargin,
+
+    "interaction_features" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_discount, l_tax,
+        |  l_quantity * l_extendedprice AS quantity_x_extendedprice,
+        |  l_quantity * l_discount AS quantity_x_discount,
+        |  l_quantity * l_tax AS quantity_x_tax,
+        |  l_extendedprice * l_discount AS extendedprice_x_discount,
+        |  l_extendedprice * l_tax AS extendedprice_x_tax,
+        |  l_discount * l_tax AS discount_x_tax
+        |FROM lineitem""".stripMargin,
+
+    "ks_drift" ->
+      s"""WITH oc AS (
+         |  SELECT n_name AS country,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+         |  $ordersJoin
+         |), counts AS (
+         |  SELECT country, cents,
+         |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cnt_ref,
+         |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cnt_cur
+         |  FROM oc GROUP BY 1, 2
+         |), ecdf AS (
+         |  SELECT country, cnt_ref, cnt_cur,
+         |    CAST(SUM(cnt_ref) OVER (PARTITION BY country ORDER BY cents) AS BIGINT) AS cum_ref,
+         |    CAST(SUM(cnt_cur) OVER (PARTITION BY country ORDER BY cents) AS BIGINT) AS cum_cur,
+         |    CAST(SUM(cnt_ref) OVER (PARTITION BY country) AS BIGINT) AS n_ref,
+         |    CAST(SUM(cnt_cur) OVER (PARTITION BY country) AS BIGINT) AS n_cur
+         |  FROM counts
+         |), g AS (
+         |  SELECT country, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+         |    MAX(abs(CAST(cum_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)
+         |          - CAST(cum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))) AS ks_stat
+         |  FROM ecdf GROUP BY 1
+         |)
+         |SELECT country, n_ref, n_cur, ks_stat,
+         |  ks_stat > 0.1 AS drift_detected,
+         |  CASE WHEN ks_stat > 0.2 THEN 'critical'
+         |       WHEN ks_stat > 0.15 THEN 'high'
+         |       WHEN ks_stat > 0.1 THEN 'medium'
+         |       ELSE 'low' END AS severity
+         |FROM g""".stripMargin,
+
+    "table_health" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders GROUP BY 1
+        |), a AS (SELECT MAX(d) AS ref_d FROM daily),
+        |rc AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN d = ref_d THEN cnt ELSE 0 END) AS BIGINT) AS last_cnt,
+        |    CAST(SUM(CASE WHEN d BETWEEN ref_d - 31 AND ref_d - 2 THEN cnt ELSE 0 END) AS BIGINT) AS hist_cnt,
+        |    CAST(SUM(CASE WHEN d BETWEEN ref_d - 31 AND ref_d - 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist_days,
+        |    SUM(CASE WHEN d = ref_d THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS last_rev,
+        |    SUM(CASE WHEN d BETWEEN ref_d - 31 AND ref_d - 2 THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS hist_rev,
+        |    CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT) AS span_days,
+        |    COUNT(*) AS present_days
+        |  FROM daily, a
+        |), dup AS (
+        |  SELECT CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+        |    COUNT(*) AS total_keys
+        |  FROM (SELECT COUNT(*) AS k FROM lineitem GROUP BY l_orderkey, l_linenumber) t
+        |), nl AS (
+        |  SELECT CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+        |    COUNT(*) AS total_rows
+        |  FROM customer
+        |), ea AS (SELECT MAX(ts) AS e_asof FROM events),
+        |fr AS (
+        |  SELECT CAST(SUM(CASE WHEN ts < e_asof - INTERVAL 24 HOURS THEN 1 ELSE 0 END) AS BIGINT) AS stale_rows,
+        |    COUNT(*) AS total_rows
+        |  FROM events, ea
+        |)
+        |SELECT 'orders' AS table_name, 'row_count_anomaly' AS check_name,
+        |  CAST(last_cnt AS DOUBLE) AS observed,
+        |  CAST(hist_cnt AS DOUBLE) / CAST(hist_days AS DOUBLE) AS expected,
+        |  abs(CAST(last_cnt AS DOUBLE) - CAST(hist_cnt AS DOUBLE) / CAST(hist_days AS DOUBLE))
+        |    / (CAST(hist_cnt AS DOUBLE) / CAST(hist_days AS DOUBLE)) * 100 AS variance_pct,
+        |  abs(CAST(last_cnt AS DOUBLE) - CAST(hist_cnt AS DOUBLE) / CAST(hist_days AS DOUBLE))
+        |    / (CAST(hist_cnt AS DOUBLE) / CAST(hist_days AS DOUBLE)) * 100 <= 50 AS passed
+        |FROM rc
+        |UNION ALL
+        |SELECT 'orders', 'revenue_anomaly',
+        |  CAST(last_rev AS DOUBLE),
+        |  CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE),
+        |  abs(CAST(last_rev AS DOUBLE) - CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE))
+        |    / (CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE)) * 100,
+        |  abs(CAST(last_rev AS DOUBLE) - CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE))
+        |    / (CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE)) * 100 <= 30
+        |FROM rc
+        |UNION ALL
+        |SELECT 'orders', 'temporal_consistency',
+        |  CAST(span_days - present_days AS DOUBLE),
+        |  CAST(span_days AS DOUBLE),
+        |  CAST(present_days AS DOUBLE) / CAST(span_days AS DOUBLE) * 100,
+        |  span_days - present_days = 0
+        |FROM rc
+        |UNION ALL
+        |SELECT 'lineitem', 'duplicate_records',
+        |  CAST(dup_keys AS DOUBLE), CAST(0 AS DOUBLE),
+        |  CAST(dup_keys AS DOUBLE) / CAST(total_keys AS DOUBLE) * 100,
+        |  dup_keys = 0
+        |FROM dup
+        |UNION ALL
+        |SELECT 'customer', 'null_percentage',
+        |  CAST(null_rows AS DOUBLE), CAST(0 AS DOUBLE),
+        |  CAST(null_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) * 100,
+        |  CAST(null_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) * 100 <= 5
+        |FROM nl
+        |UNION ALL
+        |SELECT 'events', 'data_freshness',
+        |  CAST(stale_rows AS DOUBLE), CAST(total_rows AS DOUBLE),
+        |  CAST(stale_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) * 100,
+        |  total_rows > stale_rows
+        |FROM fr""".stripMargin,
+
+    "retention_policy" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+        |), a AS (SELECT MAX(d) AS ref_d FROM o),
+        |b AS (
+        |  SELECT d, o_totalprice,
+        |    CAST(date_diff('day', d, ref_d) AS BIGINT) AS age_days,
+        |    CASE WHEN date_diff('day', d, ref_d) <= 730 THEN 'active'
+        |         WHEN date_diff('day', d, ref_d) <= 1825 THEN 'archive'
+        |         ELSE 'purge' END AS retention_band
+        |  FROM o, a
+        |), t AS (
+        |  SELECT retention_band, COUNT(*) AS row_count,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |    MIN(d) AS oldest_date, MAX(d) AS newest_date,
+        |    MIN(age_days) AS min_age_days, MAX(age_days) AS max_age_days
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT retention_band, row_count, revenue, oldest_date, newest_date,
+        |  min_age_days, max_age_days,
+        |  CAST(row_count AS DOUBLE) / CAST((SELECT SUM(row_count) FROM t) AS DOUBLE) * 100
+        |    AS pct_of_rows
+        |FROM t""".stripMargin,
+
+    "lagged_features" ->
+      s"""WITH daily AS (
+         |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS target
+         |  $ordersJoin
+         |  GROUP BY 1, 2
+         |), lagged AS (
+         |  SELECT country, day, target,
+         |    LAG(target, 1) OVER (PARTITION BY country ORDER BY day) AS lag_1,
+         |    LAG(target, 2) OVER (PARTITION BY country ORDER BY day) AS lag_2,
+         |    LAG(target, 3) OVER (PARTITION BY country ORDER BY day) AS lag_3,
+         |    LAG(target, 4) OVER (PARTITION BY country ORDER BY day) AS lag_4,
+         |    LAG(target, 5) OVER (PARTITION BY country ORDER BY day) AS lag_5,
+         |    LAG(target, 6) OVER (PARTITION BY country ORDER BY day) AS lag_6,
+         |    LAG(target, 7) OVER (PARTITION BY country ORDER BY day) AS lag_7
+         |  FROM daily
+         |)
+         |SELECT * FROM lagged WHERE lag_7 IS NOT NULL""".stripMargin,
+
+    "anomaly_ensemble" ->
+      s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country, o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  $ordersJoin
+         |), a1 AS (
+         |  SELECT country AS a_country, COUNT(*) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS s,
+         |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS center
+         |  FROM oc GROUP BY 1
+         |), a2 AS (
+         |  SELECT a_country AS z_country, n, s, center,
+         |    SUM(CAST(cents - center AS DECIMAL(15,0)) * CAST(cents - center AS DECIMAL(15,0))) AS ssd
+         |  FROM oc JOIN a1 ON country = a_country
+         |  GROUP BY 1, 2, 3, 4
+         |), zs AS (
+         |  SELECT z_country,
+         |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
+         |    CASE WHEN n <= 1 THEN NULL
+         |         ELSE sqrt((CAST(CAST(ssd AS BIGINT) AS DOUBLE)
+         |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 END AS std_price
+         |  FROM a2
+         |), ranked AS (
+         |  SELECT country, cents, o_orderkey,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM oc
+         |), os AS (
+         |  SELECT country AS o_country,
+         |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents,
+         |    MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.25) AS BIGINT)) THEN cents END) AS q1_cents,
+         |    MIN(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END) AS q3_cents
+         |  FROM ranked GROUP BY 1
+         |), dev AS (
+         |  SELECT oc.country, oc.o_orderkey, abs(cents - med_cents) AS absdev
+         |  FROM oc JOIN os ON oc.country = o_country
+         |), ranked2 AS (
+         |  SELECT country, absdev,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY absdev, o_orderkey) AS BIGINT) AS rn2,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM dev
+         |), ms AS (
+         |  SELECT country AS m_country,
+         |    MIN(CASE WHEN rn2 = (n + 1) // 2 THEN absdev END) AS mad_cents
+         |  FROM ranked2 GROUP BY 1
+         |), scored AS (
+         |  SELECT o_orderkey, country, o_totalprice,
+         |    (o_totalprice - mean_price) / std_price AS z,
+         |    CASE WHEN mad_cents = 0 THEN NULL
+         |         ELSE (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) END AS modified_z,
+         |    CAST(cents AS DOUBLE) < CAST(q1_cents AS DOUBLE) - 1.5 * (q3_cents - q1_cents)
+         |      OR CAST(cents AS DOUBLE) > CAST(q3_cents AS DOUBLE) + 1.5 * (q3_cents - q1_cents)
+         |      AS is_iqr_outlier
+         |  FROM oc
+         |  JOIN zs ON country = z_country
+         |  JOIN os ON country = o_country
+         |  JOIN ms ON country = m_country
+         |), votes AS (
+         |  SELECT *,
+         |    (CASE WHEN z IS NULL THEN 0.0 ELSE least(abs(z) / 3.0, 1.0) END
+         |     + CASE WHEN modified_z IS NULL THEN 0.0 ELSE least(abs(modified_z) / 3.5, 1.0) END
+         |     + CASE WHEN is_iqr_outlier THEN 1.0 ELSE 0.0 END) / 3.0 AS ensemble_score,
+         |    CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN abs(modified_z) > 3.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN is_iqr_outlier THEN 1 ELSE 0 END AS BIGINT) AS votes
+         |  FROM scored
+         |)
+         |SELECT o_orderkey, country, o_totalprice, z, modified_z, is_iqr_outlier,
+         |  ensemble_score, votes, votes >= 2 AS is_anomaly,
+         |  CASE WHEN ensemble_score >= 0.9 THEN 'critical'
+         |       WHEN ensemble_score >= 0.7 THEN 'high'
+         |       WHEN ensemble_score >= 0.5 THEN 'medium'
+         |       ELSE 'low' END AS severity
+         |FROM votes""".stripMargin,
+
+    "business_alerts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym
+        |  FROM orders
+        |), monthly AS (
+        |  SELECT ym, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM o GROUP BY 1
+        |), growth AS (
+        |  SELECT ym, 'revenue_growth_rate' AS metric,
+        |    (CAST(rev AS DOUBLE) - CAST(LAG(rev, 1) OVER (ORDER BY ym) AS DOUBLE))
+        |      / CAST(LAG(rev, 1) OVER (ORDER BY ym) AS DOUBLE) AS value
+        |  FROM monthly
+        |  QUALIFY LAG(rev, 1) OVER (ORDER BY ym) IS NOT NULL
+        |), g2 AS (
+        |  SELECT ym, metric, value,
+        |    CASE WHEN value <= -0.20 THEN 'emergency'
+        |         WHEN value <= -0.10 THEN 'critical'
+        |         WHEN value <= -0.05 THEN 'warning'
+        |         ELSE 'ok' END AS severity
+        |  FROM growth
+        |), active AS (
+        |  SELECT DISTINCT o_custkey, ym FROM o
+        |), prev_counts AS (
+        |  SELECT ym, COUNT(*) AS prev_buyers FROM active GROUP BY 1
+        |), retained AS (
+        |  SELECT p.ym AS prev_ym, COUNT(*) AS retained_buyers
+        |  FROM active p JOIN active c
+        |    ON p.o_custkey = c.o_custkey AND c.ym = p.ym + 1
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT pc.ym + 1 AS ym, 'customer_retention_rate' AS metric,
+        |    CAST(coalesce(retained_buyers, 0) AS DOUBLE) / CAST(prev_buyers AS DOUBLE) AS value
+        |  FROM prev_counts pc
+        |  LEFT JOIN retained ON pc.ym = prev_ym
+        |  WHERE pc.ym + 1 IN (SELECT ym FROM monthly)
+        |), r3 AS (
+        |  SELECT ym, metric, value,
+        |    CASE WHEN value < 0.65 THEN 'emergency'
+        |         WHEN value < 0.75 THEN 'critical'
+        |         WHEN value < 0.85 THEN 'warning'
+        |         ELSE 'ok' END AS severity
+        |  FROM r2
+        |), un AS (
+        |  SELECT * FROM g2 UNION ALL SELECT * FROM r3
+        |)
+        |SELECT metric, value, severity,
+        |  ym // 12 AS alert_year,
+        |  CAST(ym % 12 + 1 AS BIGINT) AS alert_month,
+        |  severity <> 'ok' AS is_alert
+        |FROM un""".stripMargin,
+
+    "product_features" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_partkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |    l_extendedprice, l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day
+        |  FROM lineitem
+        |), f AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, ship_date, l_extendedprice,
+        |    CAST(COUNT(*) OVER w7 AS BIGINT) AS popularity_7d,
+        |    CAST(COUNT(*) OVER w30 AS BIGINT) AS n30,
+        |    CAST(SUM(cents) OVER w30 AS BIGINT) AS s30,
+        |    CAST(SUM(CAST(cents AS DECIMAL(15,0)) * CAST(cents AS DECIMAL(15,0))) OVER w30 AS BIGINT) AS ss30,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) OVER w7 AS BIGINT) AS returns_7d
+        |  FROM l
+        |  WINDOW
+        |    w7 AS (PARTITION BY l_partkey ORDER BY ship_day RANGE BETWEEN 7 PRECEDING AND CURRENT ROW),
+        |    w30 AS (PARTITION BY l_partkey ORDER BY ship_day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT l_orderkey, l_linenumber, l_partkey, ship_date, l_extendedprice,
+        |  popularity_7d,
+        |  CASE WHEN n30 <= 1 THEN NULL
+        |       ELSE sqrt((CAST(ss30 AS DOUBLE)
+        |         - (CAST(s30 AS DOUBLE) * CAST(s30 AS DOUBLE)) / CAST(n30 AS DOUBLE))
+        |         / (CAST(n30 AS DOUBLE) - 1)) / 100.0 END AS price_volatility_30d,
+        |  returns_7d,
+        |  CAST(returns_7d AS DOUBLE) / CAST(popularity_7d AS DOUBLE) AS return_rate_7d
+        |FROM f""".stripMargin,
+
+    "event_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |    CAST(hour(ts) AS BIGINT) AS hour_of_day
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id AS s_user, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+        |    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv
+        |  FROM e GROUP BY 1
+        |), us AS (
+        |  SELECT s_user,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS user_mean,
+        |    CASE WHEN n <= 1 THEN 0.0
+        |         ELSE sqrt((CAST(svv AS DOUBLE)
+        |           - (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) - 1)) END AS user_std
+        |  FROM st
+        |), z AS (
+        |  SELECT event_id, user_id, event_type, hour_of_day, value,
+        |    (value - user_mean) / (user_std + 0.001) AS value_zscore
+        |  FROM e JOIN us ON user_id = s_user
+        |), fl AS (
+        |  SELECT *,
+        |    abs(value_zscore) > 3.0 AS is_value_anomaly,
+        |    value > 100.0 AS is_volume_anomaly,
+        |    hour_of_day < 6 OR hour_of_day > 23 AS is_time_anomaly
+        |  FROM z
+        |), sc AS (
+        |  SELECT *,
+        |    CASE WHEN is_value_anomaly THEN 4 ELSE 0 END
+        |      + CASE WHEN is_volume_anomaly THEN 3 ELSE 0 END
+        |      + CASE WHEN is_time_anomaly THEN 2 ELSE 0 END AS tenths
+        |  FROM fl
+        |)
+        |SELECT event_id, user_id, event_type, hour_of_day, value, value_zscore,
+        |  is_value_anomaly, is_volume_anomaly, is_time_anomaly,
+        |  CAST(tenths AS DOUBLE) / 10.0 AS anomaly_score,
+        |  tenths > 5 AS is_anomaly
+        |FROM sc""".stripMargin,
+
+    "cross_consistency" ->
+      """WITH lt AS (
+        |  SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS line_total,
+        |    MIN(l_shipdate) AS first_ship
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, lt.l_orderkey,
+        |    lt.line_total, lt.first_ship
+        |  FROM orders o FULL OUTER JOIN lt ON o.o_orderkey = lt.l_orderkey
+        |), a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS records_1,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS records_2,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS common_records,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL AND l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_2,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+        |      AND abs(o_totalprice - CAST(line_total AS DOUBLE)) >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS total_mismatch,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+        |      AND first_ship < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order
+        |  FROM j
+        |)
+        |SELECT 'key_overlap' AS check_id, 'orders~lineitem' AS dataset_pair,
+        |  records_1, records_2, common_records, only_1, only_2,
+        |  only_1 + only_2 AS inconsistent,
+        |  1.0 - CAST(only_1 + only_2 AS DOUBLE) / CAST(records_1 + records_2 AS DOUBLE) AS consistency_rate,
+        |  only_1 + only_2 = 0 AS passed
+        |FROM a
+        |UNION ALL
+        |SELECT 'total_consistency', 'orders~lineitem',
+        |  records_1, records_2, common_records, only_1, only_2,
+        |  total_mismatch,
+        |  1.0 - CAST(total_mismatch AS DOUBLE) / CAST(common_records AS DOUBLE),
+        |  total_mismatch = 0
+        |FROM a
+        |UNION ALL
+        |SELECT 'ship_after_order', 'orders~lineitem',
+        |  records_1, records_2, common_records, only_1, only_2,
+        |  ship_before_order,
+        |  1.0 - CAST(ship_before_order AS DOUBLE) / CAST(common_records AS DOUBLE),
+        |  ship_before_order = 0
+        |FROM a""".stripMargin,
+
     "anomaly_orders" ->
       s"""WITH oc AS (
          |  SELECT o_orderkey, n_name AS country, o_totalprice,

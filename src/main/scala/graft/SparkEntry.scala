@@ -122,7 +122,29 @@ object SparkEntry {
     "pii_redact"       -> ((s, d) => graft.text.Dlp.piiRedact(s, d)),
 
     "quality_trends"   -> ((s, d) => Monitoring.qualityTrends(s, d)),
-    "subject_erasure"  -> ((s, d) => Monitoring.subjectErasure(s, d))
+    "subject_erasure"  -> ((s, d) => Monitoring.subjectErasure(s, d)),
+
+    // ML feature-pipeline transformers (reference: feature_pipeline.py:95,148,200)
+    "time_features"        -> ((s, d) => FeaturePipeline.timeFeatures(s, d)),
+    "group_ratio_features" -> ((s, d) => FeaturePipeline.groupRatioFeatures(s, d)),
+    "interaction_features" -> ((s, d) => FeaturePipeline.interactionFeatures(s, d)),
+    // drift detection (reference: model_monitor.py:144-260)
+    "ks_drift"         -> ((s, d) => Drift.ksDrift(s, d)),
+    "js_drift"         -> ((s, d) => Drift.jsDrift(s, d)),
+    // dbt data-quality macros + retention (data_quality_checks.sql, data_retention.sql)
+    "table_health"     -> ((s, d) => TableHealth.tableHealth(s, d)),
+    "retention_policy" -> ((s, d) => Retention.retentionPolicy(s, d)),
+    // ensemble anomaly vote (reference: predictive_engine.py:673-826)
+    "anomaly_ensemble" -> ((s, d) => Ensemble.anomalyEnsemble(s, d)),
+    // lagged supervised matrix (reference: predictive_engine.py:379)
+    "lagged_features"  -> ((s, d) => FeaturePipeline.laggedFeatures(s, d)),
+    // business alert ladders (reference: bi_dashboard_integration.py:138)
+    "business_alerts"  -> ((s, d) => Alerts.businessAlerts(s, d)),
+    // realtime feature catalog + rule composite (realtime_analytics_ml.py:167,952)
+    "product_features" -> ((s, d) => RealtimeFeatures.productFeatures(s, d)),
+    "event_anomalies"  -> ((s, d) => RealtimeFeatures.eventAnomalies(s, d)),
+    // cross-dataset consistency (smart_validator.py:580)
+    "cross_consistency" -> ((s, d) => CrossConsistency.crossConsistency(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

@@ -136,4 +136,20 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(graft.operators.Integrity.referentialIntegrity(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), "nation/region parents should broadcast")
   }
+
+  test("interaction features are a pure projection: no exchange") {
+    val plan = formatted(graft.operators.FeaturePipeline.interactionFeatures(spark, dir))
+    assert(!plan.contains("Exchange"), "pairwise products must not shuffle")
+  }
+
+  test("group ratio features broadcast the 25-row group stats back") {
+    val plan = formatted(graft.operators.FeaturePipeline.groupRatioFeatures(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "group stats should broadcast")
+  }
+
+  test("ks drift windows stay partitioned by country") {
+    val plan = formatted(graft.operators.Drift.ksDrift(spark, dir))
+    assert(!plan.contains("SinglePartition"), "ECDF window collapsed to one partition")
+    assert(plan.contains("Window"), "cumulative ECDF window missing")
+  }
 }
