@@ -5,17 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line. `count()` is the action; every query keeps its
   * aggregates/joins as the final operators, so nothing hides behind a
-  * skipped projection. Queries run in sorted-name order (stable timing
-  * attribution), with a table-scan warmup so JVM/codegen startup isn't
-  * charged to the first query.
+  * skipped projection.
   *
-  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) back-to-back
-  * and reports its per-query MEDIAN; total = sum of medians. This is the
-  * variance protocol BASELINE.md records: single-run numbers on this shared
-  * box can absorb a co-tenant stall (r3's recorded 156.6 s vs an 80.3 s
-  * re-run of the same commit), and the median of three adjacent runs is
-  * robust to one contended window while also not crediting first-run
-  * codegen-compile cost to steady-state throughput.
+  * Timing protocol: SWEEPS, not back-to-back repeats. A sweep times every
+  * query exactly once, in sorted-name order; the whole sweep is repeated
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and each query reports its
+  * MIN across sweeps (median also emitted for the contention monitor).
+  * Rationale (BASELINE.md): on this shared box a sustained co-tenant stall
+  * lasting minutes poisons *all three* back-to-back runs of the queries it
+  * overlaps — BENCH_r07 recorded 12–34 s "minimums" for five alphabetically
+  * adjacent sub-second queries that way. With sweeps the same stall overlaps
+  * each query in at most one sweep out of three, so min-across-sweeps
+  * recovers the steady-state number. Per-sweep wall-clock totals are emitted
+  * so a contended sweep is visible in the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,8 +39,11 @@ object Bench {
       .foreach(t => Tables.read(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // sweeps(s)(i) = time of query i in sweep s, None on failure
+    val sweeps: Seq[(Double, Seq[Option[Double]])] = (1 to runs).map { _ =>
+      val s0 = System.nanoTime()
+      val times = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -46,14 +51,16 @@ object Bench {
           finally spark.catalog.clearCache()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      // median of the successful runs (even count → lower middle, i.e. the
-      // faster of the two central observations); min is the contention-robust
-      // statistic on this shared box — the median-vs-min spread IS the
-      // co-tenant-contention indicator (BASELINE.md: gate on min, monitor
-      // median)
+      ((System.nanoTime() - s0) / 1e9, times)
+    }
+
+    val results = names.zipWithIndex.map { case ((name, _), i) =>
+      val times = sweeps.flatMap(_._2(i))
+      // min across sweeps is the contention-robust statistic (a stall hits a
+      // query in at most one sweep); median across sweeps is the monitor —
+      // the median-vs-min spread IS the co-tenant-contention indicator
       val median = times.sorted.lift((times.size - 1) / 2)
-      val minT = times.minOption
-      (name, median.getOrElse(0.0), minT.getOrElse(0.0), times.size == runs)
+      (name, median.getOrElse(0.0), times.minOption.getOrElse(0.0), times.size == runs)
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -64,7 +71,8 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
     val totalMin = results.collect { case (_, _, m, true) => m }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
+    val sweepTotals = sweeps.map(s => num(s._1)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"sweep_wall_sec":$sweepTotals,"protocol":"min-across-$runs-sweeps","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)
   }
