@@ -543,6 +543,8 @@ object Oracles {
         |FROM orders""".stripMargin,
 
     "corr_matrix" -> graft.operators.Stats.corrMatrixOracle,
+    "corr_significance" -> graft.operators.Stats.corrSignificanceOracle,
+    "corr_clusters" -> graft.operators.Stats.corrClustersOracle,
 
     "trend_detection" -> graft.operators.Stats.trendDetectionOracle,
 
@@ -572,6 +574,8 @@ object Oracles {
 
     "pii_scan" -> graft.text.Dlp.piiScanOracle,
     "pii_redact" -> graft.text.Dlp.piiRedactOracle,
+
+    "training_matrix" -> graft.operators.FeatureStore.trainingMatrixOracle,
 
     "quality_trends" -> graft.operators.Monitoring.qualityTrendsOracle,
     "subject_erasure" -> graft.operators.Monitoring.subjectErasureOracle,
@@ -1015,13 +1019,18 @@ object Oracles {
          |          - CAST(cum_cur AS DOUBLE) / CAST(n_cur AS DOUBLE))) AS ks_stat
          |  FROM ecdf GROUP BY 1
          |)
-         |SELECT country, n_ref, n_cur, ks_stat,
-         |  ks_stat > 0.1 AS drift_detected,
-         |  CASE WHEN ks_stat > 0.2 THEN 'critical'
+         |SELECT country, n_ref, n_cur,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE ks_stat END AS ks_stat,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE ks_stat > 0.1 END AS drift_detected,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+         |       WHEN ks_stat > 0.2 THEN 'critical'
          |       WHEN ks_stat > 0.15 THEN 'high'
          |       WHEN ks_stat > 0.1 THEN 'medium'
          |       ELSE 'low' END AS severity
          |FROM g""".stripMargin,
+
+    "cat_drift" -> graft.operators.Drift.catDriftOracle,
+    "prediction_drift" -> graft.operators.Drift.predictionDriftOracle,
 
     "table_health" ->
       """WITH daily AS (

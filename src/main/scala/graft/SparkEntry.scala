@@ -42,6 +42,8 @@ object SparkEntry {
     "date_gaps"        -> ((s, d) => Quality.dateGaps(s, d)),
     "drift_check"      -> ((s, d) => Quality.driftCheck(s, d)),
     "corr_matrix"      -> ((s, d) => Stats.corrMatrix(s, d)),
+    "corr_significance" -> ((s, d) => Stats.corrSignificance(s, d)),
+    "corr_clusters"    -> ((s, d) => Stats.corrClusters(s, d)),
     "trend_detection"  -> ((s, d) => Stats.trendDetection(s, d)),
     "descriptive_stats" -> ((s, d) => Stats.descriptiveStats(s, d)),
     "stationarity_check" -> ((s, d) => Stats.stationarityCheck(s, d)),
@@ -74,6 +76,8 @@ object SparkEntry {
     "snapshot_diff"    -> ((s, d) => Incremental.snapshotDiffCustomers(s, d)),
     "asof_join"        -> ((s, d) => AsOf.eventsAsofOrders(s, d)),
     "asof_native"      -> ((s, d) => AsOf.eventsAsofOrdersNative(s, d)),
+    // point-in-time feature retrieval (reference: feature_store.py:440-523)
+    "training_matrix"  -> ((s, d) => FeatureStore.trainingMatrix(s, d)),
     // LLM-pipeline: text analysis (SURVEY §2 #29-32)
     "text_stats"       -> ((s, d) => graft.text.TextOps.textStats(s, d)),
     "token_counts"     -> ((s, d) => graft.text.TextOps.tokenCounts(s, d)),
@@ -109,6 +113,7 @@ object SparkEntry {
     "anomalous_periods" -> ((s, d) => TimeSeries.anomalousPeriods(s, d)),
     "seasonality_check" -> ((s, d) => TimeSeries.seasonalityCheck(s, d)),
     "normality_check"  -> ((s, d) => Stats.normalityCheck(s, d)),
+    "dagostino_check"  -> ((s, d) => Stats.dagostinoCheck(s, d)),
 
     "vault_model"      -> ((s, d) => Vault.vaultModel(s, d)),
     "vault_integrity"  -> ((s, d) => Vault.vaultIntegrity(s, d)),
@@ -131,6 +136,9 @@ object SparkEntry {
     // drift detection (reference: model_monitor.py:144-260)
     "ks_drift"         -> ((s, d) => Drift.ksDrift(s, d)),
     "js_drift"         -> ((s, d) => Drift.jsDrift(s, d)),
+    "cat_drift"        -> ((s, d) => Drift.catDrift(s, d)),
+    "psi_drift"        -> ((s, d) => Drift.psiDrift(s, d)),
+    "prediction_drift" -> ((s, d) => Drift.predictionDrift(s, d)),
     // dbt data-quality macros + retention (data_quality_checks.sql, data_retention.sql)
     "table_health"     -> ((s, d) => TableHealth.tableHealth(s, d)),
     "retention_policy" -> ((s, d) => Retention.retentionPolicy(s, d)),

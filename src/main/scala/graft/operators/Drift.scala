@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,10 +55,20 @@ object Drift {
       .agg(
         max(col("n_ref")).as("n_ref"),
         max(col("n_cur")).as("n_cur"),
-        max(col("ecdf_gap")).as("ks_stat"))
-      .withColumn("drift_detected", col("ks_stat") > 0.1)
+        max(col("ecdf_gap")).as("__gap"))
+      // one-sided windows (a country with zero rows on either side of the
+      // split) have no two-sample ECDF: the raw gap is NaN/Inf there, so the
+      // stat and its decisions are NULL, not a garbage severity
+      .withColumn("ks_stat",
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null).cast("double"))
+          .otherwise(col("__gap")))
+      .drop("__gap")
+      .withColumn("drift_detected",
+        when(col("ks_stat").isNull, lit(null).cast("boolean"))
+          .otherwise(col("ks_stat") > 0.1))
       .withColumn("severity",
-        when(col("ks_stat") > 0.2, "critical")
+        when(col("ks_stat").isNull, lit(null).cast("string"))
+          .when(col("ks_stat") > 0.2, "critical")
           .when(col("ks_stat") > 0.15, "high")
           .when(col("ks_stat") > 0.1, "medium")
           .otherwise("low"))
@@ -68,7 +78,13 @@ object Drift {
     * equal-width bins over the combined [min, max], densities normalized to
     * probabilities with 1e-8 epsilon smoothing, JS distance = sqrt(JSD).
     * Rows-only (ln is not bitwise-portable); DriftSpec pins the math on a
-    * hand-computed case and bounds: 0 ≤ js ≤ sqrt(ln 2), js(self)=0. */
+    * hand-computed case and bounds: 0 ≤ js ≤ sqrt(ln 2), js(self)=0.
+    *
+    * Two documented deviations from the reference's numerics (~1e-8 effect):
+    * np.histogram over np.linspace(min, max, 50) yields 49 bins where this
+    * uses a round 50, and the smoothing normalizer (1 + ε·bins) assumes all
+    * bins occupied while p0/q0 are normalized over occupied bins only — the
+    * smoothed probabilities sum to 1 only up to O(ε). Same drift contract. */
   def jsDrift(spark: SparkSession, dir: String): DataFrame = {
     val bins = 50
     val oc = Tables.ordersWithCountry(spark, dir)
@@ -102,5 +118,349 @@ object Drift {
         sum(col("cnt_cur")).as("n_cur"),
         sqrt((sum(col("kl_pm")) + sum(col("kl_qm"))) / 2).as("js_distance"))
       .withColumn("drift_detected", col("js_distance") > 0.1)
+  }
+
+  /** χ²(df) 95% critical values for df 1..30 (regularized-incomplete-gamma
+    * quantiles; the JB/ab_test precedent — decisions against a shared literal
+    * instead of a transcendental p-value). NULL beyond the ladder. */
+  private val chi2Crit95 = Seq(
+    3.8414588206941245, 5.991464547107977, 7.8147279032511765, 9.48772903678115,
+    11.070497693516348, 12.591587243743977, 14.067140449340165, 15.507313055865446,
+    16.918977604620444, 18.307038053275143, 19.675137572682488, 21.026069817483055,
+    22.36203249482694, 23.684791304840566, 24.995790139728612, 26.296227604864228,
+    27.587111638275317, 28.86929943039263, 30.14352720564616, 31.410432844230932,
+    32.6705733409173, 33.92443847144379, 35.17246162690806, 36.4150285018073,
+    37.65248413348276, 38.88513865983005, 40.11327206941361, 41.33713815142741,
+    42.556967804292654, 43.77297182574216)
+
+  private def chi2Critical95(df: Column): Column =
+    chi2Crit95.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (v, i)) => when(df === (i + 1), lit(v)).otherwise(acc)
+    }
+
+  /** Per-category (category, cnt_ref, cnt_cur) contingency counts plus the
+    * category-sorted cell array and window totals — the shared first stage of
+    * [[featureChi2]] and [[featurePsi]]. `src` must have columns
+    * (category: string, is_ref: boolean). */
+  private def featureCells(src: DataFrame): DataFrame =
+    src.groupBy("category")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cnt_cur"))
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum("cnt_ref").as("n_ref"),
+        sum("cnt_cur").as("n_cur"),
+        array_sort(collect_list(struct(col("category"), col("cnt_ref"), col("cnt_cur"))))
+          .as("cells"))
+
+  /** Chi-square contingency drift for one categorical feature
+    * (model_monitor.py:295-312, `stats.chi2_contingency` over the k×2
+    * ref/cur table). Algebra: with d_i = cntRef_i·nCur − cntCur_i·nRef and
+    * r_i = cntRef_i + cntCur_i, χ² = (Σ_i d_i²/r_i) / (nRef·nCur) —
+    * exactly `Σ (O−E)²/E`, but every d_i is exact DECIMAL arithmetic and
+    * only the per-cell term and final scaling run in IEEE double. The Σ_i
+    * folds over the category-SORTED cell array (seasonality_check's
+    * fixed-order-sum recipe generalized to data-dependent categories), so
+    * the double accumulation order is deterministic in both engines.
+    *
+    * drift_score = χ²/k, thresholds ×1/×1.5/×2 on 0.1 and the severity
+    * ladder mirror model_monitor.py:340-352; significance is χ² vs the
+    * χ²(df) 95% critical value (df = k−1; k×2 table ⇒ no Yates term for
+    * k > 2). A one-sided window (nRef or nCur = 0) reports χ² = 0, the
+    * reference's `except` contract. Scale: one groupBy on the category (k
+    * distinct keys), one k-row fold — the cell array is bounded by feature
+    * cardinality, which is what "low-cardinality categorical" means. */
+  def featureChi2(src: DataFrame, fname: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val kD = col("n_categories").cast("double")
+    val nRefD = col("n_ref").cast("double")
+    val nCurD = col("n_cur").cast("double")
+    val fold = aggregate(col("cells"), lit(0.0), (acc, x) => {
+      val d = (dec(x("cnt_ref")) * dec(col("n_cur")) - dec(x("cnt_cur")) * dec(col("n_ref")))
+        .cast("double")
+      val r = (x("cnt_ref") + x("cnt_cur")).cast("double")
+      acc + d * d / r
+    })
+    val chi2 = when(col("n_ref") === 0 || col("n_cur") === 0, lit(0.0))
+      .otherwise(fold / (nRefD * nCurD))
+    featureCells(src)
+      .withColumn("chi2_stat", chi2)
+      .withColumn("df", (col("n_categories") - 1).cast("long"))
+      .withColumn("chi2_critical", chi2Critical95(col("df")))
+      .withColumn("significant",
+        when(col("chi2_critical").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_stat") > col("chi2_critical")))
+      .withColumn("drift_score", col("chi2_stat") / kD)
+      .withColumn("drift_detected", col("drift_score") > 0.1)
+      .withColumn("severity",
+        when(col("drift_score") > 0.2, "critical")
+          .when(col("drift_score") > 0.15, "high")
+          .when(col("drift_score") > 0.1, "medium")
+          .otherwise("low"))
+      .select(lit(fname).as("feature"), col("n_categories"), col("n_ref"), col("n_cur"),
+        col("chi2_stat"), col("df"), col("chi2_critical"), col("significant"),
+        col("drift_score"), col("drift_detected"), col("severity"))
+  }
+
+  /** Population-stability index for one categorical feature: PSI =
+    * Σ_i (q_i − p_i)·ln(q_i/p_i) over smoothed category shares, the
+    * industry-standard categorical drift score (the reference's categorical
+    * JS branch at model_monitor.py:316-325 fills the same role; PSI is its
+    * per-category-share analog). Smoothing is jsDrift's recipe — p =
+    * (p0 + ε)/(1 + ε·k), ε = 1e-8 — so empty cells contribute finitely.
+    * Rows-only (ln): DriftSpec pins a hand-computed case and the
+    * psi(self) = 0 / psi ≥ 0 bounds. Bands at 0.1/0.25 are the conventional
+    * stable/moderate/significant PSI cut points. */
+  def featurePsi(src: DataFrame, fname: String): DataFrame = {
+    val eps = lit(1e-8)
+    val kD = col("n_categories").cast("double")
+    val nRefD = col("n_ref").cast("double")
+    val nCurD = col("n_cur").cast("double")
+    val fold = aggregate(col("cells"), lit(0.0), (acc, x) => {
+      val p = (x("cnt_ref").cast("double") / nRefD + eps) / (lit(1.0) + eps * kD)
+      val q = (x("cnt_cur").cast("double") / nCurD + eps) / (lit(1.0) + eps * kD)
+      acc + (q - p) * log(q / p)
+    })
+    featureCells(src)
+      .withColumn("psi",
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(null).cast("double"))
+          .otherwise(fold))
+      .withColumn("stability",
+        when(col("psi").isNull, lit(null).cast("string"))
+          .when(col("psi") > 0.25, "significant")
+          .when(col("psi") > 0.1, "moderate")
+          .otherwise("stable"))
+      .select(lit(fname).as("feature"), col("n_categories"), col("n_ref"), col("n_cur"),
+        col("psi"), col("stability"))
+  }
+
+  /** The two low-cardinality order features, split on [[SplitDate]]. */
+  private def categoricalSources(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val oc = Tables.ordersWithCountry(spark, dir)
+    def src(c: Column) = oc.select(c.as("category"),
+      (col("o_orderdate") < lit(SplitDate)).as("is_ref"))
+    Seq("country" -> src(col("country")),
+      "order_priority" -> src(col("o_orderpriority")))
+  }
+
+  /** Categorical drift report: chi-square contingency test per categorical
+    * feature (country, order_priority) — one row per feature. Oracle-exact
+    * (the Σ is a sorted fixed-order fold; see [[featureChi2]]). */
+  def catDrift(spark: SparkSession, dir: String): DataFrame =
+    categoricalSources(spark, dir)
+      .map { case (f, src) => featureChi2(src, f) }
+      .reduce(_.unionByName(_))
+
+  /** PSI report over the same categorical features — rows-only (ln). */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    categoricalSources(spark, dir)
+      .map { case (f, src) => featurePsi(src, f) }
+      .reduce(_.unionByName(_))
+
+  /** Two-sided normal critical values (5% / 1% / 0.1%) for the prediction
+    * z-test severity ladder. Shared literals on both engines — the decision
+    * contract, not a transcendental p-value. */
+  private val Z95 = 1.959963984540054
+  private val Z99 = 2.5758293035489004
+  private val Z999 = 3.2905267314919255
+
+  /** Prediction drift (reference: model_monitor.py:367-445,
+    * PredictionDriftDetector — distribution shift of a model's scores
+    * between the reference and current windows). The score source is the
+    * library's own model: the per-country OLS daily-revenue predictor
+    * (Forecast.salesForecast's fit), trained on the REFERENCE window only
+    * and scored over both windows — prediction drift over a trending series
+    * is then a real signal, not a tautology.
+    *
+    * Deviation from the reference (documented): scipy's ks_2samp on the
+    * prediction series is already re-expressed for feature drift as
+    * [[ksDrift]]; predictions are doubles, and an ECDF over computed doubles
+    * is not an oracle-safe grain. Instead the shift test is a Welch z-test
+    * on the prediction mean — and because pred_i = a + b·x_i is affine in
+    * the day index, every window statistic has a CLOSED FORM in the exact
+    * integer x-moments: mean_g = a + b·(Σx_g/n_g), var_g = b²·s²_x,g. No
+    * per-row double aggregation anywhere, so the whole query is
+    * rational-arithmetic deterministic and hash-exact against DuckDB.
+    * Mean/std per window mirror the reference's ref_stats/curr_stats block;
+    * severity grades |z| on the 5%/1%/0.1% two-sided normal ladder.
+    *
+    * Scale: one daily rollup shuffle + one per-country moment aggregate —
+    * identical shape to sales_forecast; nothing driver-side. */
+  def predictionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.ordersWithCountry(spark, dir)
+      .select(col("country"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("country", "day").agg(sum("cents").as("y"))
+      .withColumn("x", datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+      .withColumn("is_ref", col("day") < lit(SplitDate).cast("date"))
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val m = daily.groupBy("country").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"),
+      sum(when(col("is_ref"), col("x"))).as("sx_ref"),
+      sum(when(col("is_ref"), col("y"))).as("sy_ref"),
+      sum(when(col("is_ref"), dec(col("x")) * dec(col("y")))).as("sxy_ref"),
+      sum(when(col("is_ref"), dec(col("x")) * dec(col("x")))).as("sxx_ref"),
+      sum(when(!col("is_ref"), col("x"))).as("sx_cur"),
+      sum(when(!col("is_ref"), dec(col("x")) * dec(col("x")))).as("sxx_cur"))
+    val nR = col("n_ref").cast("double")
+    val nC = col("n_cur").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val num = nR * d("sxy_ref") - d("sx_ref") * d("sy_ref")
+    val den = nR * d("sxx_ref") - d("sx_ref") * d("sx_ref")
+    val bad = col("n_ref") < 3 || col("n_cur") < 2 || den === 0.0
+    val b = num / den
+    val a = (d("sy_ref") - (num / den) * d("sx_ref")) / nR
+    // pred = a + b·x ⇒ window stats in closed form from the x-moments
+    val meanRef = a + b * (d("sx_ref") / nR)
+    val meanCur = a + b * (d("sx_cur") / nC)
+    val varRef = b * b * ((d("sxx_ref") - d("sx_ref") * d("sx_ref") / nR) / (nR - lit(1.0)))
+    val varCur = b * b * ((d("sxx_cur") - d("sx_cur") * d("sx_cur") / nC) / (nC - lit(1.0)))
+    val zDen = sqrt(varRef / nR + varCur / nC)
+    val z = (meanCur - meanRef) / zDen
+    def guarded(c: Column): Column = when(bad, lit(null).cast("double")).otherwise(c)
+    m
+      .withColumn("mean_ref", guarded(meanRef / 100.0))
+      .withColumn("mean_cur", guarded(meanCur / 100.0))
+      .withColumn("std_ref", guarded(sqrt(varRef) / 100.0))
+      .withColumn("std_cur", guarded(sqrt(varCur) / 100.0))
+      .withColumn("z_mean",
+        when(bad, lit(null).cast("double"))
+          .when(zDen === 0.0, lit(null).cast("double"))
+          .otherwise(z))
+      .withColumn("drift_detected",
+        when(col("z_mean").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_mean")) > Z95))
+      .withColumn("severity",
+        when(col("z_mean").isNull, lit(null).cast("string"))
+          .when(abs(col("z_mean")) > Z999, "critical")
+          .when(abs(col("z_mean")) > Z99, "high")
+          .when(abs(col("z_mean")) > Z95, "medium")
+          .otherwise("low"))
+      .select("country", "n_ref", "n_cur", "mean_ref", "mean_cur",
+        "std_ref", "std_cur", "z_mean", "drift_detected", "severity")
+  }
+
+  /** DuckDB oracle mirroring predictionDrift. */
+  def predictionDriftOracle: String =
+    s"""WITH daily AS (
+       |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2
+       |), xy AS (
+       |  SELECT country, y,
+       |    CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS x,
+       |    day < DATE '$SplitDate' AS is_ref
+       |  FROM daily
+       |), m AS (
+       |  SELECT country,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+       |    CAST(SUM(CASE WHEN is_ref THEN x END) AS BIGINT) AS sx_ref,
+       |    CAST(SUM(CASE WHEN is_ref THEN y END) AS BIGINT) AS sy_ref,
+       |    SUM(CASE WHEN is_ref THEN CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) END) AS sxy_ref,
+       |    SUM(CASE WHEN is_ref THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) END) AS sxx_ref,
+       |    CAST(SUM(CASE WHEN NOT is_ref THEN x END) AS BIGINT) AS sx_cur,
+       |    SUM(CASE WHEN NOT is_ref THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) END) AS sxx_cur
+       |  FROM xy GROUP BY 1
+       |), p AS (
+       |  SELECT country, n_ref, n_cur,
+       |    CAST(n_ref AS DOUBLE) AS nr, CAST(n_cur AS DOUBLE) AS nc,
+       |    CAST(sx_ref AS DOUBLE) AS sxr, CAST(sy_ref AS DOUBLE) AS syr,
+       |    CAST(sxy_ref AS DOUBLE) AS sxyr, CAST(sxx_ref AS DOUBLE) AS sxxr,
+       |    CAST(sx_cur AS DOUBLE) AS sxc, CAST(sxx_cur AS DOUBLE) AS sxxc,
+       |    n_ref < 3 OR n_cur < 2
+       |      OR (CAST(n_ref AS DOUBLE) * CAST(sxx_ref AS DOUBLE) - CAST(sx_ref AS DOUBLE) * CAST(sx_ref AS DOUBLE)) = 0.0 AS bad
+       |  FROM m
+       |), q AS (
+       |  SELECT *,
+       |    (nr * sxyr - sxr * syr) / (nr * sxxr - sxr * sxr) AS b,
+       |    (syr - ((nr * sxyr - sxr * syr) / (nr * sxxr - sxr * sxr)) * sxr) / nr AS a
+       |  FROM p
+       |), s AS (
+       |  SELECT country, n_ref, n_cur, bad, nr, nc,
+       |    a + b * (sxr / nr) AS mean_ref_c,
+       |    a + b * (sxc / nc) AS mean_cur_c,
+       |    b * b * ((sxxr - sxr * sxr / nr) / (nr - 1.0)) AS var_ref_c,
+       |    b * b * ((sxxc - sxc * sxc / nc) / (nc - 1.0)) AS var_cur_c
+       |  FROM q
+       |), z AS (
+       |  SELECT *, sqrt(var_ref_c / nr + var_cur_c / nc) AS z_den,
+       |    (mean_cur_c - mean_ref_c) / sqrt(var_ref_c / nr + var_cur_c / nc) AS z_raw
+       |  FROM s
+       |)
+       |SELECT country, n_ref, n_cur,
+       |  CASE WHEN bad THEN NULL ELSE mean_ref_c / 100.0 END AS mean_ref,
+       |  CASE WHEN bad THEN NULL ELSE mean_cur_c / 100.0 END AS mean_cur,
+       |  CASE WHEN bad THEN NULL ELSE sqrt(var_ref_c) / 100.0 END AS std_ref,
+       |  CASE WHEN bad THEN NULL ELSE sqrt(var_cur_c) / 100.0 END AS std_cur,
+       |  CASE WHEN bad THEN NULL WHEN z_den = 0.0 THEN NULL ELSE z_raw END AS z_mean,
+       |  CASE WHEN bad OR z_den = 0.0 THEN NULL ELSE abs(z_raw) > $Z95 END AS drift_detected,
+       |  CASE WHEN bad OR z_den = 0.0 THEN NULL
+       |       WHEN abs(z_raw) > $Z999 THEN 'critical'
+       |       WHEN abs(z_raw) > $Z99 THEN 'high'
+       |       WHEN abs(z_raw) > $Z95 THEN 'medium'
+       |       ELSE 'low' END AS severity
+       |FROM z""".stripMargin
+
+  /** DuckDB oracle mirroring catDrift: the same sorted-cell fold via
+    * list_sort + list_transform + list_reduce (list_prepend(0.0, …) matches
+    * Spark's `aggregate` zero-initialized left fold term-for-term). */
+  def catDriftOracle: String = {
+    val critCase = "CASE " + chi2Crit95.zipWithIndex
+      .map { case (v, i) => s"WHEN df = ${i + 1} THEN $v" }
+      .mkString(" ") + " ELSE NULL END"
+    def feature(fname: String, catExpr: String): String =
+      s"""SELECT * FROM (
+         |WITH src AS (
+         |  SELECT $catExpr AS category, o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |), counts AS (
+         |  SELECT category,
+         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+         |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur
+         |  FROM src GROUP BY 1
+         |), agg AS (
+         |  SELECT COUNT(*) AS n_categories,
+         |    CAST(SUM(cnt_ref) AS BIGINT) AS n_ref, CAST(SUM(cnt_cur) AS BIGINT) AS n_cur,
+         |    list_sort(list({'category': category, 'cnt_ref': cnt_ref, 'cnt_cur': cnt_cur})) AS cells
+         |  FROM counts
+         |), f AS (
+         |  SELECT n_categories, n_ref, n_cur,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list_transform(cells, x -> {'d':
+         |        CAST(CAST(x.cnt_ref AS DECIMAL(19,0)) * CAST(n_cur AS DECIMAL(19,0))
+         |           - CAST(x.cnt_cur AS DECIMAL(19,0)) * CAST(n_ref AS DECIMAL(19,0)) AS DOUBLE),
+         |        'r': CAST(x.cnt_ref + x.cnt_cur AS DOUBLE)}),
+         |      y -> y.d * y.d / y.r)), (a, b) -> a + b) AS fold
+         |  FROM agg
+         |), c AS (
+         |  SELECT n_categories, n_ref, n_cur,
+         |    CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0.0
+         |         ELSE fold / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) END AS chi2_stat,
+         |    CAST(n_categories - 1 AS BIGINT) AS df
+         |  FROM f
+         |), k AS (
+         |  SELECT *, $critCase AS chi2_critical,
+         |    chi2_stat / CAST(n_categories AS DOUBLE) AS drift_score
+         |  FROM c
+         |)
+         |SELECT '$fname' AS feature, n_categories, n_ref, n_cur, chi2_stat, df,
+         |  chi2_critical,
+         |  CASE WHEN chi2_critical IS NULL THEN NULL ELSE chi2_stat > chi2_critical END AS significant,
+         |  drift_score, drift_score > 0.1 AS drift_detected,
+         |  CASE WHEN drift_score > 0.2 THEN 'critical'
+         |       WHEN drift_score > 0.15 THEN 'high'
+         |       WHEN drift_score > 0.1 THEN 'medium'
+         |       ELSE 'low' END AS severity
+         |FROM k)""".stripMargin
+    feature("country", "n_name") + "\nUNION ALL\n" +
+      feature("order_priority", "o_orderpriority")
   }
 }

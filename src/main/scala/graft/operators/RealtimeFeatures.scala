@@ -63,7 +63,15 @@ object RealtimeFeatures {
     * :952-990): per-user value z-score with the reference's 0.001 epsilon
     * denominator, volume and time-of-day rules, weights 0.4/0.3/0.2,
     * composite > 0.5 flags the event. User stats shuffle on the user key
-    * (they scale with the table; never driver-side). */
+    * (they scale with the table; never driver-side).
+    *
+    * Two reference rules are deliberately dropped (so the composite maxes at
+    * 0.9, not 1.2): the negative-quantity volume branch (`quantity < -50`,
+    * weight 0.3) — event values in this corpus are non-negative, so the
+    * branch is dead here — and the `risk_score > 0.7` rule (weight 0.3),
+    * whose input column has no corpus analog. A corpus with negative event
+    * values should add the `value < -50` branch to both the operator and
+    * its oracle. */
   def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),

@@ -29,7 +29,9 @@ object Stats {
   private val orderedPairs = // i <= j: self-pairs give the Σx² terms
     for { (i, ai) <- measures.zipWithIndex; (j, _) <- measures.zipWithIndex.drop(ai) } yield (i, j)
 
-  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+  /** Long-form (col_x, col_y, n, corr) pair frame — the shared single-pass
+    * moment aggregate behind corrMatrix, corrSignificance and corrClusters. */
+  private def corrPairs(spark: SparkSession, dir: String): DataFrame = {
     val cents = Tables.lineitem(spark, dir).select(
       measures.map { case (c, a) => round(col(c) * 100, 0).cast("long").as(a) }: _*)
     def dec(a: String): Column = col(a).cast("decimal(19,0)")
@@ -52,8 +54,10 @@ object Stats {
     }
     moments.select(explode(array(rows: _*)).as("r"))
       .select(col("r.col_x"), col("r.col_y"), col("r.n"), col("r.corr"))
-      .withColumn("strong", abs(col("corr")) >= 0.7)
   }
+
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    corrPairs(spark, dir).withColumn("strong", abs(col("corr")) >= 0.7)
 
   /** Per-country revenue trend via linear-regression slope over the daily
     * series (reference: statistical_analyzer.py:263-313 `analyze_time_series`
@@ -426,6 +430,83 @@ object Stats {
       |  CASE WHEN jb_stat IS NULL THEN NULL ELSE jb_stat < 5.991464547107979 END AS is_normal
       |FROM jb""".stripMargin
 
+  /** D'Agostino-Pearson omnibus normality test per order priority
+    * (reference: statistical_analyzer.py:621-664 `_dagostino_pearson_test` —
+    * scipy.stats.normaltest). K² = Z₁(g1)² + Z₂(b2)² where Z₁ is
+    * D'Agostino's (1970) skewness transform and Z₂ the Anscombe-Glynn
+    * (1983) kurtosis transform — re-derived here as Catalyst column
+    * expressions over the same exact-integer shifted moments as
+    * normalityCheck (one aggregate pass, no driver series). K² is χ²(2)
+    * under H₀, so the decision shares normality_check's critical value.
+    * n < 20 ⇒ inconclusive (nulls), the reference's minimum-sample guard.
+    * Rows-only query: the transforms are ln/pow-heavy and transcendentals
+    * are not bitwise-portable across engines (the js_drift precedent);
+    * OperatorsSpec replays the closed forms bit-exactly on the JVM. */
+  def dagostinoCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val centers = o.groupBy(col("o_orderpriority").as("g"))
+      .agg(countAll.as("n"), sum("cents").as("s"))
+      .withColumn("center", expr("s div n"))
+    val d = (col("cents") - col("center"))
+    val d2 = (d * d).as("__d2")
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val m = o.join(broadcast(centers), col("o_orderpriority") === col("g"))
+      .select(col("g"), col("n"), col("s"), d.as("__d"), d2)
+      .groupBy("g", "n", "s")
+      .agg(
+        sum(dec(col("__d2"))).as("sd2"),
+        sum(dec(col("__d2")) * dec(col("__d"))).as("sd3"),
+        sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4"))
+    val nD = col("n").cast("double")
+    val t = (col("s") % col("n")).cast("double")
+    val sd2 = col("sd2").cast("double")
+    val sd3 = col("sd3").cast("double")
+    val sd4 = col("sd4").cast("double")
+    val m2 = (sd2 - (t * t) / nD) / nD
+    val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
+    val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
+      - lit(3.0) * t * t * t * t / (nD * nD * nD)) / nD
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val b2 = m4 / (m2 * m2) // Pearson kurtosis (not excess), as scipy's test uses
+    // D'Agostino (1970) skewness Z — scipy.stats.skewtest's exact sequence
+    val y0 = g1 * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0)))
+    val y = when(y0 === 0.0, lit(1.0)).otherwise(y0)
+    val beta2 = lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) * (nD + 1.0) * (nD + 3.0) /
+      ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1.0)) - 1.0
+    val delta = lit(1.0) / sqrt(lit(0.5) * log(w2))
+    val alpha = sqrt(lit(2.0) / (w2 - 1.0))
+    val z1 = delta * log(y / alpha + sqrt((y / alpha) * (y / alpha) + 1.0))
+    // Anscombe-Glynn (1983) kurtosis Z — scipy.stats.kurtosistest's sequence
+    val eb2 = lit(3.0) * (nD - 1.0) / (nD + 1.0)
+    val vb2 = lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
+      ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0))
+    val x = (b2 - eb2) / sqrt(vb2)
+    val sqrtbeta1 = lit(6.0) * (nD * nD - lit(5.0) * nD + 2.0) / ((nD + 7.0) * (nD + 9.0)) *
+      sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) / (nD * (nD - 2.0) * (nD - 3.0)))
+    val aa = lit(6.0) + lit(8.0) / sqrtbeta1 *
+      (lit(2.0) / sqrtbeta1 + sqrt(lit(1.0) + lit(4.0) / (sqrtbeta1 * sqrtbeta1)))
+    val term1 = lit(1.0) - lit(2.0) / (lit(9.0) * aa)
+    val denom = lit(1.0) + x * sqrt(lit(2.0) / (aa - 4.0))
+    val term2 = when(denom === 0.0, lit(Double.NaN))
+      .otherwise(signum(denom) * pow((lit(1.0) - lit(2.0) / aa) / abs(denom), lit(1.0 / 3.0)))
+    val z2 = (term1 - term2) / sqrt(lit(2.0) / (lit(9.0) * aa))
+    val bad = col("n") < 20 || m2 === 0.0
+    def guarded(c: Column): Column = when(bad, lit(null).cast("double")).otherwise(c)
+    m.select(
+        col("g").as("o_orderpriority"), col("n"),
+        guarded(g1).as("skewness"), guarded(b2).as("kurtosis"),
+        guarded(z1).as("z_skew"), guarded(z2).as("z_kurt"))
+      .withColumn("k2_stat",
+        when(col("z_skew").isNull || col("z_kurt").isNull, lit(null).cast("double"))
+          .otherwise(col("z_skew") * col("z_skew") + col("z_kurt") * col("z_kurt")))
+      .withColumn("is_normal",
+        when(col("k2_stat").isNull, lit(null).cast("boolean"))
+          .otherwise(col("k2_stat") < 5.991464547107979))
+  }
+
   private val distPcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)
 
   /** Distribution profile per order priority (reference:
@@ -575,5 +656,165 @@ object Stats {
        |$branches
        |)
        |SELECT col_x, col_y, n, corr, abs(corr) >= 0.7 AS strong FROM long""".stripMargin
+  }
+
+  /** Two-sided 5% normal quantile — the large-sample critical value for the
+    * correlation t-test (t_{0.975,df} and the normal quantile agree to <1e-4
+    * for df ≥ 1000, and every per-pair df here is the full lineitem row
+    * count). Below 1000 the approximation is not honest, so the decision is
+    * NULL there (documented contract). */
+  private val ZCrit95 = 1.959963984540054
+
+  /** Pearson-correlation significance test per measure pair (reference:
+    * statistical_analyzer.py:717-769 `_test_correlation_significance` —
+    * scipy.stats.pearsonr's t-test on r). t = r·√((n−2)/(1−r²)) from the
+    * same exact-moment r as corrMatrix; scipy's p-value is transcendental,
+    * so the decision compares |t| against the large-sample 5% critical value
+    * (the JB/ab_test critical-value precedent). strength/direction grades
+    * mirror `_identify_strong_correlations`:688-715 (0.9/0.7 ladder,
+    * sign). Perfectly-correlated pairs (1−r² = 0) have an infinite t:
+    * t_stat is NULL and significant TRUE by convention (scipy reports
+    * p = 0 there). One distributed moment pass; the pair frame itself is
+    * schema-bounded (C(4,2) = 6 rows). */
+  def corrSignificance(spark: SparkSession, dir: String): DataFrame = {
+    val nD = col("n").cast("double")
+    val r = col("corr")
+    val perfect = (lit(1.0) - r * r) === 0.0
+    val t = r * sqrt((nD - 2.0) / (lit(1.0) - r * r))
+    corrPairs(spark, dir)
+      .withColumn("df", (col("n") - 2).cast("long"))
+      .withColumn("t_stat",
+        when(r.isNull || perfect || col("df") < 1, lit(null).cast("double")).otherwise(t))
+      .withColumn("t_critical",
+        when(col("df") >= 1000, lit(ZCrit95)).otherwise(lit(null).cast("double")))
+      .withColumn("significant",
+        when(r.isNull, lit(null).cast("boolean"))
+          .when(perfect, lit(true))
+          .when(col("t_critical").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("t_stat")) > col("t_critical")))
+      .withColumn("strength",
+        when(r.isNull, lit(null).cast("string"))
+          .when(abs(r) > 0.9, "very_strong")
+          .when(abs(r) > 0.7, "strong")
+          .otherwise("weak"))
+      .withColumn("direction",
+        when(r.isNull, lit(null).cast("string"))
+          .when(r > 0, "positive")
+          .otherwise("negative"))
+  }
+
+  /** Correlated-field clusters: connected components of the |r| > threshold
+    * pair graph (reference: statistical_analyzer.py:771-795
+    * `_identify_correlation_clusters`; the reference's greedy first-seen
+    * grouping is order-dependent — components are its order-free closure,
+    * the dedup_clusters precedent). The pair frame is SCHEMA-bounded —
+    * C(4,2) = 6 rows regardless of data size (the RankOps provably-tiny
+    * collect rule) — so the component labeling is a driver-side union-find
+    * over ≤ 4 nodes, not an iterative join. cluster_id = lexicographically
+    * smallest member; fields without a strong partner are singletons. */
+  def corrClusters(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val pairRows = corrPairs(spark, dir).select("col_x", "col_y", "corr").collect()
+    val fields = measures.map(_._1)
+    val parent = scala.collection.mutable.Map(fields.map(f => f -> f): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val root = find(parent(x)); parent(x) = root; root }
+    pairRows.foreach { row =>
+      if (!row.isNullAt(2) && math.abs(row.getDouble(2)) > threshold) {
+        val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    val labels = fields.map(f => (f, find(f)))
+    val sizes = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    import spark.implicits._
+    labels.map { case (f, c) => (f, c, sizes(c)) }
+      .toDF("field", "cluster_id", "cluster_size")
+  }
+
+  /** DuckDB oracle mirroring corrSignificance. */
+  def corrSignificanceOracle: String = {
+    val centsSel = measures.map { case (c, a) => s"CAST(round($c * 100) AS BIGINT) AS $a" }.mkString(", ")
+    val momentSel = (Seq("COUNT(*) AS n") ++
+      measures.map { case (_, a) => s"CAST(SUM($a) AS BIGINT) AS s_$a" } ++
+      orderedPairs.map { case ((_, a), (_, b)) =>
+        s"SUM(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS p_${a}_$b" }).mkString(", ")
+    def corrSql(a: String, b: String): String = {
+      val den = s"(sqrt(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
+      s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
+        s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
+    }
+    val branches = orderedPairs.collect { case ((cx, a), (cy, b)) if a != b =>
+      s"SELECT '$cx' AS col_x, '$cy' AS col_y, n, ${corrSql(a, b)} AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT $centsSel FROM lineitem),
+       |m AS (SELECT $momentSel FROM c),
+       |long AS (
+       |$branches
+       |), t AS (
+       |  SELECT col_x, col_y, n, corr, CAST(n - 2 AS BIGINT) AS df,
+       |    (1.0 - corr * corr) = 0.0 AS perfect,
+       |    corr * sqrt((CAST(n AS DOUBLE) - 2.0) / (1.0 - corr * corr)) AS t_raw
+       |  FROM long
+       |)
+       |SELECT col_x, col_y, n, corr, df,
+       |  CASE WHEN corr IS NULL OR perfect OR df < 1 THEN NULL ELSE t_raw END AS t_stat,
+       |  CASE WHEN df >= 1000 THEN $ZCrit95 ELSE NULL END AS t_critical,
+       |  CASE WHEN corr IS NULL THEN NULL
+       |       WHEN perfect THEN TRUE
+       |       WHEN df < 1000 THEN NULL
+       |       ELSE abs(t_raw) > $ZCrit95 END AS significant,
+       |  CASE WHEN corr IS NULL THEN NULL
+       |       WHEN abs(corr) > 0.9 THEN 'very_strong'
+       |       WHEN abs(corr) > 0.7 THEN 'strong'
+       |       ELSE 'weak' END AS strength,
+       |  CASE WHEN corr IS NULL THEN NULL
+       |       WHEN corr > 0 THEN 'positive'
+       |       ELSE 'negative' END AS direction
+       |FROM t""".stripMargin
+  }
+
+  /** DuckDB oracle mirroring corrClusters: recursive-CTE reachability over
+    * the |corr| > 0.8 edge set, min label per component (the dedup_clusters
+    * oracle shape over the 4-field graph). */
+  def corrClustersOracle: String = {
+    val centsSel = measures.map { case (c, a) => s"CAST(round($c * 100) AS BIGINT) AS $a" }.mkString(", ")
+    val momentSel = (Seq("COUNT(*) AS n") ++
+      measures.map { case (_, a) => s"CAST(SUM($a) AS BIGINT) AS s_$a" } ++
+      orderedPairs.map { case ((_, a), (_, b)) =>
+        s"SUM(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS p_${a}_$b" }).mkString(", ")
+    def corrSql(a: String, b: String): String = {
+      val den = s"(sqrt(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
+      s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
+        s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
+    }
+    val branches = orderedPairs.collect { case ((cx, a), (cy, b)) if a != b =>
+      s"SELECT '$cx' AS col_x, '$cy' AS col_y, ${corrSql(a, b)} AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    val fieldValues = measures.map { case (c, _) => s"('$c')" }.mkString(", ")
+    s"""WITH RECURSIVE c AS (SELECT $centsSel FROM lineitem),
+       |m AS (SELECT $momentSel FROM c),
+       |long AS (
+       |$branches
+       |),
+       |edges AS (
+       |  SELECT col_x AS s, col_y AS d FROM long WHERE abs(corr) > 0.8
+       |  UNION ALL SELECT col_y, col_x FROM long WHERE abs(corr) > 0.8
+       |),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+       |),
+       |lab AS (SELECT node AS field, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY 1),
+       |fields(field) AS (VALUES $fieldValues)
+       |SELECT f.field, coalesce(lab.cluster_id, f.field) AS cluster_id,
+       |  CAST(coalesce(sz.csz, 1) AS BIGINT) AS cluster_size
+       |FROM fields f
+       |LEFT JOIN lab ON f.field = lab.field
+       |LEFT JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin
   }
 }

@@ -46,40 +46,65 @@ object Vault {
     * hub null business keys, orphaned satellites, orphaned link references,
     * duplicate hash keys). The hub side loads from a drifted customer
     * snapshot (key % 10 != 3 — the snapshot_diff convention) so orphan
-    * references genuinely exist, as they do mid-load in a real vault. */
+    * references genuinely exist, as they do mid-load in a real vault.
+    *
+    * Single-pass shape (r7 verdict task: the previous four anti-joins + two
+    * duplicate groupBys each shuffled the full key set — 9.3× growth on the
+    * BASELINE 100× probe): each base table is scanned ONCE and exploded into
+    * a tall tagged key frame (space, key, hub/sat/ref counters); every check
+    * then falls out of ONE (space, key) aggregate — orphans are keys whose
+    * reference count is positive but hub count is zero, duplicates are keys
+    * whose own-space count exceeds one — followed by a six-counter global
+    * rollup exploded back into the report rows. One key shuffle with
+    * map-side partial aggregation instead of ~ten; the `space` tag keeps the
+    * customer/order/link md5 key domains from colliding (md5("5") is the
+    * same string in every domain). */
   def vaultIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    val link = vaultModel(spark, dir)
-      .select("link_order_customer_hk", "order_hk", "customer_hk")
-    val hubCustomer = Tables.customer(spark, dir)
-      .filter(col("c_custkey") % 10 =!= 3)
-      .select(hk(col("c_custkey")).as("customer_hk"), col("c_custkey"))
-    val hubOrder = Tables.orders(spark, dir)
-      .select(hk(col("o_orderkey")).as("order_hk"))
-    val satCustomer = Tables.customer(spark, dir)
-      .select(hk(col("c_custkey")).as("customer_hk"))
+    def row(space: String, key: Column, hub: Long, sat: Long, ref: Long, nullBk: Column): Column =
+      struct(lit(space).as("space"), key.as("k"), lit(hub).as("hub_c"),
+        lit(sat).as("sat_c"), lit(ref).as("ref_c"), nullBk.cast("long").as("null_bk"))
+    val zero = lit(0L)
 
-    val nullKeys = hubCustomer.agg(
-      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).cast("long").as("n"))
-      .select(lit("hub_null_business_keys").as("test_type"), col("n").as("n_failures"))
-    val orphanSat = satCustomer.join(
-        hubCustomer.select("customer_hk"), Seq("customer_hk"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("n"))
-      .select(lit("orphaned_satellite_customer").as("test_type"), col("n").as("n_failures"))
-    val orphanLinkCust = link.join(
-        hubCustomer.select("customer_hk"), Seq("customer_hk"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("n"))
-      .select(lit("orphaned_link_customer_ref").as("test_type"), col("n").as("n_failures"))
-    val orphanLinkOrder = link.join(hubOrder, Seq("order_hk"), "left_anti")
-      .agg(count(lit(1)).cast("long").as("n"))
-      .select(lit("orphaned_link_order_ref").as("test_type"), col("n").as("n_failures"))
-    val dupHub = hubCustomer.groupBy("customer_hk").count()
-      .filter(col("count") > 1).agg(count(lit(1)).cast("long").as("n"))
-      .select(lit("duplicate_hub_hash_key").as("test_type"), col("n").as("n_failures"))
-    val dupLink = link.groupBy("link_order_customer_hk").count()
-      .filter(col("count") > 1).agg(count(lit(1)).cast("long").as("n"))
-      .select(lit("duplicate_link_hash_key").as("test_type"), col("n").as("n_failures"))
-    nullKeys.union(orphanSat).union(orphanLinkCust).union(orphanLinkOrder)
-      .union(dupHub).union(dupLink)
+    // one orders scan: the link's two hub references, its own link key, and
+    // the order-hub membership row
+    val orderRows = Tables.orders(spark, dir).select(explode(array(
+      row("cust", hk(col("o_custkey")), 0L, 0L, 1L, zero),
+      row("order", hk(col("o_orderkey")), 1L, 0L, 0L, zero),
+      row("order", hk(col("o_orderkey")), 0L, 0L, 1L, zero),
+      row("link", hk(col("o_orderkey"), col("o_custkey")), 0L, 0L, 1L, zero))).as("r"))
+    // one customer scan: hub row (drifted snapshot only) + satellite row
+    val custRows = Tables.customer(spark, dir).select(explode(
+      when(col("c_custkey") % 10 =!= 3, array(
+        row("cust", hk(col("c_custkey")), 1L, 0L, 0L,
+          when(col("c_custkey").isNull, 1L).otherwise(0L)),
+        row("cust", hk(col("c_custkey")), 0L, 1L, 0L, zero)))
+      .otherwise(array(
+        row("cust", hk(col("c_custkey")), 0L, 1L, 0L, zero)))).as("r"))
+
+    val keyed = orderRows.unionByName(custRows).select(col("r.*"))
+      .groupBy("space", "k")
+      .agg(sum("hub_c").as("hub_n"), sum("sat_c").as("sat_n"),
+        sum("ref_c").as("ref_n"), sum("null_bk").as("nb"))
+    val g = keyed.agg(
+      sum("nb").as("n_null"),
+      sum(when(col("space") === "cust" && col("hub_n") === 0, col("sat_n")).otherwise(0L))
+        .as("orphan_sat"),
+      sum(when(col("space") === "cust" && col("hub_n") === 0, col("ref_n")).otherwise(0L))
+        .as("orphan_link_cust"),
+      sum(when(col("space") === "order" && col("hub_n") === 0, col("ref_n")).otherwise(0L))
+        .as("orphan_link_order"),
+      sum(when(col("space") === "cust" && col("hub_n") > 1, 1L).otherwise(0L))
+        .as("dup_hub"),
+      sum(when(col("space") === "link" && col("ref_n") > 1, 1L).otherwise(0L))
+        .as("dup_link"))
+    g.select(explode(array(
+        struct(lit("hub_null_business_keys").as("test_type"), col("n_null").as("n_failures")),
+        struct(lit("orphaned_satellite_customer").as("test_type"), col("orphan_sat").as("n_failures")),
+        struct(lit("orphaned_link_customer_ref").as("test_type"), col("orphan_link_cust").as("n_failures")),
+        struct(lit("orphaned_link_order_ref").as("test_type"), col("orphan_link_order").as("n_failures")),
+        struct(lit("duplicate_hub_hash_key").as("test_type"), col("dup_hub").as("n_failures")),
+        struct(lit("duplicate_link_hash_key").as("test_type"), col("dup_link").as("n_failures")))).as("t"))
+      .select(col("t.test_type").as("test_type"), col("t.n_failures").as("n_failures"))
   }
 
   def vaultModelOracle: String =

@@ -76,6 +76,60 @@ class FeaturePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("categorical chi-square drift matches a hand-computed 2x2 contingency table") {
+    import spark.implicits._
+    // A: ref 30 / cur 10; B: ref 20 / cur 40 -> chi2 = 50/3 (textbook table)
+    val src = (Seq.fill(30)(("A", true)) ++ Seq.fill(10)(("A", false)) ++
+      Seq.fill(20)(("B", true)) ++ Seq.fill(40)(("B", false))).toDF("category", "is_ref")
+    val r = Drift.featureChi2(src, "toy").collect()(0)
+    // same IEEE sequence as the operator: zero-init fold in category order
+    val dA = 30.0 * 50 - 10.0 * 50
+    val dB = 20.0 * 50 - 40.0 * 50
+    val expected = ((0.0 + dA * dA / 40.0) + dB * dB / 60.0) / (50.0 * 50.0)
+    assert(r.getAs[Double]("chi2_stat") == expected)
+    assert(math.abs(r.getAs[Double]("chi2_stat") - 50.0 / 3.0) < 1e-9)
+    assert(r.getAs[Long]("df") == 1L && r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Boolean]("significant"), "chi2 16.67 >> 3.84 critical at df=1")
+    assert(r.getAs[String]("severity") == "critical", s"drift_score ${r.getAs[Double]("drift_score")}")
+  }
+
+  test("cat drift covers both features with the right dfs and ladder-consistent decisions") {
+    val rows = Drift.catDrift(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSet == Set("country", "order_priority"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_categories")
+      assert(r.getAs[Long]("df") == k - 1)
+      assert(!r.isNullAt(r.fieldIndex("chi2_critical")), "df within the 1..30 ladder")
+      assert(r.getAs[Double]("chi2_stat") >= 0.0)
+      val score = r.getAs[Double]("drift_score")
+      assert(r.getAs[Boolean]("drift_detected") == score > 0.1)
+    }
+  }
+
+  test("psi drift: zero on identical windows, hand-computed on a shifted one") {
+    import spark.implicits._
+    // identical shares in both windows -> every (q-p) term is exactly 0
+    val same = (Seq.fill(10)(("A", true)) ++ Seq.fill(10)(("A", false)) ++
+      Seq.fill(5)(("B", true)) ++ Seq.fill(5)(("B", false))).toDF("category", "is_ref")
+    assert(Drift.featurePsi(same, "same").collect()(0).getAs[Double]("psi") == 0.0)
+    // shares ref (0.6, 0.4) -> cur (0.2, 0.8); eps-smoothing shifts ~1e-8
+    val moved = (Seq.fill(6)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(4)(("B", true)) ++ Seq.fill(8)(("B", false))).toDF("category", "is_ref")
+    val r = Drift.featurePsi(moved, "moved").collect()(0)
+    val expected = (0.2 - 0.6) * math.log(0.2 / 0.6) + (0.8 - 0.4) * math.log(0.8 / 0.4)
+    assert(math.abs(r.getAs[Double]("psi") - expected) < 1e-6)
+    assert(r.getAs[String]("stability") == "significant")
+  }
+
+  test("psi drift covers both real features with non-negative psi") {
+    val rows = Drift.psiDrift(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSet == Set("country", "order_priority"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi") >= 0.0, "PSI is a non-negative divergence")
+      assert(Set("stable", "moderate", "significant").contains(r.getAs[String]("stability")))
+    }
+  }
+
   test("table health emits all six checks with sane variance percentages") {
     val th = TableHealth.tableHealth(spark, dir).collect()
     assert(th.length == 6)
@@ -114,7 +168,8 @@ class FeaturePipelineSpec extends AnyFunSuite {
       .orderBy(col("day")).collect()
     assert(lf.nonEmpty)
     // lag_1 of row i equals target of row i-1 once inside the filtered range
-    lf.sliding(2).foreach { case Array(prev, curr) =>
+    // (zip with tail: total even if the filtered series has a single row)
+    lf.zip(lf.drop(1)).foreach { case (prev, curr) =>
       assert(curr.getAs[Double]("lag_1") == prev.getAs[Double]("target"))
     }
     lf.foreach { r => (1 to 7).foreach { k => assert(!r.isNullAt(r.fieldIndex(s"lag_$k"))) } }

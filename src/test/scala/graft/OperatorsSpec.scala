@@ -24,6 +24,94 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("corr significance: t replays the closed form and decisions follow the ladder") {
+    val rows = Stats.corrSignificance(spark, dir).collect()
+    assert(rows.length == 6, "C(4,2) measure pairs")
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr")
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("df") == n - 2)
+      val t = r.getAs[Double]("t_stat")
+      val expected = corr * math.sqrt((n.toDouble - 2.0) / (1.0 - corr * corr))
+      assert(t == expected, s"t=$t expected=$expected")
+      if (n - 2 >= 1000)
+        assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.959963984540054))
+      val strength = r.getAs[String]("strength")
+      assert(strength == (if (math.abs(corr) > 0.9) "very_strong"
+        else if (math.abs(corr) > 0.7) "strong" else "weak"))
+      assert(r.getAs[String]("direction") == (if (corr > 0) "positive" else "negative"))
+    }
+  }
+
+  test("corr clusters: threshold 0.8 vs a forced-zero threshold bracket the components") {
+    val loose = Stats.corrClusters(spark, dir).collect()
+    assert(loose.length == 4, "one row per measure field")
+    // every cluster_id is a member field and sizes are consistent
+    val byCluster = loose.groupBy(_.getAs[String]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.exists(_.getAs[String]("field") == cid), s"cluster label $cid not a member")
+      members.foreach(m => assert(m.getAs[Long]("cluster_size") == members.length.toLong))
+    }
+    // threshold -1 makes every pair an edge -> one cluster labeled by the min field
+    val all = Stats.corrClusters(spark, dir, threshold = -1.0).collect()
+    assert(all.forall(_.getAs[String]("cluster_id") == "l_discount"))
+    assert(all.forall(_.getAs[Long]("cluster_size") == 4L))
+  }
+
+  test("prediction drift: stats are finite and decisions replay the z ladder") {
+    val rows = Drift.predictionDrift(spark, dir).collect()
+    assert(rows.length == 25, "one row per country")
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("z_mean"))) {
+        val z = math.abs(r.getAs[Double]("z_mean"))
+        assert(r.getAs[Boolean]("drift_detected") == z > 1.959963984540054)
+        val sev = r.getAs[String]("severity")
+        val expect = if (z > 3.2905267314919255) "critical"
+          else if (z > 2.5758293035489004) "high"
+          else if (z > 1.959963984540054) "medium" else "low"
+        assert(sev == expect)
+        assert(r.getAs[Double]("std_ref") >= 0.0 && r.getAs[Double]("std_cur") >= 0.0)
+      }
+    }
+  }
+
+  test("dagostino omnibus: z transforms replay scipy's closed forms bit-exactly") {
+    val rows = Stats.dagostinoCheck(spark, dir).collect()
+    assert(rows.length == 5, "one row per order priority")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      assert(n >= 20, "test corpus priorities all exceed the minimum sample")
+      val g1 = r.getAs[Double]("skewness")
+      val b2 = r.getAs[Double]("kurtosis")
+      // D'Agostino skewness Z (same JVM Math calls as the codegen'd plan)
+      val y0 = g1 * math.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+      val y = if (y0 == 0.0) 1.0 else y0
+      val beta2 = 3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0) /
+        ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+      val w2 = math.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+      val delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+      val alpha = math.sqrt(2.0 / (w2 - 1.0))
+      val z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) * (y / alpha) + 1.0))
+      // Anscombe-Glynn kurtosis Z
+      val eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+      val vb2 = 24.0 * n * (n - 2.0) * (n - 3.0) / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+      val x = (b2 - eb2) / math.sqrt(vb2)
+      val sqrtbeta1 = 6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0)) *
+        math.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+      val aa = 6.0 + 8.0 / sqrtbeta1 *
+        (2.0 / sqrtbeta1 + math.sqrt(1.0 + 4.0 / (sqrtbeta1 * sqrtbeta1)))
+      val term1 = 1.0 - 2.0 / (9.0 * aa)
+      val denom = 1.0 + x * math.sqrt(2.0 / (aa - 4.0))
+      val term2 = math.signum(denom) * math.pow((1.0 - 2.0 / aa) / math.abs(denom), 1.0 / 3.0)
+      val z2 = (term1 - term2) / math.sqrt(2.0 / (9.0 * aa))
+      assert(r.getAs[Double]("z_skew") == z1, s"z_skew ${r.getAs[Double]("z_skew")} != $z1")
+      assert(r.getAs[Double]("z_kurt") == z2, s"z_kurt ${r.getAs[Double]("z_kurt")} != $z2")
+      val k2 = z1 * z1 + z2 * z2
+      assert(r.getAs[Double]("k2_stat") == k2)
+      assert(r.getAs[Boolean]("is_normal") == (k2 < 5.991464547107979))
+    }
+  }
+
   test("productAnalysis rank starts at 1 and is dense within each country") {
     val rows = Gold.productAnalysis(spark, dir)
       .select("country", "revenue_rank_in_country").collect()

@@ -152,4 +152,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), "ECDF window collapsed to one partition")
     assert(plan.contains("Window"), "cumulative ECDF window missing")
   }
+
+  test("cat drift: one category-key aggregate per feature, no window, no join") {
+    val plan = formatted(graft.operators.Drift.catDrift(spark, dir))
+    assert(!plan.contains("Window"), "contingency counts must not use windows")
+    assert(!plan.contains("SortMergeJoin"), "cat drift must not shuffle-join")
+  }
+
+  test("scalar cross joins pin their 1-row sides as broadcasts") {
+    Seq(
+      graft.operators.Views.realtimeMetrics(spark, dir),
+      graft.operators.Segments.customerSegments(spark, dir)
+    ).foreach { df =>
+      val plan = formatted(df)
+      assert(plan.contains("BroadcastExchange"), "1-row scalar side must broadcast")
+      assert(!plan.contains("CartesianProduct"), "scalar cross join planned as cartesian")
+    }
+  }
+
+  test("training matrix rides the native as-of exec, not the union+window fallback") {
+    val df = graft.operators.FeatureStore.trainingMatrix(spark, dir)
+    val plan = formatted(df)
+    assert(plan.contains("AsOfJoin"), "native AsOfJoinExec missing from the plan")
+    // snapshot windows + per-day dedup must share the customer-key exchange
+    val custExchanges = "hashpartitioning\\(o_custkey".r.findAllIn(plan).size
+    assert(custExchanges <= 1, s"snapshot windows re-shuffled the customer key ($custExchanges exchanges)")
+    assert(df.columns.contains("label") && df.columns.count(_.startsWith("f_")) == 4)
+  }
 }
