@@ -1032,6 +1032,14 @@ object Oracles {
     "cat_drift" -> graft.operators.Drift.catDriftOracle,
     "prediction_drift" -> graft.operators.Drift.predictionDriftOracle,
 
+    "hash_split" -> graft.text.TrainPrep.hashSplitOracle,
+    "class_balance" -> graft.text.TrainPrep.classBalanceOracle,
+    "contamination_check" -> graft.text.TrainPrep.contaminationCheckOracle,
+    "repetition_filter" -> graft.text.TrainPrep.repetitionFilterOracle,
+    "sequence_packing" -> graft.text.TrainPrep.sequencePackingOracle,
+    "mixing_weights" -> graft.text.TrainPrep.mixingWeightsOracle,
+    "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
+
     "table_health" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt,

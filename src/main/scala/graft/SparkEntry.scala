@@ -152,7 +152,16 @@ object SparkEntry {
     "product_features" -> ((s, d) => RealtimeFeatures.productFeatures(s, d)),
     "event_anomalies"  -> ((s, d) => RealtimeFeatures.eventAnomalies(s, d)),
     // cross-dataset consistency (smart_validator.py:580)
-    "cross_consistency" -> ((s, d) => CrossConsistency.crossConsistency(s, d))
+    "cross_consistency" -> ((s, d) => CrossConsistency.crossConsistency(s, d)),
+    // training-corpus prep (beyond-reference LLM-pipeline ops; text/TrainPrep.scala)
+    "hash_split"          -> ((s, d) => graft.text.TrainPrep.hashSplit(s, d)),
+    "class_balance"       -> ((s, d) => graft.text.TrainPrep.classBalance(s, d)),
+    "contamination_check" -> ((s, d) => graft.text.TrainPrep.contaminationCheck(s, d)),
+    "repetition_filter"   -> ((s, d) => graft.text.TrainPrep.repetitionFilter(s, d)),
+    "sequence_packing"    -> ((s, d) => graft.text.TrainPrep.sequencePacking(s, d)),
+    "mixing_weights"      -> ((s, d) => graft.text.TrainPrep.mixingWeights(s, d)),
+    // hybrid lexical+vector retrieval with RRF fusion (text/HybridSearch.scala)
+    "hybrid_search"       -> ((s, d) => graft.text.HybridSearch.hybridSearch(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

@@ -58,6 +58,38 @@ object RankOps {
   def withGlobalRank(df: DataFrame, rankCol: String, sortCols: Seq[Column]): DataFrame =
     withGlobalRankCounted(df, rankCol, sortCols)._1
 
+  /** Adds `cumCol` = exact `SUM(valueCol) OVER (ORDER BY sortCols ROWS
+    * UNBOUNDED PRECEDING)` (long) — the distributed twin of the global-rank
+    * trick: range repartition on the sort key, per-partition running sums,
+    * and ≤ #partitions driver-side sum offsets. `valueCol` must be integral
+    * (long addition is associative — partial sums cannot drift). */
+  def withGlobalCumSum(df: DataFrame, cumCol: String, valueCol: Column,
+                       sortCols: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // localCheckpoint for the same reason as withGlobalRankCounted: the
+    // offsets are only valid for the exact range boundaries drawn here
+    val ranged = df.withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(parts, sortCols: _*).localCheckpoint(false)
+    val sums = ranged
+      .groupBy(spark_partition_id().as("__pid")).agg(sum(col("__v")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val row = (pid, acc); acc += s; row }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__coff"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__crn", sum(col("__v")).over(w))
+      .join(offDf, "__pid")
+      .withColumn(cumCol, (col("__crn") + col("__coff")).cast("long"))
+      .drop("__pid", "__crn", "__coff", "__v")
+  }
+
   /** Adds `ntileCol` = exact `NTILE(k) OVER (ORDER BY sortCols)` (long). */
   def withGlobalNtile(df: DataFrame, ntileCol: String, k: Int, sortCols: Seq[Column]): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")

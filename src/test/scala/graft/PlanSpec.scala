@@ -179,4 +179,26 @@ class PlanSpec extends AnyFunSuite {
     assert(custExchanges <= 1, s"snapshot windows re-shuffled the customer key ($custExchanges exchanges)")
     assert(df.columns.contains("label") && df.columns.count(_.startsWith("f_")) == 4)
   }
+
+  test("hash split and repetition filter are pure projections: no exchange") {
+    Seq(
+      graft.text.TrainPrep.hashSplit(spark, dir),
+      graft.text.TrainPrep.repetitionFilter(spark, dir)
+    ).foreach { df =>
+      val plan = formatted(df)
+      assert(!plan.contains("Exchange"), "row-local corpus op shuffled")
+    }
+  }
+
+  test("sequence packing never collapses to one partition") {
+    val plan = formatted(graft.text.TrainPrep.sequencePacking(spark, dir))
+    assert(!plan.contains("SinglePartition"),
+      "global prefix sum fell back to a single-partition window")
+  }
+
+  test("mixing weights: per-source rollup with a broadcast 1-row total") {
+    val plan = formatted(graft.text.TrainPrep.mixingWeights(spark, dir))
+    assert(plan.contains("BroadcastExchange"), "corpus total must broadcast")
+    assert(!plan.contains("CartesianProduct"), "scalar join planned as cartesian")
+  }
 }

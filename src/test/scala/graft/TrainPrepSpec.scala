@@ -1,0 +1,131 @@
+package graft
+
+import graft.text.TrainPrep
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  /** Write a crafted documents table to a temp dir in the corpus schema. */
+  private def craftedDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("trainprep").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("hash split: buckets in range, split bands match, assignment deterministic") {
+    val rows = TrainPrep.hashSplit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(r.getAs[String]("split") == expect)
+    }
+    val again = TrainPrep.hashSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    rows.foreach(r => assert(again(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+    // the split is a partition: roughly 80/10/10 on any real corpus
+    val n = rows.length.toDouble
+    val train = rows.count(_.getAs[String]("split") == "train") / n
+    assert(train > 0.7 && train < 0.9)
+  }
+
+  test("class balance: every language keeps exactly the minority-class count") {
+    val out = TrainPrep.classBalance(spark, dir)
+    val perLang = out.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept"),
+      max("class_rank").as("maxr")).collect()
+    val m = perLang.map(_.getAs[Long]("n")).min
+    perLang.foreach { r =>
+      assert(r.getAs[Long]("kept") == m)
+      // ranks are a permutation of 1..n within the class
+      assert(r.getAs[Long]("maxr") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("contamination: exact twin of an eval doc is fully contaminated, fresh doc clean") {
+    // doc 0 (0 % 97 == 0) is the eval doc; doc 1 is its verbatim twin;
+    // doc 2 shares no 5-gram with it
+    val d = craftedDir(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0"),
+      (2L, "one two three four five six seven eight nine", "en", "s1")))
+    val out = TrainPrep.contaminationCheck(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("overlap_frac"), r.getAs[Boolean]("is_contaminated"))).toMap
+    assert(!out.contains(0L)) // eval docs are not scored
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+  }
+
+  test("repetition filter: hand-computed fractions on a degenerate and a clean doc") {
+    val d = craftedDir(Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s0"),
+      (2L, "the quick brown fox jumps over lazy dogs", "en", "s0")))
+    val out = TrainPrep.repetitionFilter(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val spam = out(1L)
+    assert(spam.getAs[Long]("n_words") == 6 && spam.getAs[Long]("n_distinct") == 1)
+    assert(spam.getAs[Double]("top_word_frac") == 1.0)
+    assert(spam.getAs[Double]("top_bigram_frac") == 1.0)   // all 5 bigrams identical
+    assert(spam.getAs[Double]("excess_bigram_frac") == 0.8) // (5-1)/5
+    assert(spam.getAs[Double]("dup_trigram_frac") == 1.0)  // all 4 trigrams identical
+    assert(!spam.getAs[Boolean]("is_kept"))
+    val clean = out(2L)
+    assert(clean.getAs[Double]("distinct_ratio") == 1.0)
+    assert(clean.getAs[Double]("excess_bigram_frac") == 0.0) // no repeats, any length
+    assert(clean.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(clean.getAs[Boolean]("is_kept"))
+  }
+
+  test("sequence packing: conserves tokens, fills every block except the last") {
+    val packs = TrainPrep.sequencePacking(spark, dir).orderBy("pack_id").collect()
+    val ids = packs.map(_.getAs[Long]("pack_id"))
+    assert(ids.sameElements(ids.indices.map(_.toLong))) // contiguous from 0
+    packs.init.foreach { p =>
+      assert(p.getAs[Long]("n_tokens") == 256L)
+      assert(p.getAs[Double]("utilization") == 1.0)
+    }
+    assert(packs.last.getAs[Long]("n_tokens") <= 256L)
+    val totalInPacks = packs.map(_.getAs[Long]("n_tokens")).sum
+    val totalTokens = Tables.documents(spark, dir)
+      .select(sum(size(expr("split(lower(trim(text)), '\\\\s+')"))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(totalInPacks == totalTokens)
+  }
+
+  test("hybrid search: RRF fuses lexical and vector ranks deterministically") {
+    val out = graft.text.HybridSearch.hybridSearch(spark, dir).collect()
+    assert(out.length == 20)
+    // ranks are positive and distinct within each modality's retained set
+    assert(out.map(_.getAs[Long]("kw_rank")).distinct.length == out.length)
+    assert(out.map(_.getAs[Long]("vec_rank")).distinct.length == out.length)
+    out.foreach { r =>
+      val expect = 1.0 / (60 + r.getAs[Long]("kw_rank")) + 1.0 / (60 + r.getAs[Long]("vec_rank"))
+      assert(r.getAs[Double]("rrf_score") == expect) // exact replay of the fusion rule
+      assert(r.getAs[Double]("rrf_score") <= 2.0 / 61.0)
+    }
+    // results arrive fused-score-descending with the doc-id tie-break
+    val scores = out.map(r => (r.getAs[Double]("rrf_score"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy { case (s, id) => (-s, id) }))
+  }
+
+  test("mixing weights: shares sum to one, weights flatten the mixture") {
+    val rows = TrainPrep.mixingWeights(spark, dir).collect()
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    val k = rows.length.toDouble
+    rows.foreach { r =>
+      // weight × share == 1/k: the weighted mixture is uniform over sources
+      val prod = r.getAs[Double]("mix_weight") * r.getAs[Double]("token_share")
+      assert(math.abs(prod - 1.0 / k) < 1e-9)
+    }
+  }
+}
