@@ -1,7 +1,6 @@
 package graft.text
 
 import graft.Tables
-import graft.operators.RankOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,10 +17,14 @@ import org.apache.spark.sql.functions._
   * exact global row_numbers with doc-id tie-breaks; the RRF sum is two IEEE
   * divisions and one add, bit-identical on any engine.
   *
-  * Scale shape: scores are pure projections (the query-side embedding is a
-  * constant-folded literal); each rank is a RankOps range-repartitioned
-  * global sort (never a single-partition window); the final top-k is a
-  * distributed TakeOrdered over `limit` rows.
+  * List fusion, not corpus fusion: each modality retrieves its top
+  * `candidates` (default 200) via a distributed TakeOrdered, ranks are
+  * positions WITHIN each candidate list, and a document absent from a list
+  * contributes 0 to the fused score — exactly how production RRF works
+  * (Elasticsearch/OpenSearch fuse per-retriever top-k lists). That keeps
+  * the expensive part a pure projection + two bounded TakeOrdereds: no
+  * global sort anywhere, and the only single-partition work is the
+  * ≤ `candidates`-row lists (bounded by the knob, not the data).
   */
 object HybridSearch {
 
@@ -40,8 +43,28 @@ object HybridSearch {
           .cast("long")))
   }
 
+  /** Driver-side q20 embedding of the (constant) query string — the md5
+    * expression tree is not constant-foldable, so evaluating it per row
+    * would re-hash the query `dim` times for every document. Bit-identical
+    * to q20Vec: same md5-prefix components, same HALF_UP rounding as Spark
+    * `round` and the DuckDB oracle. */
+  private[graft] def q20Const(text: String, dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = Array.tabulate(dim) { i =>
+      val hex = md.digest(s"$text|$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val n2 = v.map(x => x * x).sum
+    if (n2 == 0L) Array.fill(dim)(0L)
+    else v.map(x => BigDecimal(x.toDouble * 1048576.0 / math.sqrt(n2.toDouble))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+  }
+
   def hybridSearch(spark: SparkSession, dir: String, query: String = DefaultQuery,
-                   limit: Int = 20, dim: Int = Embeddings.Dim): DataFrame = {
+                   limit: Int = 20, candidates: Int = 200,
+                   dim: Int = Embeddings.Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val terms = query.toLowerCase.split("\\s+").toSeq
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val scored = Tables.documents(spark, dir)
@@ -50,15 +73,23 @@ object HybridSearch {
         col("doc_id"),
         expr(s"size(filter(__w, x -> x IN ($termList)))").cast("long").as("kw_score"),
         aggregate(
-          zip_with(q20Vec(col("text"), dim), q20Vec(lit(query), dim), (a, b) => a * b),
+          zip_with(q20Vec(col("text"), dim), typedLit(q20Const(query, dim).toSeq),
+            (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("vec_score"))
-    val ranked = RankOps.withGlobalRank(
-      RankOps.withGlobalRank(scored, "kw_rank",
-        Seq(col("kw_score").desc, col("doc_id").asc)),
-      "vec_rank", Seq(col("vec_score").desc, col("doc_id").asc))
-    ranked
+    // per-modality candidate lists: distributed TakeOrdered, then ranks over
+    // the ≤ `candidates`-row retained frame (bounded by the knob, not data)
+    def topList(scoreCol: String, rankCol: String) = {
+      val ord = Seq(col(scoreCol).desc, col("doc_id").asc)
+      scored.select(col("doc_id"), col(scoreCol))
+        .orderBy(ord: _*).limit(candidates)
+        .withColumn(rankCol, row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    }
+    val fused = topList("kw_score", "kw_rank")
+      .join(topList("vec_score", "vec_rank"), Seq("doc_id"), "full_outer")
       .withColumn("rrf_score",
-        lit(1.0) / (lit(RrfK) + col("kw_rank")) + lit(1.0) / (lit(RrfK) + col("vec_rank")))
+        coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
+    fused
       .select("doc_id", "kw_score", "vec_score", "kw_rank", "vec_rank", "rrf_score")
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
       .limit(limit)
@@ -102,15 +133,20 @@ object HybridSearch {
        |), vs AS (
        |  SELECT doc_id, CAST(SUM(dq.q20 * qq.q20) AS BIGINT) AS vec_score
        |  FROM dq JOIN qq ON dq.i = qq.i GROUP BY 1
-       |), r AS (
-       |  SELECT kw.doc_id, kw_score, vec_score,
-       |    CAST(row_number() OVER (ORDER BY kw_score DESC, kw.doc_id) AS BIGINT) AS kw_rank,
-       |    CAST(row_number() OVER (ORDER BY vec_score DESC, kw.doc_id) AS BIGINT) AS vec_rank
-       |  FROM kw JOIN vs ON kw.doc_id = vs.doc_id
+       |), kt AS (
+       |  SELECT doc_id, kw_score,
+       |    CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS BIGINT) AS kw_rank
+       |  FROM kw ORDER BY kw_score DESC, doc_id LIMIT 200
+       |), vt AS (
+       |  SELECT doc_id, vec_score,
+       |    CAST(row_number() OVER (ORDER BY vec_score DESC, doc_id) AS BIGINT) AS vec_rank
+       |  FROM vs ORDER BY vec_score DESC, doc_id LIMIT 200
        |)
-       |SELECT doc_id, kw_score, vec_score, kw_rank, vec_rank,
-       |  1.0 / ($RrfK + kw_rank) + 1.0 / ($RrfK + vec_rank) AS rrf_score
-       |FROM r
-       |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+       |SELECT coalesce(kt.doc_id, vt.doc_id) AS doc_id, kw_score, vec_score,
+       |  kw_rank, vec_rank,
+       |  coalesce(1.0 / ($RrfK + kw_rank), 0.0) + coalesce(1.0 / ($RrfK + vec_rank), 0.0)
+       |    AS rrf_score
+       |FROM kt FULL OUTER JOIN vt ON kt.doc_id = vt.doc_id
+       |ORDER BY rrf_score DESC, coalesce(kt.doc_id, vt.doc_id) LIMIT 20""".stripMargin
   }
 }

@@ -101,14 +101,29 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(totalInPacks == totalTokens)
   }
 
+  test("hybrid search: driver-side query embedding equals the in-plan expression") {
+    import spark.implicits._
+    val q = graft.text.HybridSearch.DefaultQuery
+    // evaluate the same q20 recipe through the Spark expression path
+    val viaPlan = Seq(q).toDF("text")
+      .select(graft.text.Embeddings.rawComponents(col("text")).as("v"))
+      .select(expr("transform(v, x -> CASE WHEN aggregate(v, 0L, (a, y) -> a + y * y) = 0 THEN 0L " +
+        "ELSE CAST(round(CAST(x AS DOUBLE) * 1048576.0 / sqrt(CAST(aggregate(v, 0L, (a, y) -> a + y * y) AS DOUBLE))) AS LONG) END)"))
+      .collect()(0).getSeq[Long](0)
+    assert(viaPlan == graft.text.HybridSearch.q20Const(q, graft.text.Embeddings.Dim).toSeq)
+  }
+
   test("hybrid search: RRF fuses lexical and vector ranks deterministically") {
     val out = graft.text.HybridSearch.hybridSearch(spark, dir).collect()
     assert(out.length == 20)
-    // ranks are positive and distinct within each modality's retained set
-    assert(out.map(_.getAs[Long]("kw_rank")).distinct.length == out.length)
-    assert(out.map(_.getAs[Long]("vec_rank")).distinct.length == out.length)
+    // ranks are distinct within each modality's candidate list (where present)
+    def ranks(c: String) = out.flatMap(r => Option(r.getAs[java.lang.Long](c)).map(_.toLong))
+    assert(ranks("kw_rank").distinct.length == ranks("kw_rank").length)
+    assert(ranks("vec_rank").distinct.length == ranks("vec_rank").length)
     out.foreach { r =>
-      val expect = 1.0 / (60 + r.getAs[Long]("kw_rank")) + 1.0 / (60 + r.getAs[Long]("vec_rank"))
+      def contrib(c: String) =
+        Option(r.getAs[java.lang.Long](c)).map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val expect = contrib("kw_rank") + contrib("vec_rank")
       assert(r.getAs[Double]("rrf_score") == expect) // exact replay of the fusion rule
       assert(r.getAs[Double]("rrf_score") <= 2.0 / 61.0)
     }

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Build the BASELINE.md scale-probe inputs: replicate the fact-ish tables
+(orders, customer, lineitem, events, documents) N times with key offsets so
+join fan-outs and per-user window sizes stay constant; dims are copied
+as-is. Driver-side python only — NOT part of the library.
+
+Usage: replicate.py <src_sf_dir> <out_dir> <factor> [tables...]
+"""
+import sys, shutil, os
+import duckdb
+
+DIMS = "region nation supplier part".split()
+FACTS = {
+    # table -> (offset columns, max-key source column)
+    "orders":    (["o_orderkey", "o_custkey"], None),
+    "customer":  (["c_custkey"], None),
+    "lineitem":  (["l_orderkey"], None),
+    "events":    (["event_id", "user_id"], None),
+    "documents": (["doc_id"], None),
+}
+
+def main(src, out, factor, only):
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
+        if os.path.exists(s):
+            shutil.copyfile(s, d)
+    for t, (keys, _) in FACTS.items():
+        if only and t not in only:
+            shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+            continue
+        src_pq = f"{src}/{t}.parquet"
+        offs = {k: con.execute(
+            f"SELECT MAX({k}) + 1 FROM read_parquet('{src_pq}')").fetchone()[0]
+            for k in keys}
+        cols = con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_pq}')").df()
+        names = list(cols.column_name)
+        reps = []
+        for i in range(factor):
+            sel = ", ".join(
+                f"{c} + {i * offs[c]} AS {c}" if c in offs else c for c in names)
+            reps.append(f"SELECT {sel} FROM read_parquet('{src_pq}')")
+        con.execute(f"COPY ({' UNION ALL '.join(reps)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: x{factor} -> {n} rows")
+
+if __name__ == "__main__":
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    main(src, out, factor, set(sys.argv[4:]))
