@@ -49,53 +49,66 @@ object Vault {
     * references genuinely exist, as they do mid-load in a real vault.
     *
     * Single-pass shape (r7 verdict task: the previous four anti-joins + two
-    * duplicate groupBys each shuffled the full key set — 9.3× growth on the
-    * BASELINE 100× probe): each base table is scanned ONCE and exploded into
-    * a tall tagged key frame (space, key, hub/sat/ref counters); every check
-    * then falls out of ONE (space, key) aggregate — orphans are keys whose
-    * reference count is positive but hub count is zero, duplicates are keys
-    * whose own-space count exceeds one — followed by a six-counter global
-    * rollup exploded back into the report rows. One key shuffle with
-    * map-side partial aggregation instead of ~ten; the `space` tag keeps the
-    * customer/order/link md5 key domains from colliding (md5("5") is the
-    * same string in every domain). */
+    * duplicate groupBys each shuffled the full key set): each base table is
+    * scanned ONCE and exploded into a tall tagged key frame; every check
+    * then falls out of ONE (space, k1, k2) aggregate — orphans are keys
+    * whose reference count is positive but hub count is zero, duplicates
+    * are keys whose own-space count exceeds one — followed by a six-counter
+    * global rollup exploded back into the report rows.
+    *
+    * The shuffle carries RAW integer business keys, not md5 strings: the
+    * report emits only counts, and two business keys collide iff their
+    * hash keys collide, so the md5 (32-char strings, one digest per row)
+    * buys nothing on this path — vaultModel still materializes the real
+    * hash keys for the vault build. Counter rows for the same (space, key)
+    * are pre-merged at explode time (order hub+ref in one row, customer
+    * hub+sat in one row), so the exchange moves ≤ 3 rows per order + 1 per
+    * customer of ~50 narrow bytes. The 100× probe that motivated this: the
+    * md5-string explode shuffled 63M wide rows in 16.7 s where the old
+    * four broadcast anti-joins took 8.3 s — broadcasting works at probe
+    * scale but not when hubs outgrow executor memory; narrowing the one
+    * exchange is what keeps the single-pass shape competitive at BOTH
+    * scales. */
   def vaultIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    def row(space: String, key: Column, hub: Long, sat: Long, ref: Long, nullBk: Column): Column =
-      struct(lit(space).as("space"), key.as("k"), lit(hub).as("hub_c"),
-        lit(sat).as("sat_c"), lit(ref).as("ref_c"), nullBk.cast("long").as("null_bk"))
+    // space codes: 0 = customer hub, 1 = order hub, 2 = link
+    def row(space: Int, k1: Column, k2: Column, hub: Long, sat: Long, ref: Long,
+            nullBk: Column): Column =
+      struct(lit(space).as("space"), k1.cast("long").as("k1"), k2.cast("long").as("k2"),
+        lit(hub).as("hub_c"), lit(sat).as("sat_c"), lit(ref).as("ref_c"),
+        nullBk.cast("long").as("null_bk"))
     val zero = lit(0L)
+    val noK2 = lit(null).cast("long")
 
-    // one orders scan: the link's two hub references, its own link key, and
-    // the order-hub membership row
+    // one orders scan: link's customer-hub ref; order hub + its own ref
+    // (merged — same key, one row); the link key itself
     val orderRows = Tables.orders(spark, dir).select(explode(array(
-      row("cust", hk(col("o_custkey")), 0L, 0L, 1L, zero),
-      row("order", hk(col("o_orderkey")), 1L, 0L, 0L, zero),
-      row("order", hk(col("o_orderkey")), 0L, 0L, 1L, zero),
-      row("link", hk(col("o_orderkey"), col("o_custkey")), 0L, 0L, 1L, zero))).as("r"))
-    // one customer scan: hub row (drifted snapshot only) + satellite row
-    val custRows = Tables.customer(spark, dir).select(explode(
-      when(col("c_custkey") % 10 =!= 3, array(
-        row("cust", hk(col("c_custkey")), 1L, 0L, 0L,
-          when(col("c_custkey").isNull, 1L).otherwise(0L)),
-        row("cust", hk(col("c_custkey")), 0L, 1L, 0L, zero)))
-      .otherwise(array(
-        row("cust", hk(col("c_custkey")), 0L, 1L, 0L, zero)))).as("r"))
+      row(0, col("o_custkey"), noK2, 0L, 0L, 1L, zero),
+      row(1, col("o_orderkey"), noK2, 1L, 0L, 1L, zero),
+      row(2, col("o_orderkey"), col("o_custkey"), 0L, 0L, 1L, zero))).as("r"))
+    // one customer scan: hub+satellite merged for the drifted snapshot,
+    // satellite-only for the rows the snapshot dropped
+    val custRows = Tables.customer(spark, dir).select(explode(array(
+      when(col("c_custkey") % 10 =!= 3,
+        row(0, col("c_custkey"), noK2, 1L, 1L, 0L,
+          when(col("c_custkey").isNull, 1L).otherwise(0L)))
+      .otherwise(
+        row(0, col("c_custkey"), noK2, 0L, 1L, 0L, zero)))).as("r"))
 
     val keyed = orderRows.unionByName(custRows).select(col("r.*"))
-      .groupBy("space", "k")
+      .groupBy("space", "k1", "k2")
       .agg(sum("hub_c").as("hub_n"), sum("sat_c").as("sat_n"),
         sum("ref_c").as("ref_n"), sum("null_bk").as("nb"))
     val g = keyed.agg(
       sum("nb").as("n_null"),
-      sum(when(col("space") === "cust" && col("hub_n") === 0, col("sat_n")).otherwise(0L))
+      sum(when(col("space") === 0 && col("hub_n") === 0, col("sat_n")).otherwise(0L))
         .as("orphan_sat"),
-      sum(when(col("space") === "cust" && col("hub_n") === 0, col("ref_n")).otherwise(0L))
+      sum(when(col("space") === 0 && col("hub_n") === 0, col("ref_n")).otherwise(0L))
         .as("orphan_link_cust"),
-      sum(when(col("space") === "order" && col("hub_n") === 0, col("ref_n")).otherwise(0L))
+      sum(when(col("space") === 1 && col("hub_n") === 0, col("ref_n")).otherwise(0L))
         .as("orphan_link_order"),
-      sum(when(col("space") === "cust" && col("hub_n") > 1, 1L).otherwise(0L))
+      sum(when(col("space") === 0 && col("hub_n") > 1, 1L).otherwise(0L))
         .as("dup_hub"),
-      sum(when(col("space") === "link" && col("ref_n") > 1, 1L).otherwise(0L))
+      sum(when(col("space") === 2 && col("ref_n") > 1, 1L).otherwise(0L))
         .as("dup_link"))
     g.select(explode(array(
         struct(lit("hub_null_business_keys").as("test_type"), col("n_null").as("n_failures")),
