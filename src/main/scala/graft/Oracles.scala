@@ -62,16 +62,6 @@ object Oracles {
 
   import graft.text.TextOps.{sqlList, enStop, esStop, frStop, deStop}
 
-  /** Hex-nibble value of char `pos` (1-based) of content_digest: '0'-'9' →
-    * 0-9 (ascii 48-57: %16), 'a'-'f' → 10-15 (ascii 97-102: %16 + 9). */
-  private def nib(pos: Int): String =
-    s"(ascii(substr(content_digest,$pos,1)) % 16 + 9 * (ascii(substr(content_digest,$pos,1)) // 96))"
-
-  /** First 24 bits of the sha256 digest as an integer — mirrors
-    * `Long.parseLong(digest.substring(0, 6), 16)` in Multimodal.decodeStub. */
-  private val digestH =
-    (1 to 6).map(i => s"${nib(i)} * ${1L << (4 * (6 - i))}").mkString(" + ")
-
   /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via a shingle
     * inverted-index join — the oracle twin of MinHashLsh.nearDupPairs. The
     * LSH side is seed-fixed and Jaccard-VERIFIES every candidate, so its
@@ -147,23 +137,23 @@ object Oracles {
          |  SELECT doc_id, media_type, content_digest,
          |    CAST(CASE media_type WHEN 'image' THEN body_len + 33
          |                         WHEN 'audio' THEN body_len + 44
-         |                         ELSE body_len END AS BIGINT) AS n_bytes,
+         |                         ELSE body_len + 88 END AS BIGINT) AS n_bytes,
          |    CASE media_type WHEN 'image' THEN '89504e47'
-         |                    WHEN 'audio' THEN '52494646'
-         |                    ELSE body_magic END AS magic_hex,
-         |    CAST(CASE WHEN media_type = 'image' THEN 64 + doc_id % 1857 END AS BIGINT) AS width,
-         |    CAST(CASE WHEN media_type = 'image' THEN 64 + body_len % 1017 END AS BIGINT) AS height,
+         |                    ELSE '52494646' END AS magic_hex,
+         |    CAST(CASE WHEN media_type = 'image' THEN 64 + doc_id % 1857
+         |              WHEN media_type = 'video' THEN 320 + doc_id % 1601 END AS BIGINT) AS width,
+         |    CAST(CASE WHEN media_type = 'image' THEN 64 + body_len % 1017
+         |              WHEN media_type = 'video' THEN 240 + body_len % 841 END AS BIGINT) AS height,
          |    CAST(CASE WHEN media_type = 'audio'
          |              THEN ([8000,16000,22050,44100,48000])[CAST(doc_id % 5 AS INT) + 1] END AS BIGINT) AS sample_rate,
-         |    CAST(CASE WHEN media_type = 'audio' THEN 1 + doc_id % 2 END AS BIGINT) AS channels,
-         |    CAST($digestH AS BIGINT) AS hv
+         |    CAST(CASE WHEN media_type = 'audio' THEN 1 + doc_id % 2 END AS BIGINT) AS channels
          |  FROM f
          |), h AS (
          |  SELECT *, CAST(greatest(1, n_bytes // 5) AS BIGINT) AS step FROM g
          |)
          |SELECT doc_id, media_type, n_bytes, magic_hex, width, height,
          |  sample_rate, channels,
-         |  CAST(CASE WHEN media_type = 'video' THEN 1 + hv % 300 ELSE 1 END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN media_type = 'video' THEN 1 + doc_id % 300 ELSE 1 END AS BIGINT) AS n_frames,
          |  concat_ws(',', 0, step, 2 * step, 3 * step, 4 * step) AS sample_offsets,
          |  content_digest
          |FROM h""".stripMargin,

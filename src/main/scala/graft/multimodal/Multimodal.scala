@@ -25,24 +25,26 @@ case class MediaFeatures(
     sample_offsets: String,
     content_digest: String)
 
-/** Multimodal binary-column plumbing with REAL container parsing for two
-  * modalities.
+/** Multimodal binary-column plumbing with REAL container parsing for all
+  * three modalities.
   *
   * The media table is synthesized from `documents` with genuine container
   * headers — a well-formed PNG signature + IHDR chunk (big-endian dims,
   * CRC32-correct) for images, a canonical 44-byte RIFF/WAVE header
-  * (little-endian fmt fields) for audio — wrapping the document text as the
-  * payload body. The decoder does what a production decoder does: dispatch
-  * on the actual magic bytes and parse width/height (PNG IHDR) or sample
-  * rate/channels (WAV fmt) from the binary header. Only video remains a
-  * documented deterministic stub (no pure-JVM container format to parse;
-  * frame count derives from the content digest).
+  * (little-endian fmt fields) for audio, and a spec-correct RIFF/AVI LIST
+  * hdrl + avih main header (little-endian frame geometry) for video —
+  * wrapping the document text as the payload body. The decoder does what a
+  * production decoder does: sniff the actual magic bytes and parse
+  * width/height (PNG IHDR), sample rate/channels (WAV fmt), or
+  * frames/width/height (AVI avih) from the binary header. Pixel/sample
+  * DECODING (past the container) would need a codec library this
+  * environment doesn't ship; the avih header parse is the honest pure-JVM
+  * boundary, and a codec slots into `decode` without touching the plumbing.
   *
   * Spark shape: typed `Dataset[MediaRecord]`, per-partition batch iteration
   * via `mapPartitions` (the Scala analog of `mapInPandas` batches — decoder
   * init amortizes per partition), a binary payload column with typed
-  * metadata, frame-sampling offsets. Swap `parseHeader`'s video branch for a
-  * JNI/codec call and nothing else changes.
+  * metadata, frame-sampling offsets.
   */
 object Multimodal {
 
@@ -50,6 +52,8 @@ object Multimodal {
   private val PngHeaderLen = 33 // 8 sig + 4 len + 4 "IHDR" + 13 data + 4 crc
   private val WavHeaderLen = 44 // canonical RIFF/WAVE/fmt /data layout
   private val WavRates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
+  private val AviHeaderLen = 88 // RIFF/AVI + LIST hdrl + avih(56)
+  private val AviMicros = Array(16667L, 33333L, 40000L, 50000L, 20000L)
 
   private def be32(v: Long): Array[Byte] =
     Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
@@ -76,11 +80,30 @@ object Multimodal {
       le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16) ++
       "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
 
+  /** A spec-correct RIFF/AVI header: 'RIFF' size 'AVI ', a LIST/hdrl
+    * wrapping one avih main header chunk (56-byte AVIMAINHEADER:
+    * dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight at their standard
+    * little-endian offsets), followed by `body`. Header-accurate the same
+    * way the PNG/WAV fixtures are: the avih fields parse with any RIFF
+    * reader. */
+  def aviBytes(width: Long, height: Long, frames: Long, microsPerFrame: Long,
+               body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(AviHeaderLen - 8L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(4L + 8L + 56L) ++
+      "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(microsPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ // dwReserved[4]
+      body
+
   /** Fabricates the media table from `documents`: media_type round-robins on
-    * doc_id; image/audio payloads carry REAL container headers (dims and
-    * audio params derived deterministically from doc_id and body length so
-    * the oracle can predict what the parser must find); video stays a raw
-    * byte payload. */
+    * doc_id; every payload carries a REAL container header (PNG IHDR dims,
+    * WAV fmt audio params, AVI avih frame geometry — each derived
+    * deterministically from doc_id and body length so the oracle can
+    * predict what the parser must find). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)].map {
@@ -91,7 +114,9 @@ object Multimodal {
             pngBytes(64 + docId % 1857, 64 + body.length % 1017, body))
           case 1 => MediaRecord(docId, "audio",
             wavBytes(WavRates((docId % 5).toInt), 1 + docId % 2, body))
-          case _ => MediaRecord(docId, "video", body)
+          case _ => MediaRecord(docId, "video",
+            aviBytes(320 + docId % 1601, 240 + body.length % 841,
+              1 + docId % 300, AviMicros((docId % 5).toInt), body))
         }
     }
   }
@@ -106,34 +131,35 @@ object Multimodal {
 
   private def isPng(b: Array[Byte]): Boolean =
     b.length >= PngHeaderLen && PngSig.indices.forall(i => b(i) == PngSig(i))
+  private def fourcc(b: Array[Byte], off: Int, tag: String): Boolean =
+    b.slice(off, off + 4).sameElements(tag.getBytes("US-ASCII"))
   private def isWav(b: Array[Byte]): Boolean =
-    b.length >= WavHeaderLen &&
-      b.slice(0, 4).sameElements("RIFF".getBytes("US-ASCII")) &&
-      b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII"))
+    b.length >= WavHeaderLen && fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length >= AviHeaderLen && fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI ") &&
+      fourcc(b, 24, "avih")
 
-  /** Decode one record: REAL header parsing for PNG (IHDR big-endian dims)
-    * and WAV (fmt little-endian rate/channels); video falls back to the
-    * documented digest-derived frame-count stub. The content digest covers
-    * the media BODY (payload minus container header) — the content, not the
-    * container. */
+  /** Decode one record by sniffing the actual container bytes: PNG IHDR
+    * (big-endian dims), WAV fmt (little-endian rate/channels), AVI avih
+    * (little-endian dwTotalFrames/dwWidth/dwHeight). The content digest
+    * covers the media BODY (payload minus container header) — the content,
+    * not the container. */
   def decode(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     val n = bytes.length.toLong
     val magic = bytes.take(4).map(b => f"$b%02x").mkString
-    val (width, height, sampleRate, channels, headerLen) =
+    val (width, height, sampleRate, channels, frames, headerLen) =
       if (isPng(bytes))
-        (Some(readBe32(bytes, 16)), Some(readBe32(bytes, 20)), None, None, PngHeaderLen)
+        (Some(readBe32(bytes, 16)), Some(readBe32(bytes, 20)), None, None, 1L, PngHeaderLen)
+      else if (isAvi(bytes)) // before WAV: both are RIFF, fourcc at 8 differs
+        (Some(readLe32(bytes, 64)), Some(readLe32(bytes, 68)), None, None,
+          readLe32(bytes, 48), AviHeaderLen)
       else if (isWav(bytes))
-        (None, None, Some(readLe32(bytes, 24)), Some(readLe16(bytes, 22)), WavHeaderLen)
-      else (None, None, None, None, 0)
+        (None, None, Some(readLe32(bytes, 24)), Some(readLe16(bytes, 22)), 1L, WavHeaderLen)
+      else (None, None, None, None, 1L, 0)
     val body = if (headerLen == 0) bytes else bytes.drop(headerLen)
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(body).map(b => f"$b%02x").mkString
-    // STUB (video only): no pure-JVM video container to parse — frame count
-    // is content-addressed from the digest (first 24 bits) so the operator
-    // stays reproducible in any engine
-    val h = java.lang.Long.parseLong(digest.substring(0, 6), 16)
-    val frames = if (r.media_type == "video") 1 + h % 300L else 1L
     val step = math.max(1L, n / 5)
     val offsets = (0 until 5).map(i => i * step).mkString(",")
     MediaFeatures(r.doc_id, r.media_type, n, magic, width, height,

@@ -32,15 +32,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes == 44 + body.length)
   }
 
-  test("video falls back to the documented digest-derived stub") {
-    val bytes = "some fake video bytes".getBytes("UTF-8")
-    val r = MediaRecord(9L, "video", bytes)
-    val a = Multimodal.decode(r)
-    assert(a == Multimodal.decode(r)) // deterministic
+  test("decode genuinely parses an AVI avih header") {
+    val body = "frame payload".getBytes("UTF-8")
+    val r = MediaRecord(9L, "video", Multimodal.aviBytes(1280, 720, 240, 33333, body))
+    val f = Multimodal.decode(r)
+    assert(f.width.contains(1280L) && f.height.contains(720L))
+    assert(f.n_frames == 240L)
+    assert(f.sample_rate.isEmpty && f.channels.isEmpty)
+    assert(f.magic_hex == "52494646") // "RIFF", like WAV — fourcc at 8 disambiguates
+    assert(f.n_bytes == 88 + body.length)
+    val bodyDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body).map(b => f"$b%02x").mkString
+    assert(f.content_digest == bodyDigest) // digest covers the body, not the header
+  }
+
+  test("container-less payloads decode to bare byte features") {
+    val bytes = "opaque blob with no container".getBytes("UTF-8")
+    val a = Multimodal.decode(MediaRecord(10L, "video", bytes))
+    assert(a == Multimodal.decode(MediaRecord(10L, "video", bytes))) // deterministic
+    assert(a.width.isEmpty && a.sample_rate.isEmpty && a.n_frames == 1L)
     assert(a.content_digest.matches("[0-9a-f]{64}"))
-    val h = java.lang.Long.parseLong(a.content_digest.substring(0, 6), 16)
-    assert(a.n_frames == 1 + h % 300)
-    assert(a.width.isEmpty && a.sample_rate.isEmpty)
     assert(a.sample_offsets.split(",").length == 5)
   }
 
@@ -60,7 +71,10 @@ class MultimodalSpec extends AnyFunSuite {
           assert(f.sample_rate.exists(Set(8000L, 16000L, 22050L, 44100L, 48000L)))
           assert(f.channels.exists(c => c == 1L || c == 2L))
         case _ =>
-          assert(f.width.isEmpty && f.sample_rate.isEmpty)
+          // parsed back out of the real avih bytes
+          assert(f.width.exists(_ >= 320) && f.height.exists(_ >= 240))
+          assert(f.n_frames >= 1 && f.n_frames <= 300)
+          assert(f.magic_hex == "52494646")
       }
       val offs = f.sample_offsets.split(",").map(_.toLong)
       assert(offs.length == 5)
