@@ -1028,6 +1028,10 @@ object Oracles {
     "repetition_filter" -> graft.text.TrainPrep.repetitionFilterOracle,
     "sequence_packing" -> graft.text.TrainPrep.sequencePackingOracle,
     "mixing_weights" -> graft.text.TrainPrep.mixingWeightsOracle,
+    "training_shuffle" -> graft.text.TrainPrep.trainingShuffleOracle,
+    "temperature_sample" -> graft.text.TrainPrep.temperatureSampleOracle,
+    "lm_quality_score" -> graft.text.TrainPrep.lmQualityScoreOracle,
+    "curation_funnel" -> graft.text.TrainPrep.curationFunnelOracle,
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
 
     "table_health" ->

@@ -160,6 +160,10 @@ object SparkEntry {
     "repetition_filter"   -> ((s, d) => graft.text.TrainPrep.repetitionFilter(s, d)),
     "sequence_packing"    -> ((s, d) => graft.text.TrainPrep.sequencePacking(s, d)),
     "mixing_weights"      -> ((s, d) => graft.text.TrainPrep.mixingWeights(s, d)),
+    "training_shuffle"    -> ((s, d) => graft.text.TrainPrep.trainingShuffle(s, d)),
+    "temperature_sample"  -> ((s, d) => graft.text.TrainPrep.temperatureSample(s, d)),
+    "lm_quality_score"    -> ((s, d) => graft.text.TrainPrep.lmQualityScore(s, d)),
+    "curation_funnel"     -> ((s, d) => graft.text.TrainPrep.curationFunnel(s, d)),
     // hybrid lexical+vector retrieval with RRF fusion (text/HybridSearch.scala)
     "hybrid_search"       -> ((s, d) => graft.text.HybridSearch.hybridSearch(s, d))
   )

@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.Exact.countAll
 import graft.operators.RankOps
+import graft.text.TextOps.{enStop, sqlList}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -354,4 +355,268 @@ object TrainPrep {
       |  CAST(n_tokens AS DOUBLE) / tt AS token_share,
       |  CAST(tt AS DOUBLE) / (k * n_tokens) AS mix_weight
       |FROM s, t""".stripMargin
+
+  // -------------------------------------------------------------- shuffle
+
+  /** Deterministic global training shuffle: order the corpus by
+    * md5(doc_id), assign each document a shuffle position, and deal
+    * positions round-robin into `nShards` data-loader shards. The
+    * reproducible shuffle every pretraining run needs — same corpus, same
+    * shard files, byte-for-byte, on any engine.
+    *
+    * Scale shape: the shuffle position is RankOps' range-repartitioned
+    * global rank (a distributed sort on the hash key — no single-partition
+    * window), and the shard/offset math is a row-local projection on top.
+    * Round-robin dealing makes every shard the same size ±1 regardless of
+    * corpus skew. */
+  def trainingShuffle(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      md5(col("doc_id").cast("string")).as("__hk"))
+    RankOps.withGlobalRank(keyed, "__r", Seq(col("__hk").asc, col("doc_id").asc))
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        (col("__r") - 1).cast("long").as("shuffle_pos"),
+        ((col("__r") - 1) % nShards).cast("long").as("shard_id"),
+        expr(s"(__r - 1) div ${nShards}L").cast("long").as("shard_offset"))
+  }
+
+  def trainingShuffleOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |      AS BIGINT) AS shuffle_pos
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, shuffle_pos,
+      |  shuffle_pos % 16 AS shard_id, shuffle_pos // 16 AS shard_offset
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------- temperature
+
+  /** Language temperature resampling (the multilingual-pretraining mixture
+    * flattener): per-language keep probability sqrt(min_tokens / tokens) —
+    * i.e. sampling weight ∝ share^(α−1) at α = 0.5, which moves every
+    * language's token mass to the geometric mean of itself and the smallest
+    * language. The per-document keep decision is a salted md5 bucket
+    * compared against the language's keep probability — deterministic,
+    * engine-portable, and independent of the split hash (different salt).
+    * α is pinned at 0.5 because sqrt is correctly rounded in IEEE 754 —
+    * pow(x, 0.3) is not bitwise-portable across engines, sqrt is.
+    *
+    * Scale shape: one grouped aggregate to the ≤ #languages-row frame, a
+    * broadcast of that frame plus its 1-row min, and a row-local keep
+    * decision — the 100 TB corpus is never shuffled. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withWords(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), size(col("__w")).cast("long").as("__nt"))
+    val perLang = toks.groupBy("lang").agg(sum(col("__nt")).as("lang_tokens"))
+    val minRow = broadcast(perLang.agg(min(col("lang_tokens")).as("__mn")))
+    val rates = broadcast(perLang.crossJoin(minRow)
+      .select(col("lang"), col("lang_tokens"),
+        sqrt(col("__mn").cast("double") / col("lang_tokens")).as("keep_prob")))
+    toks.join(rates, "lang")
+      .select(
+        col("doc_id"), col("lang"), col("lang_tokens"), col("keep_prob"),
+        (hashBucket(concat(lit("ts:"), col("doc_id").cast("string")), 65536)
+          .cast("double") / 65536.0).as("u"))
+      .withColumn("is_kept", col("u") < col("keep_prob"))
+  }
+
+  def temperatureSampleOracle: String = {
+    val bucket =
+      s"""CAST(list_sum(list_transform(range(1, 5), j ->
+         |    (strpos('$hexDigits', substring(md5('ts:' || CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+         |      * (16.0 ** (4 - j)))) AS BIGINT) % 65536""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nt
+       |  FROM documents
+       |), s AS (
+       |  SELECT lang, CAST(SUM(nt) AS BIGINT) AS lang_tokens FROM t GROUP BY 1
+       |), m AS (
+       |  SELECT MIN(lang_tokens) AS mn FROM s
+       |), r AS (
+       |  SELECT lang, lang_tokens, sqrt(CAST(mn AS DOUBLE) / lang_tokens) AS keep_prob
+       |  FROM s, m
+       |)
+       |SELECT doc_id, t.lang, lang_tokens, keep_prob,
+       |  CAST($bucket AS DOUBLE) / 65536.0 AS u,
+       |  CAST($bucket AS DOUBLE) / 65536.0 < keep_prob AS is_kept
+       |FROM t JOIN r ON t.lang = r.lang""".stripMargin
+  }
+
+  // ------------------------------------------------------------- lm score
+
+  /** Char-trigram LM quality score (the CCNet-style "does this look like
+    * the corpus" filter, with the corpus itself as the LM training set):
+    * build a vocabulary of every character trigram whose corpus-wide count
+    * clears a scale-free floor (0.01% of the trigram mass), then score each
+    * document by the fraction of its trigram instances found in the
+    * vocabulary. Gibberish, encoding junk, and wrong-script text score low;
+    * a real deployment swaps the self-trained vocab for one trained on a
+    * trusted corpus without changing the plan shape.
+    *
+    * Scale shape: two passes, like any train-then-score pipeline. Pass 1
+    * aggregates exploded trigrams — the result is bounded by charset³, not
+    * corpus size, so the vocab frame is always tiny. Pass 2 re-explodes and
+    * left-semi joins the vocab (AQE broadcasts it) and reduces back to one
+    * row per document. Nothing driver-side, no all-pairs. */
+  def lmQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("__c", lower(trim(col("text"))))
+      .withColumn("__g",
+        when(col("__c").isNotNull && length(col("__c")) >= 3,
+          expr("transform(sequence(1, length(__c) - 2), i -> substring(__c, i, 3))"))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("__g"))
+    val grams = d.select(col("doc_id"), explode(col("__g")).as("g"))
+    val total = broadcast(grams.agg(countAll.as("__tot")))
+    // floor: 0.01% of the trigram mass, and never below 2 — singleton
+    // trigrams (hapax junk) must not self-certify at small corpus sizes
+    val vocab = grams.groupBy("g").agg(countAll.as("__c"))
+      .crossJoin(total)
+      .filter(col("__c") >= greatest(lit(2L), expr("__tot div 10000L")))
+      .select("g")
+    val hits = grams.join(vocab, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(countAll.as("__hits"))
+    d.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("__g")).cast("long").as("n_grams"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit_rate",
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hits").cast("double") / col("n_grams")))
+      .withColumn("is_kept", coalesce(col("hit_rate") >= 0.8, lit(false)))
+  }
+
+  def lmQualityScoreOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(trim(text)) AS c FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(c) - 1), i -> substr(c, i, 3))) AS gr
+      |  FROM d WHERE c IS NOT NULL AND len(c) >= 3
+      |), tot AS (
+      |  SELECT COUNT(*) AS tt FROM g
+      |), v AS (
+      |  SELECT gr FROM g, tot GROUP BY gr, tt HAVING COUNT(*) >= greatest(2, tt // 10000)
+      |), h AS (
+      |  SELECT doc_id, COUNT(*) AS hits FROM g WHERE gr IN (SELECT gr FROM v) GROUP BY 1
+      |), n AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN c IS NOT NULL AND len(c) >= 3 THEN len(c) - 2 ELSE 0 END AS BIGINT)
+      |      AS n_grams
+      |  FROM d
+      |)
+      |SELECT n.doc_id, n_grams, coalesce(hits, 0) AS n_hits,
+      |  CASE WHEN n_grams = 0 THEN NULL
+      |       ELSE CAST(coalesce(hits, 0) AS DOUBLE) / n_grams END AS hit_rate,
+      |  coalesce((CASE WHEN n_grams = 0 THEN NULL
+      |                 ELSE CAST(coalesce(hits, 0) AS DOUBLE) / n_grams END) >= 0.8,
+      |           false) AS is_kept
+      |FROM n LEFT JOIN h ON n.doc_id = h.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- funnel
+
+  /** Curation-funnel accounting: apply the row-local keep rules in pipeline
+    * order and report, per stage, how many documents entered, dropped, and
+    * survived — the "where did my corpus go" report every curation run
+    * ships with. Stages: minimum length (≥ 10 tokens), repetition
+    * (distinct-word ratio ≥ 0.2 AND top-word fraction ≤ 0.2, the
+    * repetitionFilter rules), stopword quality (quality_score ≥ 0.5, the
+    * textStats formula), symbol load (non-alphanumeric-non-space chars
+    * ≤ 30%). Decontamination is deliberately absent: it is a separate
+    * join-shaped stage (contaminationCheck), while this funnel is the
+    * row-local ladder.
+    *
+    * Scale shape: every rule is computed inside the row (one codegen'd
+    * projection), the funnel is ONE aggregate of running-AND sums, and the
+    * per-stage rows explode from that single aggregate row — corrPairs'
+    * explode-of-structs pattern. No joins, no windows, one shuffle of five
+    * longs. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = withWords(Tables.documents(spark, dir))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("__wc",
+        expr("transform(array_distinct(__w), u -> size(filter(__w, x -> x = u)))"))
+      .withColumn("__stop",
+        expr(s"size(filter(__w, t -> t IN (${sqlList(enStop)})))").cast("long"))
+      .withColumn("__sym",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long"))
+      .withColumn("__len", length(col("text")).cast("long"))
+    val flagged = d
+      .withColumn("k1", col("__n") >= 10)
+      .withColumn("k2", col("k1") &&
+        size(col("__wc")).cast("double") / col("__n") >= 0.2 &&
+        array_max(col("__wc")).cast("double") / col("__n") <= 0.2)
+      .withColumn("k3", col("k2") &&
+        least(lit(1.0), col("__n").cast("double") / 100.0) * 0.5 +
+          when(col("__n") === 0, 0.0)
+            .otherwise(least(lit(1.0), lit(4.0) * col("__stop") / col("__n")) * 0.5) >= 0.5)
+      .withColumn("k4", col("k3") &&
+        col("__sym").cast("double") / col("__len") <= 0.3)
+    val agg = flagged.agg(
+      countAll.as("n0"),
+      sum(when(col("k1"), 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("k2"), 1L).otherwise(0L)).cast("long").as("n2"),
+      sum(when(col("k3"), 1L).otherwise(0L)).cast("long").as("n3"),
+      sum(when(col("k4"), 1L).otherwise(0L)).cast("long").as("n4"))
+    val stages = Seq(
+      (1, "min_length", "n0", "n1"), (2, "repetition", "n1", "n2"),
+      (3, "stopword_quality", "n2", "n3"), (4, "symbol_load", "n3", "n4"))
+    val rows = stages.map { case (i, name, in, out) =>
+      struct(lit(i).as("stage"), lit(name).as("rule"),
+        col(in).as("n_in"), (col(in) - col(out)).as("n_dropped"), col(out).as("n_out"),
+        (when(col(in) === 0, 0.0)
+          .otherwise((col(in) - col(out)).cast("double") / col(in))).as("drop_frac"))
+    }
+    agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  def curationFunnelOracle: String = {
+    val stages = Seq(
+      (1, "min_length", "n0", "n1"), (2, "repetition", "n1", "n2"),
+      (3, "stopword_quality", "n2", "n3"), (4, "symbol_load", "n3", "n4"))
+    val unioned = stages.map { case (i, name, in, out) =>
+      s"""SELECT $i AS stage, '$name' AS rule, $in AS n_in, $in - $out AS n_dropped,
+         |  $out AS n_out,
+         |  CASE WHEN $in = 0 THEN 0.0 ELSE CAST($in - $out AS DOUBLE) / $in END AS drop_frac
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), f AS (
+       |  SELECT
+       |    CAST(len(w) AS BIGINT) AS n,
+       |    list_transform(list_distinct(w), u -> len(list_filter(w, x -> x = u))) AS wc,
+       |    CAST(len(list_filter(w, x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS stop,
+       |    CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS sym,
+       |    CAST(len(text) AS BIGINT) AS ln
+       |  FROM t
+       |), kf AS (
+       |  SELECT *,
+       |    coalesce(n >= 10, false) AS k1,
+       |    coalesce(n >= 10 AND CAST(len(wc) AS DOUBLE) / n >= 0.2
+       |      AND CAST(list_max(wc) AS DOUBLE) / n <= 0.2, false) AS k2
+       |  FROM f
+       |), kq AS (
+       |  SELECT *,
+       |    coalesce(k2 AND least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.5 +
+       |      (CASE WHEN n = 0 THEN 0.0
+       |            ELSE least(1.0, 4.0 * stop / n) * 0.5 END) >= 0.5, false) AS k3
+       |  FROM kf
+       |), ks AS (
+       |  SELECT *, coalesce(k3 AND CAST(sym AS DOUBLE) / ln <= 0.3, false) AS k4 FROM kq
+       |), a AS (
+       |  SELECT COUNT(*) AS n0,
+       |    CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM ks
+       |)
+       |$unioned""".stripMargin
+  }
 }

@@ -201,4 +201,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), "corpus total must broadcast")
     assert(!plan.contains("CartesianProduct"), "scalar join planned as cartesian")
   }
+
+  test("training shuffle rides a range repartition, never one partition") {
+    val plan = formatted(graft.text.TrainPrep.trainingShuffle(spark, dir))
+    assert(!plan.contains("SinglePartition"),
+      "global shuffle rank fell back to a single-partition window")
+  }
+
+  test("temperature sample broadcasts the per-language rates to the corpus") {
+    val plan = formatted(graft.text.TrainPrep.temperatureSample(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=#languages-row rate frame must broadcast — the corpus side must not shuffle")
+    assert(!plan.contains("SortMergeJoin"), "corpus shuffled for a tiny-side join")
+  }
+
+  test("curation funnel is one aggregate pass: no join, no window") {
+    val plan = formatted(graft.text.TrainPrep.curationFunnel(spark, dir))
+    assert(!plan.contains("Join"), "row-local funnel must not join")
+    assert(!plan.contains("Window"), "row-local funnel must not window")
+  }
 }

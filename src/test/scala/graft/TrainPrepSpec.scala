@@ -143,4 +143,82 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(math.abs(prod - 1.0 / k) < 1e-9)
     }
   }
+
+  test("training shuffle: positions are a permutation, shards balanced ±1") {
+    val rows = TrainPrep.trainingShuffle(spark, dir).collect()
+    val n = rows.length
+    val pos = rows.map(_.getAs[Long]("shuffle_pos")).sorted
+    assert(pos.sameElements(Array.tabulate(n)(_.toLong))) // exact permutation 0..n-1
+    val shardSizes = rows.groupBy(_.getAs[Long]("shard_id")).values.map(_.length)
+    assert(shardSizes.max - shardSizes.min <= 1) // round-robin balance
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shuffle_pos") ==
+        r.getAs[Long]("shard_offset") * 16 + r.getAs[Long]("shard_id"))
+    }
+    // the shuffle actually permutes: doc-id order and shuffle order differ
+    val byId = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("shuffle_pos"))
+    assert(!byId.sameElements(byId.sorted))
+  }
+
+  test("temperature sample: sqrt flattening with the smallest language at 1.0") {
+    val tmp = craftedDir(
+      (0L until 90L).map(i => (i, "alpha beta gamma delta", "en", "s0")) ++
+        (90L until 100L).map(i => (i, "uno dos tres cuatro", "es", "s0")))
+    val rows = TrainPrep.temperatureSample(spark, tmp).collect()
+    // 90 en docs × 4 tokens = 360; 10 es docs × 4 = 40 → keep_prob(es) = 1.0,
+    // keep_prob(en) = sqrt(40/360) = 1/3
+    rows.filter(_.getAs[String]("lang") == "es").foreach { r =>
+      assert(r.getAs[Double]("keep_prob") == 1.0)
+      assert(r.getAs[Boolean]("is_kept")) // u < 1.0 always (bucket < 65536)
+    }
+    rows.filter(_.getAs[String]("lang") == "en").foreach { r =>
+      assert(r.getAs[Double]("keep_prob") == math.sqrt(40.0 / 360.0))
+      assert(r.getAs[Boolean]("is_kept") ==
+        r.getAs[Double]("u") < r.getAs[Double]("keep_prob"))
+    }
+    // the kept en mass heads toward the geometric mean, not zero: some survive
+    assert(rows.count(r => r.getAs[String]("lang") == "en" && r.getAs[Boolean]("is_kept")) > 0)
+  }
+
+  test("lm quality score: corpus-like text scores high, gibberish scores low") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val tmp = craftedDir(
+      (0L until 20L).map(i => (i, common, "en", "s0")) :+
+        ((20L, "zqxvjkwpbmgfdhtcynrs", "en", "s0"))) // every trigram unique → all hapax
+    val rows = TrainPrep.lmQualityScore(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every trigram of the 20-fold-repeated doc clears the 0.01% floor
+    assert(rows(0L).getAs[Double]("hit_rate") == 1.0 && rows(0L).getAs[Boolean]("is_kept"))
+    assert(rows(0L).getAs[Long]("n_grams") == common.length - 2)
+    // the one-off gibberish doc shares no trigrams with the corpus mass
+    assert(rows(20L).getAs[Double]("hit_rate") < 0.8 && !rows(20L).getAs[Boolean]("is_kept"))
+  }
+
+  test("curation funnel: hand-computed drops, monotone survivor counts") {
+    // 14 tokens; "the" ×2 keeps top_word_frac at 2/14 ≤ 0.2; 8 enStop hits
+    // push quality to 0.07 + 0.5 ≥ 0.5
+    val good = "the data and the table of a join is that it works in practice"
+    val tmp = craftedDir(Seq(
+      (0L, good, "en", "s0"),                       // survives every stage
+      (1L, "short doc", "en", "s0"),                // dropped at min_length
+      (2L, ("spam " * 20).trim, "en", "s0"),        // dropped at repetition
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0"), // no stopwords → quality drop
+      (4L, good + " !!!$$$%%%^^^&&&***((()))!!!$$$%%%^^^&&&", "en", "s0"))) // symbol load
+    val rows = TrainPrep.curationFunnel(spark, tmp).collect()
+      .map(r => r.getAs[String]("rule") -> r).toMap
+    assert(rows("min_length").getAs[Long]("n_in") == 5 &&
+      rows("min_length").getAs[Long]("n_dropped") == 1)
+    assert(rows("repetition").getAs[Long]("n_in") == 4 &&
+      rows("repetition").getAs[Long]("n_dropped") == 1)
+    assert(rows("stopword_quality").getAs[Long]("n_in") == 3 &&
+      rows("stopword_quality").getAs[Long]("n_dropped") == 1)
+    assert(rows("symbol_load").getAs[Long]("n_in") == 2 &&
+      rows("symbol_load").getAs[Long]("n_dropped") == 1 &&
+      rows("symbol_load").getAs[Long]("n_out") == 1)
+    // each stage's n_in is the previous stage's n_out
+    Seq("min_length" -> "repetition", "repetition" -> "stopword_quality",
+      "stopword_quality" -> "symbol_load").foreach { case (a, b) =>
+      assert(rows(a).getAs[Long]("n_out") == rows(b).getAs[Long]("n_in"))
+    }
+  }
 }
