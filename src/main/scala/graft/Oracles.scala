@@ -258,6 +258,9 @@ object Oracles {
         |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "dup_spans" -> graft.dedup.DupSpans.dupSpansOracle,
+    "incremental_dedup" -> graft.dedup.IncrementalDedup.incrementalDedupOracle,
+
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS toks,

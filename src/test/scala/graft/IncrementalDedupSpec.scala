@@ -1,0 +1,60 @@
+package graft
+
+import graft.dedup.IncrementalDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def craftedDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("batch vs corpus: precedence, normalization, within-batch keeper") {
+    val tmp = craftedDir(Seq(
+      // settled corpus (source != src0)
+      (10L, "hello world", "en", "src1"),
+      (11L, "hello world", "en", "src2"),   // corpus-internal dup — NOT re-deduped
+      (12L, "foo bar", "en", "src1"),
+      // the new batch
+      (0L, "hello  WORLD ", "en", "src0"),  // normalizes to the corpus hash
+      (1L, "new stuff", "en", "src0"),      // first of a batch pair
+      (2L, "new stuff", "en", "src0"),      // second → batch dup of 1
+      (3L, "genuinely novel", "en", "src0"),
+      (4L, "hello world", "en", "src0")))   // corpus match wins over batch dup of 0
+    val rows = IncrementalDedup.incrementalDedup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 5, "one row per batch doc, corpus docs absent")
+    def check(id: Long, decision: String, keeper: Any) = {
+      assert(rows(id).getAs[String]("decision") == decision, s"doc $id decision")
+      assert(rows(id).getAs[Any]("keeper_id") == keeper, s"doc $id keeper")
+    }
+    check(0L, "drop_exact", 10L)      // min corpus doc_id, not 11
+    check(1L, "keep", null)
+    check(2L, "drop_batch_dup", 1L)
+    check(3L, "keep", null)
+    check(4L, "drop_exact", 10L)      // precedence: corpus match beats batch dup
+  }
+
+  test("corpus run: decisions partition the batch, keepers are consistent") {
+    val rows = IncrementalDedup.incrementalDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[String]("decision")
+      assert(Set("drop_exact", "drop_batch_dup", "keep")(d))
+      if (d == "keep") assert(r.isNullAt(r.fieldIndex("keeper_id")))
+      else {
+        assert(!r.isNullAt(r.fieldIndex("keeper_id")))
+        if (d == "drop_batch_dup")
+          assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("doc_id"))
+      }
+    }
+  }
+}

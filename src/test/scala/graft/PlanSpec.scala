@@ -220,4 +220,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "row-local funnel must not join")
     assert(!plan.contains("Window"), "row-local funnel must not window")
   }
+
+  test("dup spans: semi-join membership, doc-partitioned window, no cartesian") {
+    val plan = formatted(graft.dedup.DupSpans.dupSpans(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      "dup-gram membership must be a semi-join, not a materialized join")
+    assert(!plan.contains("SinglePartition"),
+      "island merge must window per-doc, never on one partition")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
