@@ -1035,6 +1035,8 @@ object Oracles {
     "temperature_sample" -> graft.text.TrainPrep.temperatureSampleOracle,
     "lm_quality_score" -> graft.text.TrainPrep.lmQualityScoreOracle,
     "curation_funnel" -> graft.text.TrainPrep.curationFunnelOracle,
+    "corpus_stats" -> graft.text.TrainPrep.corpusStatsOracle,
+    "stratified_sample" -> graft.text.TrainPrep.stratifiedSampleOracle,
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
 
     "table_health" ->

@@ -356,6 +356,112 @@ object TrainPrep {
       |  CAST(tt AS DOUBLE) / (k * n_tokens) AS mix_weight
       |FROM s, t""".stripMargin
 
+  // --------------------------------------------------------- corpus stats
+
+  /** Dataset-card rollup: per (source, lang) cell — document/token/char/
+    * byte masses, tokens per document, bytes per token (the tokenizer-
+    * fertility proxy that decides a token budget), and the cell's share of
+    * the corpus token mass. The first page of every dataset card, as one
+    * query.
+    *
+    * Scale shape: ONE grouped aggregate to a #sources×#langs-row frame plus
+    * a broadcast 1-row total; every ratio is a single IEEE division of
+    * exact longs. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val cells = withWords(Tables.documents(spark, dir))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        countAll.as("n_docs"),
+        sum(size(col("__w")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+    val total = broadcast(cells.agg(sum(col("n_tokens")).as("__tt")))
+    cells.crossJoin(total)
+      .select(
+        col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_bytes"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("tokens_per_doc"),
+        (col("n_bytes").cast("double") / col("n_tokens")).as("bytes_per_token"),
+        (col("n_tokens").cast("double") / col("__tt")).as("token_share"))
+  }
+
+  def corpusStatsOracle: String =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+      |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
+      |  FROM documents GROUP BY 1, 2
+      |), t AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM c
+      |)
+      |SELECT source, lang, n_docs, n_tokens, n_chars, n_bytes,
+      |  CAST(n_tokens AS DOUBLE) / n_docs AS tokens_per_doc,
+      |  CAST(n_bytes AS DOUBLE) / n_tokens AS bytes_per_token,
+      |  CAST(n_tokens AS DOUBLE) / tt AS token_share
+      |FROM c, t""".stripMargin
+
+  // ---------------------------------------------------------- strat sample
+
+  /** Budget for [[stratifiedSample]]: total docs across all strata. */
+  val SampleBudget = 200L
+
+  /** Per-stratum floor: even a tiny source contributes this many docs. */
+  val SampleFloor = 5L
+
+  /** Stratified eval-set sampling: allocate a fixed document budget over
+    * source strata proportionally to stratum size with a minimum floor
+    * (quota_s = max(floor, B·n_s div N) — integer arithmetic, portable),
+    * then take each stratum's quota deterministically by md5 rank. How an
+    * eval slice gets drawn so every domain is represented but big domains
+    * don't drown the budget.
+    *
+    * Scale shape: the per-stratum rank is the classBalance recipe — ONE
+    * range-partitioned global rank over (source, hash) minus broadcast
+    * per-stratum offsets; a `Window.partitionBy(source)` would collapse
+    * each stratum onto one thread at corpus scale. Quotas come from the
+    * ≤ #sources-row count frame (driver-side, like the offsets). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      md5(concat(lit("ss:"), col("doc_id").cast("string"))).as("__hk"))
+    val ranked = RankOps.withGlobalRank(keyed, "__grank",
+      Seq(col("source").asc, col("__hk").asc, col("doc_id").asc))
+    val counts = keyed.groupBy("source").agg(countAll.as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val rows = counts.map { case (s, c) =>
+      val row = (s, acc, math.max(SampleFloor, SampleBudget * c / n))
+      acc += c; row
+    }
+    import spark.implicits._
+    val quotaDf = broadcast(rows.toSeq.toDF("source", "__off", "quota"))
+    ranked.join(quotaDf, "source")
+      .withColumn("strat_rank", (col("__grank") - col("__off")).cast("long"))
+      .withColumn("is_sampled", col("strat_rank") <= col("quota"))
+      .select("doc_id", "source", "strat_rank", "quota", "is_sampled")
+  }
+
+  def stratifiedSampleOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    md5('ss:' || CAST(doc_id AS VARCHAR)) AS hk
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+       |      AS strat_rank
+       |  FROM k
+       |), q AS (
+       |  SELECT source,
+       |    greatest($SampleFloor, $SampleBudget * COUNT(*) //
+       |      (SELECT COUNT(*) FROM k)) AS quota
+       |  FROM k GROUP BY source
+       |)
+       |SELECT doc_id, r.source, strat_rank, quota, strat_rank <= quota AS is_sampled
+       |FROM r JOIN q ON r.source = q.source""".stripMargin
+
   // -------------------------------------------------------------- shuffle
 
   /** Deterministic global training shuffle: order the corpus by

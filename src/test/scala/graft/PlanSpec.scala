@@ -221,6 +221,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "row-local funnel must not window")
   }
 
+  test("corpus stats: one rollup with a broadcast 1-row total") {
+    val plan = formatted(graft.text.TrainPrep.corpusStats(spark, dir))
+    assert(plan.contains("BroadcastExchange"), "corpus token total must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("stratified sample rides the range repartition, never one partition") {
+    val plan = formatted(graft.text.TrainPrep.stratifiedSample(spark, dir))
+    assert(!plan.contains("SinglePartition"),
+      "per-stratum rank fell back to a single-partition window")
+  }
+
   test("dup spans: semi-join membership, doc-partitioned window, no cartesian") {
     val plan = formatted(graft.dedup.DupSpans.dupSpans(spark, dir))
     assert(plan.contains("LeftSemi"),

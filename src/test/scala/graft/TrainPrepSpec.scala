@@ -194,6 +194,50 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(rows(20L).getAs[Double]("hit_rate") < 0.8 && !rows(20L).getAs[Boolean]("is_kept"))
   }
 
+  test("corpus stats: hand-computed cell masses and shares") {
+    val tmp = craftedDir(Seq(
+      (0L, "one two three", "en", "sA"),      // 3 tokens, 13 chars/bytes
+      (1L, "four five", "en", "sA"),          // 2 tokens, 9 chars/bytes
+      (2L, "six seven eight nine ten", "de", "sB"))) // 5 tokens, 24 chars
+    val rows = TrainPrep.corpusStats(spark, tmp).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    val a = rows(("sA", "en"))
+    assert(a.getAs[Long]("n_docs") == 2 && a.getAs[Long]("n_tokens") == 5)
+    assert(a.getAs[Long]("n_chars") == 22 && a.getAs[Long]("n_bytes") == 22)
+    assert(a.getAs[Double]("tokens_per_doc") == 2.5)
+    assert(a.getAs[Double]("bytes_per_token") == 22.0 / 5)
+    assert(a.getAs[Double]("token_share") == 0.5)
+    val b = rows(("sB", "de"))
+    assert(b.getAs[Long]("n_tokens") == 5 && b.getAs[Double]("token_share") == 0.5)
+    // corpus run: shares sum to 1
+    val shares = TrainPrep.corpusStats(spark, dir).collect()
+      .map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
+  test("stratified sample: proportional quotas with a floor, deterministic draw") {
+    val rows = TrainPrep.stratifiedSample(spark, dir).collect()
+    val byStrat = rows.groupBy(_.getAs[String]("source"))
+    val n = rows.length.toLong
+    byStrat.foreach { case (_, docs) =>
+      val c = docs.length.toLong
+      val expectQuota =
+        math.max(TrainPrep.SampleFloor, TrainPrep.SampleBudget * c / n)
+      assert(docs.forall(_.getAs[Long]("quota") == expectQuota))
+      // sampled count is the quota capped by the stratum size
+      val sampled = docs.count(_.getAs[Boolean]("is_sampled"))
+      assert(sampled == math.min(expectQuota, c))
+      // ranks are a 1-based permutation within the stratum
+      val ranks: List[Long] = docs.map(_.getAs[Long]("strat_rank")).toList.sorted
+      assert(ranks == (1L to c).toList)
+    }
+    // deterministic: same draw twice
+    val again = TrainPrep.stratifiedSample(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_sampled")).toMap
+    rows.foreach(r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[Boolean]("is_sampled")))
+  }
+
   test("curation funnel: hand-computed drops, monotone survivor counts") {
     // 14 tokens; "the" ×2 keeps top_word_frac at 2/14 ≤ 0.2; 8 enStop hits
     // push quality to 0.07 + 0.5 ≥ 0.5
