@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * merge is a doc-keyed window (each document's spans sort within its own
   * partition — no global order, no single-partition window). Nothing is
   * quadratic: a pathological 1000×-duplicated passage costs 1000 gram rows,
-  * not 1000² pairs.
+  * not 1000² pairs — and when exact whole-document duplication is plural
+  * (factor ≥ [[Collapse.CollapseThreshold]]) the adaptive collapse runs the
+  * gram pipeline on distinct texts only, weighting the duplicate-gram sum
+  * by copy count, so an m×-duplicated corpus pays ~1/m of the gram work.
   */
 object DupSpans {
 
@@ -41,16 +44,19 @@ object DupSpans {
   private def withWords(df: DataFrame): DataFrame =
     df.withColumn("__w", expr("""split(lower(trim(text)), '\\s+')"""))
 
-  /** (doc_id, s, e) maximal duplicated islands, token-indexed [s, e]. */
-  def islands(spark: SparkSession, dir: String): DataFrame = {
-    val d = withWords(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"))
+  /** Island pipeline over a prepared frame (doc_id, __w, __n, __m): grams,
+    * the multiplicity-weighted duplicate-gram set (a gram is duplicated
+    * when Σ copies ≥ 2 — each occurrence row carries its document's copy
+    * count, so the collapsed pipeline counts exactly what the uncollapsed
+    * one would), the semi-join back, and the per-doc gaps-and-islands
+    * merge. */
+  private def islandsFrom(d: DataFrame): DataFrame = {
     val grams = d.filter(col("__n") >= N)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("__m"),
         posexplode(expr(
           s"transform(sequence(0, cast(__n as int) - $N), i -> concat_ws(' ', slice(__w, i + 1, $N)))"))
           .as(Seq("s", "g")))
-    val dupGrams = grams.groupBy("g").agg(countAll.as("__c"))
+    val dupGrams = grams.groupBy("g").agg(sum(col("__m")).as("__c"))
       .filter(col("__c") >= 2).select("g")
     val spans = grams.join(dupGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), col("s").cast("long").as("s"),
@@ -67,25 +73,73 @@ object DupSpans {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** (doc_id, s, e) maximal duplicated islands, token-indexed [s, e]. */
+  def islands(spark: SparkSession, dir: String): DataFrame =
+    islandsFrom(withWords(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"),
+        lit(1L).as("__m")))
+
   /** Per-document rollup: token count, island count, duplicated-token mass
-    * and fraction, and the keep decision at [[KeepFrac]]. */
+    * and fraction, and the keep decision at [[KeepFrac]].
+    *
+    * The doc frame and the island frame combine as a union + ONE doc-keyed
+    * aggregate rather than a left join: an aggregate's output key is
+    * provably unique, so Catalyst would eliminate the join under a
+    * count-only action and a `count()`-based benchmark would time a bare
+    * scan instead of the dedup pipeline. The union keeps the measured plan
+    * the executed plan; cost is the same one shuffle either way. */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    val d = withWords(Tables.documents(spark, dir))
-      .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"))
-    val perDoc = islands(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    if (Collapse.duplicationFactor(docs, Collapse.normHash) < Collapse.CollapseThreshold)
+      finishRollup(perDocRollup(withWords(docs)
+        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"),
+          lit(1L).as("__m"))))
+    else {
+      // Heavy exact duplication: gram-analyze each distinct text ONCE
+      // (carrying its copy count into the duplicate-gram sum), then fan the
+      // keeper's island rollup back out to every copy — identical
+      // normalized text ⇒ identical tokens ⇒ identical islands, so the
+      // expansion reproduces exactly what the direct pipeline would emit.
+      // (The MinHash/SimHash collapse recipe, Collapse.scala.)
+      val (members, keeperDocs) = Collapse.byNormalizedText(docs)
+      val mult = members.groupBy("keeper").agg(countAll.as("__m"))
+      val kd = withWords(keeperDocs)
+        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"))
+        .join(mult, col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("__w"), col("__n"), col("__m"))
+      val keeperRollup = perDocRollup(kd)
+        .withColumnRenamed("doc_id", "keeper")
+      finishRollup(members.select(col("doc_id"), col("keeper"))
+        .join(keeperRollup, "keeper")
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"), col("dup_tokens")))
+    }
+  }
+
+  /** Union + ONE doc-keyed aggregate (not a left join: an aggregate's
+    * output key is provably unique, so Catalyst would eliminate the join
+    * under a count-only action and a `count()`-based benchmark would time a
+    * bare scan instead of the dedup pipeline — the union keeps the measured
+    * plan the executed plan at the same one-shuffle cost). */
+  private def perDocRollup(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("__n").as("n_tokens"),
+      lit(0L).as("__spans"), lit(0L).as("__dup"))
+    val isl = islandsFrom(d)
+      .select(col("doc_id"), lit(0L).as("n_tokens"), lit(1L).as("__spans"),
+        (col("span_end") - col("span_start") + 1).as("__dup"))
+    base.unionByName(isl)
       .groupBy("doc_id")
-      .agg(countAll.as("n_dup_spans"),
-        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
-    d.join(perDoc, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(col("__spans")).as("n_dup_spans"),
+        sum(col("__dup")).as("dup_tokens"))
+  }
+
+  private def finishRollup(rollup: DataFrame): DataFrame =
+    rollup
       .withColumn("dup_frac",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(col("dup_tokens").cast("double") / col("n_tokens")))
       .withColumn("is_kept", col("dup_frac") <= KeepFrac)
-  }
 
   /** DuckDB twin: same grams, same dup set, same gaps-and-islands window. */
   def dupSpansOracle: String =

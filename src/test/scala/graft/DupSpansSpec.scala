@@ -75,6 +75,36 @@ class DupSpansSpec extends AnyFunSuite {
     assert(d2.toSeq == Seq((0L, 15L)))
   }
 
+  test("collapsed path: a 3x-duplicated corpus reproduces the direct semantics") {
+    // every doc gets two exact twins → duplication factor 3 engages the
+    // collapse; every gram of every >=8-token doc is now corpus-duplicated,
+    // so full coverage is the hand-computable expectation
+    val base = Seq(
+      (0L, (1 to 12).map(i => s"a$i").mkString(" ") + " " + P, 20L),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "), 10L),
+      (4L, "d1 d2 d3 d4 d5", 5L))
+    val tmp = craftedDir(for {
+      (id, text, _) <- base
+      copy <- Seq(0L, 100L, 200L)
+    } yield (id + copy, text, "en", "s0"))
+    val rows = DupSpans.dupSpans(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 9, "every copy reported")
+    for ((id, _, nTok) <- base; copy <- Seq(0L, 100L, 200L)) {
+      val r = rows(id + copy)
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      if (nTok >= DupSpans.N) {
+        // one island covering the whole doc
+        assert(r.getAs[Long]("n_dup_spans") == 1 &&
+          r.getAs[Long]("dup_tokens") == nTok &&
+          !r.getAs[Boolean]("is_kept"))
+      } else {
+        assert(r.getAs[Long]("n_dup_spans") == 0 &&
+          r.getAs[Long]("dup_tokens") == 0 && r.getAs[Boolean]("is_kept"))
+      }
+    }
+  }
+
   test("corpus run: every doc reported once, fractions in [0,1]") {
     val rows = DupSpans.dupSpans(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
