@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
-  * and prints ONE JSON line. `count()` is the action; every query keeps its
-  * aggregates/joins as the final operators, so nothing hides behind a
-  * skipped projection.
+  * and prints ONE JSON line. The action is a noop-sink write (`format
+  * ("noop")`), NOT `count()`: count uses no output columns, so Catalyst
+  * legitimately prunes unreferenced projections and even eliminates
+  * unique-key joins (an aggregate's group key is provably unique — a left
+  * join against it vanishes under a count-only action, and the "benchmark"
+  * times a bare scan). The noop sink materializes every output column with
+  * zero write cost, so the measured plan is the plan a consumer pays for.
   *
   * Timing protocol: SWEEPS, not back-to-back repeats. A sweep times every
   * query exactly once, in sorted-name order; the whole sweep is repeated
@@ -46,7 +50,7 @@ object Bench {
       val times = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
           finally spark.catalog.clearCache()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None

@@ -133,10 +133,16 @@ object TrainPrep {
           expr("transform(sequence(1, size(__w) - 4), i -> concat_ws(' ', slice(__w, i, 5)))")))
           .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("__grams"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate infers a
+    // size(arr) > 0 filter for a plain explode and predicate pushdown then
+    // inlines the whole interpreted gram build into that filter — the
+    // expression runs 3× per row and this query measured 7.4 s instead of
+    // 1.5 s. The rule skips outer generators, and the extra null rows an
+    // outer explode emits for gram-less docs can never match a join key.
     val evalGrams = d.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("__grams")).as("g")).distinct()
+      .select(explode_outer(col("__grams")).as("g")).distinct()
     val corpus = d.filter(col("doc_id") % 97 =!= 0)
-    val overlap = corpus.select(col("doc_id"), explode(col("__grams")).as("g"))
+    val overlap = corpus.select(col("doc_id"), explode_outer(col("__grams")).as("g"))
       .join(evalGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(countAll.as("__ov"))
     corpus.join(overlap, Seq("doc_id"), "left")
@@ -187,40 +193,55 @@ object TrainPrep {
     * max/sum) — a pure codegen'd projection, zero shuffles, O(words ×
     * distinct words) per doc. The explode-and-groupBy alternative would
     * shuffle the whole tokenized corpus. */
+  /** Single-pass run statistics over a sorted array: max occurrence count
+    * of any element (`mx`), distinct-element count (`nd`), and the total
+    * mass of elements whose count exceeds 1 (`dup`). O(n log n) sort + one
+    * traversal — the `transform(array_distinct(a), u -> size(filter(a, …)))`
+    * count pattern it replaces is O(n·distinct) with an array allocation
+    * per distinct element, and higher-order lambdas evaluate interpreted
+    * (outside codegen), so that quadratic constant is painful: a real
+    * 1000-word web document pays ~10⁶ interpreted compares per rule. */
+  private def runStats(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L, 'nd', 0L, 'dup', 0L),
+       |  (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+       |    named_struct('prev', x, 'run', s.run + 1L, 'mx', greatest(s.mx, s.run + 1L),
+       |      'nd', s.nd, 'dup', s.dup + IF(s.run = 1L, 2L, 1L)),
+       |    named_struct('prev', x, 'run', 1L, 'mx', greatest(s.mx, 1L),
+       |      'nd', s.nd + 1L, 'dup', s.dup)),
+       |  s -> named_struct('mx', s.mx, 'nd', s.nd, 'dup', s.dup))""".stripMargin
+
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__n", size(col("__w")).cast("long"))
-      // per-distinct-element occurrence counts, reused for top-k fractions
-      .withColumn("__wc", expr("transform(array_distinct(__w), u -> size(filter(__w, x -> x = u)))"))
+      .withColumn("__ws", expr(runStats("__w")))
       .withColumn("__g2",
         when(col("__n") >= 2,
           expr("transform(sequence(1, size(__w) - 1), i -> concat_ws(' ', slice(__w, i, 2)))"))
           .otherwise(array().cast("array<string>")))
-      .withColumn("__g2c", expr("transform(array_distinct(__g2), u -> size(filter(__g2, x -> x = u)))"))
+      .withColumn("__g2s", expr(runStats("__g2")))
       .withColumn("__g3",
         when(col("__n") >= 3,
           expr("transform(sequence(1, size(__w) - 2), i -> concat_ws(' ', slice(__w, i, 3)))"))
           .otherwise(array().cast("array<string>")))
-      .withColumn("__g3c", expr("transform(array_distinct(__g3), u -> size(filter(__g3, x -> x = u)))"))
+      .withColumn("__g3s", expr(runStats("__g3")))
     d.select(
       col("doc_id"), col("__n").as("n_words"),
-      size(col("__wc")).cast("long").as("n_distinct"),
-      (size(col("__wc")).cast("double") / col("__n")).as("distinct_ratio"),
-      array_max(col("__wc")).cast("long").as("top_word_count"),
-      (array_max(col("__wc")).cast("double") / col("__n")).as("top_word_frac"),
+      col("__ws.nd").as("n_distinct"),
+      (col("__ws.nd").cast("double") / col("__n")).as("distinct_ratio"),
+      col("__ws.mx").as("top_word_count"),
+      (col("__ws.mx").cast("double") / col("__n")).as("top_word_frac"),
       when(size(col("__g2")) === 0, 0.0)
-        .otherwise(array_max(col("__g2c")).cast("double") / size(col("__g2")))
+        .otherwise(col("__g2s.mx").cast("double") / size(col("__g2")))
         .as("top_bigram_frac"),
       // (max − 1)/count: zero for any repetition-free doc regardless of
       // length — the raw fraction is 1/(n−1) even with no repetition, which
       // would auto-filter every short doc
       when(size(col("__g2")) === 0, 0.0)
-        .otherwise((array_max(col("__g2c")) - 1).cast("double") / size(col("__g2")))
+        .otherwise((col("__g2s.mx") - 1).cast("double") / size(col("__g2")))
         .as("excess_bigram_frac"),
       when(size(col("__g3")) === 0, 0.0)
-        .otherwise(
-          expr("aggregate(__g3c, 0, (a, c) -> a + IF(c > 1, c, 0))").cast("double")
-            / size(col("__g3")))
+        .otherwise(col("__g3s.dup").cast("double") / size(col("__g3")))
         .as("dup_trigram_frac"))
       .withColumn("is_kept",
         col("distinct_ratio") >= 0.2 && col("top_word_frac") <= 0.2 &&
@@ -569,14 +590,32 @@ object TrainPrep {
     * left-semi joins the vocab (AQE broadcasts it) and reduces back to one
     * row per document. Nothing driver-side, no all-pairs. */
   def lmQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    // n_grams is arithmetic (len − 2), not the size of a materialized gram
+    // array, and the gram build goes through a per-char split with O(1)
+    // element access: `substring(__c, i, 3)` per index re-seeks the UTF-8
+    // string from the start, which is O(len²) per document — the honest
+    // (noop-action) benchmark caught that at 21 s for sf0.1.
     val d = Tables.documents(spark, dir)
       .withColumn("__c", lower(trim(col("text"))))
-      .withColumn("__g",
+      .withColumn("n_grams",
         when(col("__c").isNotNull && length(col("__c")) >= 3,
-          expr("transform(sequence(1, length(__c) - 2), i -> substring(__c, i, 3))"))
-          .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), col("__g"))
-    val grams = d.select(col("doc_id"), explode(col("__g")).as("g"))
+          (length(col("__c")) - 2).cast("long")).otherwise(0L))
+      .select(col("doc_id"), col("__c"), col("n_grams"))
+    // gram key = the three codepoints packed into one long (21 bits each —
+    // bijective for any Unicode text), so the two gram shuffles move longs
+    // instead of short strings; counts are identical either way, which is
+    // why the DuckDB oracle can keep its substr() formulation untouched
+    // explode_outer: dodges InferFiltersFromGenerate duplicating the packed
+    // trigram build into a pushed-down filter (see contaminationCheck); the
+    // n_grams > 0 pre-filter already guarantees non-empty arrays, so outer
+    // emits exactly the same rows
+    val grams = d.filter(col("n_grams") > 0)
+      .withColumn("__ch", split(col("__c"), ""))
+      .select(col("doc_id"), explode_outer(expr(
+        """transform(sequence(0, cast(n_grams as int) - 1),
+          |  i -> ascii(__ch[i]) * 4398046511104L + ascii(__ch[i+1]) * 2097152L
+          |       + ascii(__ch[i+2]))""".stripMargin))
+        .as("g"))
     val total = broadcast(grams.agg(countAll.as("__tot")))
     // floor: 0.01% of the trigram mass, and never below 2 — singleton
     // trigrams (hapax junk) must not self-certify at small corpus sizes
@@ -588,8 +627,7 @@ object TrainPrep {
       .groupBy("doc_id").agg(countAll.as("__hits"))
     d.join(hits, Seq("doc_id"), "left")
       .select(
-        col("doc_id"),
-        size(col("__g")).cast("long").as("n_grams"),
+        col("doc_id"), col("n_grams"),
         coalesce(col("__hits"), lit(0L)).as("n_hits"))
       .withColumn("hit_rate",
         when(col("n_grams") === 0, lit(null).cast("double"))
@@ -644,8 +682,7 @@ object TrainPrep {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__n", size(col("__w")).cast("long"))
-      .withColumn("__wc",
-        expr("transform(array_distinct(__w), u -> size(filter(__w, x -> x = u)))"))
+      .withColumn("__ws", expr(runStats("__w")))
       .withColumn("__stop",
         expr(s"size(filter(__w, t -> t IN (${sqlList(enStop)})))").cast("long"))
       .withColumn("__sym",
@@ -654,8 +691,8 @@ object TrainPrep {
     val flagged = d
       .withColumn("k1", col("__n") >= 10)
       .withColumn("k2", col("k1") &&
-        size(col("__wc")).cast("double") / col("__n") >= 0.2 &&
-        array_max(col("__wc")).cast("double") / col("__n") <= 0.2)
+        col("__ws.nd").cast("double") / col("__n") >= 0.2 &&
+        col("__ws.mx").cast("double") / col("__n") <= 0.2)
       .withColumn("k3", col("k2") &&
         least(lit(1.0), col("__n").cast("double") / 100.0) * 0.5 +
           when(col("__n") === 0, 0.0)

@@ -33,7 +33,11 @@ object Scratch {
       names.foreach { name =>
         graft.SparkEntry.queries.get(name) match {
           case Some(fn) =>
-            time(s"$name #$i") { fn(spark, sfDir).count() }
+            // noop sink, not count(): count prunes unused projections and
+            // unique-key joins, timing a plan nobody actually runs (Bench)
+            time(s"$name #$i") {
+              fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            }
             spark.catalog.clearCache()
           case None => println(s"[scratch] unknown query: $name")
         }
