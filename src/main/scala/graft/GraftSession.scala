@@ -28,6 +28,7 @@ object GraftSession {
     val spark = builder(appName, master, shufflePartitions).getOrCreate()
     graft.functions.VectorFunctions.register(spark)
     graft.functions.SimHash64.register(spark)
+    graft.functions.TextKernels.register(spark)
     spark
   }
 }

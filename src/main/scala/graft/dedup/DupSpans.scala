@@ -51,15 +51,14 @@ object DupSpans {
     * one would), the semi-join back, and the per-doc gaps-and-islands
     * merge. */
   private def islandsFrom(d: DataFrame): DataFrame = {
+    graft.functions.TextKernels.register(d.sparkSession)
     // posexplode_outer: InferFiltersFromGenerate would otherwise duplicate
     // the gram build into a pushed-down size() filter (interpreted, 3× per
     // row — see TrainPrep.contaminationCheck); the __n >= N pre-filter
     // guarantees non-empty arrays, so outer emits exactly the same rows
     val grams = d.filter(col("__n") >= N)
       .select(col("doc_id"), col("__m"),
-        posexplode_outer(expr(
-          s"transform(sequence(0, cast(__n as int) - $N), i -> concat_ws(' ', slice(__w, i + 1, $N)))"))
-          .as(Seq("s", "g")))
+        posexplode_outer(expr(s"word_ngrams(__w, $N)")).as(Seq("s", "g")))
     val dupGrams = grams.groupBy("g").agg(sum(col("__m")).as("__c"))
       .filter(col("__c") >= 2).select("g")
     val spans = grams.join(dupGrams, Seq("g"), "left_semi")

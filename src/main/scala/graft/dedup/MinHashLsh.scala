@@ -20,15 +20,14 @@ import org.apache.spark.sql.functions._
 object MinHashLsh {
 
   /** doc_id + distinct word-3-gram shingle array. */
-  def shingleDocs(docs: DataFrame): DataFrame =
+  def shingleDocs(docs: DataFrame): DataFrame = {
+    graft.functions.TextKernels.register(docs.sparkSession)
     docs
       .withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
       .filter(size(col("__tokens")) >= 3)
-      .withColumn("shingles",
-        expr("""array_distinct(transform(sequence(1, size(__tokens) - 2),
-               |  i -> concat_ws(' ', element_at(__tokens, i),
-               |    element_at(__tokens, i + 1), element_at(__tokens, i + 2))))""".stripMargin))
+      .withColumn("shingles", expr("array_distinct(word_ngrams(__tokens, 3))"))
       .select("doc_id", "shingles")
+  }
 
   /** Adds `sig` = array of `numHashes` MinHash values — one fused pass via
     * the codegen'd graft.functions.MinHashSig expression (the k-separate

@@ -95,6 +95,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_cosine"), VectorFunctions.info,
       (children: Seq[Expression]) => ArrayCosine(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[NgramArray].getName, "word_ngrams"),
+      (children: Seq[Expression]) => NgramArray(children.head,
+        children(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("run_stats"),
+      new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
+      (children: Seq[Expression]) => RunStats(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }

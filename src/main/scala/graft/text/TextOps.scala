@@ -123,12 +123,12 @@ object TextOps {
     * fingerprint pair (a MinHash-1 — engine-portable because md5 is identical
     * everywhere, unlike xxhash64). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(spark)
     val d = withTokens(Tables.documents(spark, dir))
+    // the when-guard (no otherwise) keeps short docs NULL, not empty — the
+    // downstream n_distinct_grams NULL contract and the oracle depend on it
     d.withColumn("__grams",
-        when(size(col("__tokens")) >= 3,
-          expr("""transform(sequence(1, size(__tokens) - 2),
-                 |  i -> concat_ws(' ', element_at(__tokens, i),
-                 |    element_at(__tokens, i + 1), element_at(__tokens, i + 2)))""".stripMargin)))
+        when(size(col("__tokens")) >= 3, expr("word_ngrams(__tokens, 3)")))
       .withColumn("fingerprint_min", expr("array_min(transform(__grams, g -> md5(g)))"))
       .withColumn("fingerprint_max", expr("array_max(transform(__grams, g -> md5(g)))"))
       .withColumn("n_distinct_grams",

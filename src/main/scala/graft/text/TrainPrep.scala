@@ -127,10 +127,10 @@ object TrainPrep {
     * here is the shape that still works when the "eval set" is itself huge
     * (e.g. decontaminating against an entire held-out shard). */
   def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(spark)
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__grams",
-        when(size(col("__w")) >= 5, array_distinct(
-          expr("transform(sequence(1, size(__w) - 4), i -> concat_ws(' ', slice(__w, i, 5)))")))
+        when(size(col("__w")) >= 5, array_distinct(expr("word_ngrams(__w, 5)")))
           .otherwise(array().cast("array<string>")))
       .select(col("doc_id"), col("__grams"))
     // explode_outer, NOT explode: InferFiltersFromGenerate infers a
@@ -193,38 +193,26 @@ object TrainPrep {
     * max/sum) — a pure codegen'd projection, zero shuffles, O(words ×
     * distinct words) per doc. The explode-and-groupBy alternative would
     * shuffle the whole tokenized corpus. */
-  /** Single-pass run statistics over a sorted array: max occurrence count
-    * of any element (`mx`), distinct-element count (`nd`), and the total
-    * mass of elements whose count exceeds 1 (`dup`). O(n log n) sort + one
-    * traversal — the `transform(array_distinct(a), u -> size(filter(a, …)))`
-    * count pattern it replaces is O(n·distinct) with an array allocation
-    * per distinct element, and higher-order lambdas evaluate interpreted
-    * (outside codegen), so that quadratic constant is painful: a real
-    * 1000-word web document pays ~10⁶ interpreted compares per rule. */
-  private def runStats(arr: String): String =
-    s"""aggregate(array_sort($arr),
-       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L, 'nd', 0L, 'dup', 0L),
-       |  (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
-       |    named_struct('prev', x, 'run', s.run + 1L, 'mx', greatest(s.mx, s.run + 1L),
-       |      'nd', s.nd, 'dup', s.dup + IF(s.run = 1L, 2L, 1L)),
-       |    named_struct('prev', x, 'run', 1L, 'mx', greatest(s.mx, 1L),
-       |      'nd', s.nd + 1L, 'dup', s.dup)),
-       |  s -> named_struct('mx', s.mx, 'nd', s.nd, 'dup', s.dup))""".stripMargin
-
+  // Run statistics (max occurrence count `mx`, distinct count `nd`,
+  // duplicate mass `dup`) and the sliding word n-gram build are the native
+  // codegen kernels `run_stats` / `word_ngrams` (functions/TextKernels
+  // .scala) — the SQL `aggregate`-lambda and `transform(sequence(…))`
+  // formulations they replaced evaluate interpreted, which cost ~3× on
+  // these per-word projections. The DuckDB oracles pin the shared
+  // semantics.
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(spark)
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__n", size(col("__w")).cast("long"))
-      .withColumn("__ws", expr(runStats("__w")))
+      .withColumn("__ws", expr("run_stats(__w)"))
       .withColumn("__g2",
-        when(col("__n") >= 2,
-          expr("transform(sequence(1, size(__w) - 1), i -> concat_ws(' ', slice(__w, i, 2)))"))
+        when(col("__n") >= 2, expr("word_ngrams(__w, 2)"))
           .otherwise(array().cast("array<string>")))
-      .withColumn("__g2s", expr(runStats("__g2")))
+      .withColumn("__g2s", expr("run_stats(__g2)"))
       .withColumn("__g3",
-        when(col("__n") >= 3,
-          expr("transform(sequence(1, size(__w) - 2), i -> concat_ws(' ', slice(__w, i, 3)))"))
+        when(col("__n") >= 3, expr("word_ngrams(__w, 3)"))
           .otherwise(array().cast("array<string>")))
-      .withColumn("__g3s", expr(runStats("__g3")))
+      .withColumn("__g3s", expr("run_stats(__g3)"))
     d.select(
       col("doc_id"), col("__n").as("n_words"),
       col("__ws.nd").as("n_distinct"),
@@ -680,9 +668,10 @@ object TrainPrep {
     * explode-of-structs pattern. No joins, no windows, one shuffle of five
     * longs. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextKernels.register(spark)
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__n", size(col("__w")).cast("long"))
-      .withColumn("__ws", expr(runStats("__w")))
+      .withColumn("__ws", expr("run_stats(__w)"))
       .withColumn("__stop",
         expr(s"size(filter(__w, t -> t IN (${sqlList(enStop)})))").cast("long"))
       .withColumn("__sym",

@@ -44,6 +44,57 @@ class FunctionsSpec extends AnyFunSuite {
     assert(both.agg(max("diff")).head.getDouble(0) < 1e-9)
   }
 
+  test("word_ngrams / run_stats match the SQL formulations they replaced, both codegen modes") {
+    import spark.implicits._
+    graft.functions.TextKernels.register(spark)
+    val rnd = new scala.util.Random(13)
+    // vocab includes empty strings, multi-word tokens, and nulls — the
+    // concat_ws null-skip and the run_stats null-singleton rules must match
+    val vocab = Vector("a", "b", "cc", "ddd", "e e", "", "longerword", "x1", null)
+    val rows: Seq[(Long, Seq[String])] = (0L until 300L).map { i =>
+      val len = rnd.nextInt(14) // includes 0 and shorter-than-n arrays
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    } ++ Seq(300L -> (null: Seq[String]))
+    val df = rows.toDF("id", "w")
+    val runStatsSql =
+      """aggregate(array_sort(w),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'mx', 0L, 'nd', 0L, 'dup', 0L),
+        |  (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+        |    named_struct('prev', x, 'run', s.run + 1L, 'mx', greatest(s.mx, s.run + 1L),
+        |      'nd', s.nd, 'dup', s.dup + IF(s.run = 1L, 2L, 1L)),
+        |    named_struct('prev', x, 'run', 1L, 'mx', greatest(s.mx, 1L),
+        |      'nd', s.nd + 1L, 'dup', s.dup)),
+        |  s -> named_struct('mx', s.mx, 'nd', s.nd, 'dup', s.dup))""".stripMargin
+    def check(): Unit = {
+      for (n <- Seq(2, 3, 5, 8)) {
+        val twin = expr(
+          s"""IF(w IS NULL, NULL,
+             |   IF(size(w) >= $n,
+             |      transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n))),
+             |      array()))""".stripMargin)
+        val bad = df.filter(not(expr(s"word_ngrams(w, $n)") <=> twin)).count()
+        assert(bad == 0, s"word_ngrams n=$n diverges from the transform/slice SQL")
+      }
+      val badRs = df.filter(not(expr("run_stats(w)") <=> expr(runStatsSql))).count()
+      assert(badRs == 0, "run_stats diverges from the aggregate-lambda SQL")
+    }
+    check() // whole-stage codegen (default)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() // interpreted eval path
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // hand-computed pin: b a b b a c → runs a:2 b:3 c:1 → mx 3, nd 3, dup 5
+    val pinned = Seq(Tuple1(Seq("b", "a", "b", "b", "a", "c"))).toDF("w")
+      .select(expr("run_stats(w)").as("s")).select("s.mx", "s.nd", "s.dup").head
+    assert((pinned.getLong(0), pinned.getLong(1), pinned.getLong(2)) == ((3L, 3L, 5L)))
+    val grams = Seq(Tuple1(Seq("x", null, "y", "z"))).toDF("w")
+      .select(expr("word_ngrams(w, 2)").as("g")).head.getSeq[String](0)
+    assert(grams == Seq("x", "y", "y z")) // concat_ws skips the null word
+  }
+
   test("array_cosine_q20 matches the declarative quantize/aggregate chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
