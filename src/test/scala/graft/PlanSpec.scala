@@ -241,4 +241,28 @@ class PlanSpec extends AnyFunSuite {
       "island merge must window per-doc, never on one partition")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("text hot paths ride the native codegen kernels, not interpreted lambdas") {
+    // the gram builds and run statistics must stay compiled expressions —
+    // a regression back to transform/aggregate lambdas is interpreted,
+    // 3–4.5× slower per document at scale (BASELINE native-kernel table)
+    Seq(
+      graft.text.TrainPrep.repetitionFilter(spark, dir) -> Seq("word_ngrams", "run_stats"),
+      graft.text.TrainPrep.contaminationCheck(spark, dir) -> Seq("word_ngrams"),
+      graft.text.TrainPrep.curationFunnel(spark, dir) -> Seq("run_stats"),
+      graft.dedup.DupSpans.dupSpans(spark, dir) -> Seq("word_ngrams"),
+      graft.text.TextOps.fingerprints(spark, dir) -> Seq("word_ngrams")
+    ).foreach { case (df, kernels) =>
+      val plan = formatted(df)
+      kernels.foreach(k =>
+        assert(plan.contains(k), s"plan lost the native $k kernel"))
+      // the two interpreted formulations the kernels replaced must not
+      // return (other, deliberate lambdas — md5 transforms, stopword
+      // filters — are allowed)
+      assert(!plan.contains("slice("),
+        "the transform/slice gram build crept back into a kernel path")
+      assert(!plan.contains("aggregate(array_sort"),
+        "the aggregate-lambda run-stats pass crept back into a kernel path")
+    }
+  }
 }
