@@ -259,6 +259,7 @@ object Oracles {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dup_spans" -> graft.dedup.DupSpans.dupSpansOracle,
+    "span_removal" -> graft.dedup.DupSpans.spanRemovalOracle,
     "incremental_dedup" -> graft.dedup.IncrementalDedup.incrementalDedupOracle,
 
     "text_stats" ->

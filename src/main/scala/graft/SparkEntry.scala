@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_report"     -> ((s, d) => graft.dedup.DedupReport.report(s, d)),
     "dedup_clusters"   -> ((s, d) => graft.dedup.DedupClusters.clusters(s, d)),
     "dup_spans"        -> ((s, d) => graft.dedup.DupSpans.dupSpans(s, d)),
+    "span_removal"     -> ((s, d) => graft.dedup.DupSpans.spanRemoval(s, d)),
     "incremental_dedup" -> ((s, d) => graft.dedup.IncrementalDedup.incrementalDedup(s, d)),
     // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),

@@ -118,6 +118,58 @@ object DupSpans {
     }
   }
 
+  /** The span-REMOVAL action (Lee et al. 2021 §4): the cleaned corpus with
+    * every duplicated island excised from the normalized token stream —
+    * what a training pipeline actually feeds the tokenizer, not just the
+    * report. Emits per doc the token count, removed-token count, and
+    * `cleaned_text` (space-joined surviving tokens; "" when the whole
+    * document is one duplicated island, e.g. an exact duplicate).
+    *
+    * Scale shape: islands per doc collect into one small array (islands
+    * are maximal and disjoint, so a doc holds at most n_tokens/(N+1)+1 of
+    * them — single-digit in practice), the excision is a row-local
+    * indexed-filter over the token array, and the only new shuffle is the
+    * doc-keyed island collect. Under heavy exact duplication the adaptive
+    * collapse cleans each distinct text once and fans the result out —
+    * identical normalized text ⇒ identical islands ⇒ identical cleaned
+    * text. */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    if (Collapse.duplicationFactor(docs, Collapse.normHash) < Collapse.CollapseThreshold)
+      cleanedFrom(withWords(docs)
+        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"),
+          lit(1L).as("__m")))
+    else {
+      val (members, keeperDocs) = Collapse.byNormalizedText(docs)
+      val mult = members.groupBy("keeper").agg(countAll.as("__m"))
+      val kd = withWords(keeperDocs)
+        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"))
+        .join(mult, col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("__w"), col("__n"), col("__m"))
+      val kc = cleanedFrom(kd).withColumnRenamed("doc_id", "keeper")
+      members.select(col("doc_id"), col("keeper"))
+        .join(kc, "keeper")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("cleaned_text"))
+    }
+  }
+
+  private def cleanedFrom(d: DataFrame): DataFrame = {
+    val isl = islandsFrom(d)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("__isl"))
+    d.join(isl, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        // 0-based filter index against the 0-based island bounds; islands
+        // are few per doc, so the exists probe is effectively O(tokens)
+        expr("filter(__w, (x, i) -> __isl IS NULL OR NOT exists(__isl, r -> i >= r.s AND i <= r.e))"))
+      .select(
+        col("doc_id"),
+        col("__n").as("n_tokens"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("cleaned_text"))
+  }
+
   /** Union + ONE doc-keyed aggregate (not a left join: an aggregate's
     * output key is provably unique, so Catalyst would eliminate the join
     * under a count-only action and a `count()`-based benchmark would time a
@@ -186,4 +238,50 @@ object DupSpans {
        |        ELSE CAST(coalesce(dup_tokens, 0) AS DOUBLE) / nt END) <= $KeepFrac
        |    AS is_kept
        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id""".stripMargin
+
+  /** DuckDB twin of [[spanRemoval]]: same islands, then tokens re-joined by
+    * 0-based position with island-range exclusion and an ordered re-concat. */
+  def spanRemovalOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt FROM d
+       |), g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+       |    CAST(i - 1 + ${N - 1} AS BIGINT) AS e,
+       |    array_to_string(list_slice(w, i, i + ${N - 1}), ' ') AS gr
+       |  FROM n, unnest(range(1, CAST(nt - $N + 2 AS BIGINT))) AS t(i)
+       |  WHERE nt >= $N
+       |), dup AS (
+       |  SELECT gr FROM g GROUP BY gr HAVING COUNT(*) >= 2
+       |), sp AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |      THEN 1 ELSE 0 END AS nw
+       |  FROM g WHERE gr IN (SELECT gr FROM dup)
+       |), isl AS (
+       |  SELECT doc_id,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, s, e
+       |  FROM sp
+       |), ia AS (
+       |  SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+       |  FROM isl GROUP BY doc_id, island
+       |), t AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+       |  FROM n, unnest(range(1, CAST(nt + 1 AS BIGINT))) AS u(i)
+       |), k AS (
+       |  SELECT t.doc_id, pos, tok FROM t
+       |  WHERE NOT EXISTS (SELECT 1 FROM ia
+       |    WHERE ia.doc_id = t.doc_id AND t.pos BETWEEN ia.mn AND ia.mx)
+       |), c AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+       |    CAST(COUNT(*) AS BIGINT) AS nk
+       |  FROM k GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, nt AS n_tokens, nt - coalesce(nk, 0) AS n_removed,
+       |  coalesce(ct, '') AS cleaned_text
+       |FROM n LEFT JOIN c ON n.doc_id = c.doc_id""".stripMargin
 }

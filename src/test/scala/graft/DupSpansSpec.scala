@@ -105,6 +105,48 @@ class DupSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("span removal: hand-computed cleaned texts") {
+    val rows = DupSpans.spanRemoval(spark, corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def check(id: Long, nTok: Long, nRemoved: Long, cleaned: String) = {
+      val r = rows(id)
+      assert(r.getAs[Long]("n_tokens") == nTok, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_removed") == nRemoved, s"doc $id n_removed")
+      assert(r.getAs[String]("cleaned_text") == cleaned, s"doc $id cleaned_text")
+    }
+    check(0L, 20, 8, (1 to 12).map(i => s"a$i").mkString(" ")) // island cut from the tail
+    check(1L, 14, 8, "b1 b2 b3 b4 b5 b6")                      // island cut from the middle
+    check(2L, 16, 16, "")                                      // whole doc is one island
+    check(3L, 10, 0, (1 to 10).map(i => s"c$i").mkString(" ")) // untouched
+    check(4L, 5, 0, "d1 d2 d3 d4 d5")                          // too short for grams
+    check(5L, 11, 9, "f1 f2")
+    check(6L, 18, 9, (1 to 9).map(i => s"g$i").mkString(" "))
+  }
+
+  test("span removal collapsed path: exact twins all clean to the keeper's text") {
+    val base = Seq(
+      (0L, (1 to 12).map(i => s"a$i").mkString(" ") + " " + P, 20L),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "), 10L),
+      (4L, "d1 d2 d3 d4 d5", 5L))
+    val tmp = craftedDir(for {
+      (id, text, _) <- base
+      copy <- Seq(0L, 100L, 200L)
+    } yield (id + copy, text, "en", "s0"))
+    val rows = DupSpans.spanRemoval(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 9)
+    for ((id, text, nTok) <- base; copy <- Seq(0L, 100L, 200L)) {
+      val r = rows(id + copy)
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      if (nTok >= DupSpans.N)
+        assert(r.getAs[String]("cleaned_text") == "" &&
+          r.getAs[Long]("n_removed") == nTok)
+      else
+        assert(r.getAs[String]("cleaned_text") == text &&
+          r.getAs[Long]("n_removed") == 0L)
+    }
+  }
+
   test("corpus run: every doc reported once, fractions in [0,1]") {
     val rows = DupSpans.dupSpans(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()

@@ -242,6 +242,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("span removal: semi-join membership, doc-keyed windows/joins, no cartesian") {
+    val plan = formatted(graft.dedup.DupSpans.spanRemoval(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      "dup-gram membership must be a semi-join, not a materialized join")
+    assert(!plan.contains("SinglePartition"),
+      "island work must stay doc-partitioned, never on one partition")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("text hot paths ride the native codegen kernels, not interpreted lambdas") {
     // the gram builds and run statistics must stay compiled expressions —
     // a regression back to transform/aggregate lambdas is interpreted,
