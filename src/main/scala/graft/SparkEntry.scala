@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_simhash"    -> ((s, d) => graft.dedup.SimHash.nearDupPairs(s, d)),
     "dedup_report"     -> ((s, d) => graft.dedup.DedupReport.report(s, d)),
     "dedup_clusters"   -> ((s, d) => graft.dedup.DedupClusters.clusters(s, d)),
+    "cluster_keepers"  -> ((s, d) => graft.dedup.DedupClusters.clusterKeepers(s, d)),
     "dup_spans"        -> ((s, d) => graft.dedup.DupSpans.dupSpans(s, d)),
     "span_removal"     -> ((s, d) => graft.dedup.DupSpans.spanRemoval(s, d)),
     "incremental_dedup" -> ((s, d) => graft.dedup.IncrementalDedup.incrementalDedup(s, d)),

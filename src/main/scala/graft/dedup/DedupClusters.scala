@@ -116,4 +116,33 @@ object DedupClusters {
       .drop("__sz")
     if (ordered) out.orderBy("doc_id") else out
   }
+
+  /** Quality-aware keeper election: the curation step after clustering —
+    * within each near-dup cluster the member with the HIGHEST quality score
+    * survives (ties break to the lowest doc_id, which exact twins always
+    * hit since identical text scores identically), not the arbitrary
+    * min-id. Emits every document with its cluster, the elected keeper,
+    * and the keep decision.
+    *
+    * Scale shape: the label frame is tiny (one row per doc), the quality
+    * score is a row-local projection, and the election is ONE cluster-keyed
+    * window over clusters whose size is bounded by near-dup component size
+    * (single digits in practice) — no join beyond the label attach, no
+    * global sort on the production path (`ordered = false`). */
+  def clusterKeepers(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                     ordered: Boolean = true): DataFrame = {
+    val labels = clusters(spark, dir, threshold, ordered = false)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val q = graft.text.TextOps.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id"))
+    val out = labels.join(q, "doc_id")
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .withColumn("is_kept", col("doc_id") === col("keeper_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "quality_score",
+        "keeper_id", "is_kept")
+    if (ordered) out.orderBy("doc_id") else out
+  }
 }

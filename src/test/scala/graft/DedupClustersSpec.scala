@@ -47,6 +47,35 @@ class DedupClustersSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster keepers: quality wins the election, min-id only breaks ties") {
+    import spark.implicits._
+    // doc 20 = doc 10 + extra trailing tokens → near-dup (high shingle
+    // overlap) with MORE tokens → higher quality score → doc 20 must be
+    // the keeper even though doc 10 has the smaller id. docs 30/31 are
+    // exact twins (equal quality) → tie breaks to min id 30.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val twin = (1 to 35).map(i => s"same$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " extra1 extra2 extra3"),
+      (30L, twin), (31L, twin),
+      (40L, (1 to 25).map(i => s"solo$i").mkString(" "))
+    ).map { case (id, t) => (id, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keepers").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = DedupClusters.clusterKeepers(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_kept"))).toMap
+    assert(out(10L) == (20L, false), "higher-quality near-dup must win the election")
+    assert(out(20L) == (20L, true))
+    assert(out(30L) == (30L, true), "equal quality ties to the min id")
+    assert(out(31L) == (30L, false))
+    assert(out(40L) == (40L, true), "singletons keep themselves")
+    spark.catalog.clearCache()
+  }
+
   test("ordered=false emits no global sort (production escape hatch)") {
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
