@@ -1080,6 +1080,7 @@ object Oracles {
     "temperature_sample" -> graft.text.TrainPrep.temperatureSampleOracle,
     "lm_quality_score" -> graft.text.TrainPrep.lmQualityScoreOracle,
     "curation_funnel" -> graft.text.TrainPrep.curationFunnelOracle,
+    "curated_corpus" -> graft.text.TrainPrep.curatedCorpusOracle,
     "corpus_stats" -> graft.text.TrainPrep.corpusStatsOracle,
     "stratified_sample" -> graft.text.TrainPrep.stratifiedSampleOracle,
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,

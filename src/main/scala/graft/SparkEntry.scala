@@ -168,6 +168,7 @@ object SparkEntry {
     "temperature_sample"  -> ((s, d) => graft.text.TrainPrep.temperatureSample(s, d)),
     "lm_quality_score"    -> ((s, d) => graft.text.TrainPrep.lmQualityScore(s, d)),
     "curation_funnel"     -> ((s, d) => graft.text.TrainPrep.curationFunnel(s, d)),
+    "curated_corpus"      -> ((s, d) => graft.text.TrainPrep.curatedCorpus(s, d)),
     "corpus_stats"        -> ((s, d) => graft.text.TrainPrep.corpusStats(s, d)),
     "stratified_sample"   -> ((s, d) => graft.text.TrainPrep.stratifiedSample(s, d)),
     // hybrid lexical+vector retrieval with RRF fusion (text/HybridSearch.scala)

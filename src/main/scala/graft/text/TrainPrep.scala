@@ -667,7 +667,10 @@ object TrainPrep {
     * per-stage rows explode from that single aggregate row — corrPairs'
     * explode-of-structs pattern. No joins, no windows, one shuffle of five
     * longs. */
-  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc running-AND funnel flags k1..k4 (the row-local keep ladder) —
+    * shared by [[curationFunnel]] (stage accounting) and [[curatedCorpus]]
+    * (the emission). */
+  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextKernels.register(spark)
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__n", size(col("__w")).cast("long"))
@@ -677,8 +680,7 @@ object TrainPrep {
       .withColumn("__sym",
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long"))
       .withColumn("__len", length(col("text")).cast("long"))
-    val flagged = d
-      .withColumn("k1", col("__n") >= 10)
+    d.withColumn("k1", col("__n") >= 10)
       .withColumn("k2", col("k1") &&
         col("__ws.nd").cast("double") / col("__n") >= 0.2 &&
         col("__ws.mx").cast("double") / col("__n") <= 0.2)
@@ -688,6 +690,10 @@ object TrainPrep {
             .otherwise(least(lit(1.0), lit(4.0) * col("__stop") / col("__n")) * 0.5) >= 0.5)
       .withColumn("k4", col("k3") &&
         col("__sym").cast("double") / col("__len") <= 0.3)
+  }
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = funnelFlags(spark, dir)
     val agg = flagged.agg(
       countAll.as("n0"),
       sum(when(col("k1"), 1L).otherwise(0L)).cast("long").as("n1"),
@@ -750,5 +756,126 @@ object TrainPrep {
        |  FROM ks
        |)
        |$unioned""".stripMargin
+  }
+
+  // ------------------------------------------------------ curated corpus
+
+  /** The end-to-end curation emission as ONE Spark plan: a document makes
+    * the final training corpus iff it (a) survives the row-local funnel
+    * ladder (k4), (b) is not benchmark-contaminated (> 20% distinct-5-gram
+    * overlap with the eval slice — which is itself excluded), and (c) keeps
+    * ≤ 50% duplicated tokens; what it emits is the SPAN-CLEANED text (the
+    * Lee-et-al. removal), i.e. exactly what a pretraining run would feed
+    * the tokenizer.
+    *
+    * Scale shape: three doc-keyed frames — a pure projection (flags), a
+    * gram-keyed semi-join rollup (contamination), and the island pipeline
+    * (span removal) — combined with doc-keyed joins; nothing new beyond
+    * the constituent stages' own shuffles, and the final filter prunes
+    * before the wide cleaned_text column moves anywhere. */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val flags = funnelFlags(spark, dir).select(col("doc_id"), col("k4"))
+    val contam = contaminationCheck(spark, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    val cleaned = graft.dedup.DupSpans.spanRemoval(spark, dir)
+    cleaned
+      .join(flags, "doc_id")
+      .join(contam, "doc_id") // inner: drops the eval slice from the corpus
+      .filter(col("k4") && !col("is_contaminated") &&
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_removed").cast("double") / col("n_tokens"))
+          <= graft.dedup.DupSpans.KeepFrac)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_tokens") - col("n_removed")).as("n_tokens_out"),
+        col("cleaned_text"))
+  }
+
+  def curatedCorpusOracle: String = {
+    val N = graft.dedup.DupSpans.N
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), n0 AS (
+       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt FROM d0
+       |), ff AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n,
+       |    list_transform(list_distinct(w), u -> len(list_filter(w, x -> x = u))) AS wc,
+       |    CAST(len(list_filter(w, x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS stop,
+       |    CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS sym,
+       |    CAST(len(text) AS BIGINT) AS ln
+       |  FROM d0
+       |), k AS (
+       |  SELECT doc_id,
+       |    coalesce(n >= 10
+       |      AND CAST(len(wc) AS DOUBLE) / n >= 0.2
+       |      AND CAST(list_max(wc) AS DOUBLE) / n <= 0.2
+       |      AND least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.5 +
+       |        (CASE WHEN n = 0 THEN 0.0 ELSE least(1.0, 4.0 * stop / n) * 0.5 END) >= 0.5
+       |      AND CAST(sym AS DOUBLE) / ln <= 0.3, false) AS k4
+       |  FROM ff
+       |), cg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+       |    ELSE []::VARCHAR[] END AS grams
+       |  FROM d0
+       |), eg AS (
+       |  SELECT DISTINCT unnest(grams) AS gr FROM cg WHERE doc_id % 97 = 0
+       |), cc AS (
+       |  SELECT doc_id, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM cg WHERE doc_id % 97 <> 0) cx
+       |  WHERE gr IN (SELECT gr FROM eg) GROUP BY 1
+       |), contam AS (
+       |  SELECT g.doc_id,
+       |    (CASE WHEN len(grams) = 0 THEN 0.0
+       |          ELSE CAST(coalesce(c, 0) AS DOUBLE) / len(grams) END) > 0.2 AS is_cont
+       |  FROM cg g LEFT JOIN cc ON g.doc_id = cc.doc_id
+       |  WHERE g.doc_id % 97 <> 0
+       |), g8 AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+       |    CAST(i - 1 + ${N - 1} AS BIGINT) AS e,
+       |    array_to_string(list_slice(w, i, i + ${N - 1}), ' ') AS gr
+       |  FROM n0, unnest(range(1, CAST(nt - $N + 2 AS BIGINT))) AS t(i)
+       |  WHERE nt >= $N
+       |), dup8 AS (
+       |  SELECT gr FROM g8 GROUP BY gr HAVING COUNT(*) >= 2
+       |), sp AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |      THEN 1 ELSE 0 END AS nw
+       |  FROM g8 WHERE gr IN (SELECT gr FROM dup8)
+       |), isl AS (
+       |  SELECT doc_id,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, s, e
+       |  FROM sp
+       |), ia AS (
+       |  SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+       |  FROM isl GROUP BY doc_id, island
+       |), tk AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+       |  FROM n0, unnest(range(1, CAST(nt + 1 AS BIGINT))) AS u(i)
+       |), kk AS (
+       |  SELECT tk.doc_id, pos, tok FROM tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM ia
+       |    WHERE ia.doc_id = tk.doc_id AND tk.pos BETWEEN ia.mn AND ia.mx)
+       |), cl AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+       |    CAST(COUNT(*) AS BIGINT) AS nk
+       |  FROM kk GROUP BY doc_id
+       |), sr AS (
+       |  SELECT n0.doc_id, nt, nt - coalesce(nk, 0) AS nrem, coalesce(ct, '') AS ct
+       |  FROM n0 LEFT JOIN cl ON n0.doc_id = cl.doc_id
+       |)
+       |SELECT sr.doc_id, nt AS n_tokens, nrem AS n_removed,
+       |  nt - nrem AS n_tokens_out, ct AS cleaned_text
+       |FROM sr
+       |JOIN k ON k.doc_id = sr.doc_id
+       |JOIN contam ON contam.doc_id = sr.doc_id
+       |WHERE k.k4 AND NOT contam.is_cont
+       |  AND (CASE WHEN nt = 0 THEN 0.0
+       |            ELSE CAST(nrem AS DOUBLE) / nt END) <= ${graft.dedup.DupSpans.KeepFrac}""".stripMargin
   }
 }

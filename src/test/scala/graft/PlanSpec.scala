@@ -251,6 +251,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("curated corpus: one composed plan, semi-join membership, no cartesian") {
+    val plan = formatted(graft.text.TrainPrep.curatedCorpus(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      "gram membership stages must stay semi-joins")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SinglePartition"),
+      "curation emission must never collapse to one partition")
+  }
+
   test("text hot paths ride the native codegen kernels, not interpreted lambdas") {
     // the gram builds and run statistics must stay compiled expressions —
     // a regression back to transform/aggregate lambdas is interpreted,
