@@ -33,7 +33,7 @@ object TextOps {
   private def stopHits(list: Seq[String]): org.apache.spark.sql.Column =
     // null-text guard: Spark size(NULL)=-1, oracle len(NULL)=NULL
     when(col("text").isNull, lit(null).cast("long"))
-      .otherwise(expr(s"size(filter(__tokens, t -> t IN (${sqlList(list)})))").cast("long"))
+      .otherwise(graft.functions.CountIn.of(col("__tokens"), list))
 
   /** Length/character-class/stopword statistics + a composite quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {

@@ -675,8 +675,7 @@ object TrainPrep {
     val d = withWords(Tables.documents(spark, dir))
       .withColumn("__n", size(col("__w")).cast("long"))
       .withColumn("__ws", expr("run_stats(__w)"))
-      .withColumn("__stop",
-        expr(s"size(filter(__w, t -> t IN (${sqlList(enStop)})))").cast("long"))
+      .withColumn("__stop", graft.functions.CountIn.of(col("__w"), enStop))
       .withColumn("__sym",
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long"))
       .withColumn("__len", length(col("text")).cast("long"))

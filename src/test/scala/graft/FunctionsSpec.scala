@@ -86,6 +86,23 @@ class FunctionsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+    // count_in parity vs the interpreted IN-list filter it replaced
+    val stopSet = Seq("a", "b", "e e", "")
+    val inList = stopSet.map(w => s"'${w}'").mkString(", ")
+    def checkCountIn(): Unit = {
+      val bad = df.filter(not(
+        graft.functions.CountIn.of(col("w"), stopSet) <=>
+          expr(s"IF(w IS NULL, NULL, size(filter(w, t -> t IN ($inList))))").cast("long"))).count()
+      assert(bad == 0, "count_in diverges from the size(filter(IN)) SQL")
+    }
+    checkCountIn()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try checkCountIn()
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
     // hand-computed pin: b a b b a c → runs a:2 b:3 c:1 → mx 3, nd 3, dup 5
     val pinned = Seq(Tuple1(Seq("b", "a", "b", "b", "a", "c"))).toDF("w")
       .select(expr("run_stats(w)").as("s")).select("s.mx", "s.nd", "s.dup").head
