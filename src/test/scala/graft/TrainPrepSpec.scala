@@ -265,4 +265,33 @@ class TrainPrepSpec extends AnyFunSuite {
       assert(rows(a).getAs[Long]("n_out") == rows(b).getAs[Long]("n_in"))
     }
   }
+
+  test("curated corpus: each gate drops its doc, survivors ship cleaned text") {
+    // stopword cycle keeps top-word frac low while quality stays >= 0.5
+    val stop = Seq("the", "and", "of", "to")
+    def mix(prefix: String, n: Int): Seq[String] =
+      (1 to n).flatMap(i => Seq(s"$prefix$i", stop((i - 1) % 4)))
+    val passage = (1 to 32).map(i => s"p$i")                  // shared 8-gram block
+    val aTok = mix("a", 60)                                   // 120 tokens, clean
+    val eTok = mix("b", 60) ++ passage                        // 152 tokens, 32 dup
+    val dTok = passage ++ mix("d", 14)                        // 60 tokens, 32 dup > 50%
+    val evalText = (1 to 12).map(i => s"e$i").mkString(" ")   // doc 97 ≡ 0 mod 97
+    val cTok = (1 to 12).map(i => s"e$i") ++ Seq("c1", "c2")  // 8/10 grams shared
+    val tmp = craftedDir(Seq(
+      (1L, aTok.mkString(" "), "en", "s0"),
+      (2L, eTok.mkString(" "), "en", "s0"),
+      (3L, dTok.mkString(" "), "en", "s0"),
+      (4L, cTok.mkString(" "), "en", "s0"),
+      (5L, "too short to pass", "en", "s0"),
+      (97L, evalText, "en", "s0")))
+    val rows = TrainPrep.curatedCorpus(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L), s"kept ${rows.keySet}")
+    assert(rows(1L).getAs[Long]("n_removed") == 0L)
+    assert(rows(1L).getAs[String]("cleaned_text") == aTok.mkString(" "))
+    // doc 2 ships with the shared passage excised
+    assert(rows(2L).getAs[Long]("n_removed") == 32L)
+    assert(rows(2L).getAs[String]("cleaned_text") == mix("b", 60).mkString(" "))
+    // absent: 3 (>50% duplicated), 4 (contaminated), 5 (funnel), 97 (eval slice)
+  }
 }
