@@ -102,6 +102,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("run_stats"),
       new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
       (children: Seq[Expression]) => RunStats(children.head)))
+    ext.injectFunction((FunctionIdentifier("trigram_keys"),
+      new ExpressionInfo(classOf[TrigramKeys].getName, "trigram_keys"),
+      (children: Seq[Expression]) => TrigramKeys(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }

@@ -579,31 +579,27 @@ object TrainPrep {
     * row per document. Nothing driver-side, no all-pairs. */
   def lmQualityScore(spark: SparkSession, dir: String): DataFrame = {
     // n_grams is arithmetic (len − 2), not the size of a materialized gram
-    // array, and the gram build goes through a per-char split with O(1)
-    // element access: `substring(__c, i, 3)` per index re-seeks the UTF-8
-    // string from the start, which is O(len²) per document — the honest
-    // (noop-action) benchmark caught that at 21 s for sf0.1.
+    // array. The gram build's history is a perf case study: substring(i,3)
+    // per index was O(len²) per doc (21 s at sf0.1 under the noop action);
+    // the per-char split + interpreted transform fixed the asymptotics but
+    // allocated one UTF8String PER CHARACTER; the trigram_keys kernel
+    // (functions/TextKernels.scala) is now one compiled pass — same packed
+    // 21-bit-per-code-unit long keys, so both gram shuffles move longs and
+    // the DuckDB oracle keeps its substr() formulation untouched.
     val d = Tables.documents(spark, dir)
       .withColumn("__c", lower(trim(col("text"))))
       .withColumn("n_grams",
         when(col("__c").isNotNull && length(col("__c")) >= 3,
           (length(col("__c")) - 2).cast("long")).otherwise(0L))
       .select(col("doc_id"), col("__c"), col("n_grams"))
-    // gram key = the three codepoints packed into one long (21 bits each —
-    // bijective for any Unicode text), so the two gram shuffles move longs
-    // instead of short strings; counts are identical either way, which is
-    // why the DuckDB oracle can keep its substr() formulation untouched
-    // explode_outer: dodges InferFiltersFromGenerate duplicating the packed
-    // trigram build into a pushed-down filter (see contaminationCheck); the
+    // explode_outer: dodges InferFiltersFromGenerate duplicating the gram
+    // build into a pushed-down filter (see contaminationCheck); the
     // n_grams > 0 pre-filter already guarantees non-empty arrays, so outer
     // emits exactly the same rows
+    graft.functions.TextKernels.register(spark)
     val grams = d.filter(col("n_grams") > 0)
-      .withColumn("__ch", split(col("__c"), ""))
-      .select(col("doc_id"), explode_outer(expr(
-        """transform(sequence(0, cast(n_grams as int) - 1),
-          |  i -> ascii(__ch[i]) * 4398046511104L + ascii(__ch[i+1]) * 2097152L
-          |       + ascii(__ch[i+2]))""".stripMargin))
-        .as("g"))
+      .select(col("doc_id"),
+        explode_outer(expr("trigram_keys(__c, n_grams)")).as("g"))
     val total = broadcast(grams.agg(countAll.as("__tot")))
     // floor: 0.01% of the trigram mass, and never below 2 — singleton
     // trigrams (hapax junk) must not self-certify at small corpus sizes

@@ -103,6 +103,33 @@ class FunctionsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+    // trigram_keys parity vs the split/ascii/transform formulation
+    val strs = (0L until 200L).map { i =>
+      val r2 = new scala.util.Random(i)
+      val len = r2.nextInt(30)
+      i -> new String((0 until len).map(_ =>
+        "abcdefghij élñ0 .,!".charAt(r2.nextInt(19))).toArray)
+    } :+ (200L -> (null: String))
+    val sdf = strs.toDF("id", "c")
+      .withColumn("n", when(col("c").isNotNull && length(col("c")) >= 3,
+        (length(col("c")) - 2).cast("long")).otherwise(0L))
+    def checkTrigrams(): Unit = {
+      val twin = expr(
+        """IF(c IS NULL, NULL, transform(sequence(0, cast(n as int) - 1),
+          |  i -> ascii(split(c, '')[i]) * 4398046511104L
+          |       + ascii(split(c, '')[i+1]) * 2097152L + ascii(split(c, '')[i+2])))""".stripMargin)
+      val bad = sdf.filter(col("n") > 0 || col("c").isNull)
+        .filter(not(expr("trigram_keys(c, n)") <=> twin)).count()
+      assert(bad == 0, "trigram_keys diverges from the split/ascii SQL")
+    }
+    checkTrigrams()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try checkTrigrams()
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
     // hand-computed pin: b a b b a c → runs a:2 b:3 c:1 → mx 3, nd 3, dup 5
     val pinned = Seq(Tuple1(Seq("b", "a", "b", "b", "a", "c"))).toDF("w")
       .select(expr("run_stats(w)").as("s")).select("s.mx", "s.nd", "s.dup").head
