@@ -148,4 +148,17 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming curation: the row-local funnel ladder (min-length →
+    * repetition → stopword quality → symbol load, `TrainPrep.funnelFlagsOf`)
+    * applied to an unbounded document stream. A pure projection — zero
+    * state, append mode, works per-microbatch at ingest speed; identical
+    * rules (and native text kernels) to the batch funnel, so a doc's keep
+    * decision is the same whether it arrives in a crawl stream or a backfill
+    * batch. Input needs `doc_id` and `text` columns. */
+  def curationStream(docs: DataFrame): DataFrame =
+    graft.text.TrainPrep.funnelFlagsOf(docs)
+      .select(col("doc_id"), col("k1").as("pass_min_length"),
+        col("k2").as("pass_repetition"), col("k3").as("pass_quality"),
+        col("k4").as("is_kept"))
 }

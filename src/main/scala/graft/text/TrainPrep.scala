@@ -664,11 +664,12 @@ object TrainPrep {
     * explode-of-structs pattern. No joins, no windows, one shuffle of five
     * longs. */
   /** Per-doc running-AND funnel flags k1..k4 (the row-local keep ladder) —
-    * shared by [[curationFunnel]] (stage accounting) and [[curatedCorpus]]
-    * (the emission). */
-  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.TextKernels.register(spark)
-    val d = withWords(Tables.documents(spark, dir))
+    * shared by [[curationFunnel]] (stage accounting), [[curatedCorpus]]
+    * (the emission), and `streaming.StreamOps.curationStream` (a pure
+    * projection, so it applies to an unbounded stream with zero state). */
+  def funnelFlagsOf(docs: DataFrame): DataFrame = {
+    graft.functions.TextKernels.register(docs.sparkSession)
+    val d = withWords(docs)
       .withColumn("__n", size(col("__w")).cast("long"))
       .withColumn("__ws", expr("run_stats(__w)"))
       .withColumn("__stop", graft.functions.CountIn.of(col("__w"), enStop))
@@ -688,7 +689,7 @@ object TrainPrep {
   }
 
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val flagged = funnelFlags(spark, dir)
+    val flagged = funnelFlagsOf(Tables.documents(spark, dir))
     val agg = flagged.agg(
       countAll.as("n0"),
       sum(when(col("k1"), 1L).otherwise(0L)).cast("long").as("n1"),
@@ -769,7 +770,7 @@ object TrainPrep {
     * the constituent stages' own shuffles, and the final filter prunes
     * before the wide cleaned_text column moves anywhere. */
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val flags = funnelFlags(spark, dir).select(col("doc_id"), col("k4"))
+    val flags = funnelFlagsOf(Tables.documents(spark, dir)).select(col("doc_id"), col("k4"))
     val contam = contaminationCheck(spark, dir)
       .select(col("doc_id"), col("is_contaminated"))
     val cleaned = graft.dedup.DupSpans.spanRemoval(spark, dir)

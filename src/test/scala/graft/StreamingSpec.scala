@@ -136,4 +136,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.toSeq == Seq((1L, "purchase", 9.0)), out.mkString(";"))
     } finally q.stop()
   }
+
+  test("streaming curation applies the batch funnel rules per microbatch, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same rule fixtures as the batch funnel spec: "good" passes every
+    // gate; the others each fail one
+    val good = "the data and the table of a join is that it works in practice"
+    val short = "too short"
+    val repeated = ("spam " * 14).trim                       // top-word frac 1.0
+    val symbols = "the data and the table of a join is that " + "#!@%^&*()[]{}<>~~" * 3
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.curationStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cur_stream").outputMode("append").start()
+    try {
+      input.addData((1L, good), (2L, short))
+      q.processAllAvailable()
+      input.addData((3L, repeated), (4L, symbols))          // second microbatch
+      q.processAllAvailable()
+      val out = spark.table("cur_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_kept")).toMap
+      assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false), out)
+      // decisions match the batch ladder exactly
+      val tmp = java.nio.file.Files.createTempDirectory("curstream").toString
+      Seq((1L, good, "en", "s0"), (2L, short, "en", "s0"),
+        (3L, repeated, "en", "s0"), (4L, symbols, "en", "s0"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val batch = graft.text.TrainPrep.funnelFlagsOf(
+          Tables.documents(spark, tmp))
+        .select("doc_id", "k4").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("k4")).toMap
+      assert(batch == out, "stream and batch keep decisions diverge")
+    } finally q.stop()
+  }
 }
