@@ -305,6 +305,7 @@ object Oracles {
     "dup_spans" -> graft.dedup.DupSpans.dupSpansOracle,
     "span_removal" -> graft.dedup.DupSpans.spanRemovalOracle,
     "incremental_dedup" -> graft.dedup.IncrementalDedup.incrementalDedupOracle,
+    "incremental_neardup" -> graft.dedup.IncrementalDedup.incrementalNearDupOracle,
 
     "text_stats" ->
       s"""WITH t AS (

@@ -56,6 +56,137 @@ object IncrementalDedup {
     out.select(col("doc_id"), col("content_hash"), col("decision"), col("keeper_id"))
   }
 
+  /** Incremental NEAR-dup: the nightly batch probed against the settled
+    * corpus (and earlier batch docs) through MinHash-LSH buckets, with
+    * exact-Jaccard verify on candidates — the near-duplicate sibling of
+    * [[incrementalDedup]]. Decisions per batch doc, precedence order:
+    * `drop_near_corpus` (jaccard ≥ threshold with ANY corpus doc; keeper =
+    * best match by jaccard, tie → min id) > `drop_near_batch` (≥ threshold
+    * with a SMALLER-id batch doc) > `keep`.
+    *
+    * Scale shape (100 TB corpus, small daily batch): the corpus is bucketed
+    * once (same banding as the whole-corpus detector — in production those
+    * bucket tables are the persisted LSH index and this query's corpus side
+    * is a scan of it, not a recompute); the bucket join PROBES batch
+    * buckets against the index, so candidate volume is batch-sized ×
+    * collision rate — corpus×corpus pairs are never enumerated. Jaccard
+    * verify re-attaches shingles only for candidate ids. */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+                         threshold: Double = 0.8, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val docs = Tables.documents(spark, dir)
+    val signed = MinHashLsh.withSignatures(MinHashLsh.shingleDocs(docs), numHashes)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(false)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
+      struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
+    }
+    val buckets = signed
+      .withColumn("__band", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("source"),
+        col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+    val probe = buckets.filter(col("source") === BatchSource)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val index = buckets
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("other_id"), col("source").as("other_source"))
+    val cand = probe.join(index, Seq("band", "bucket"))
+      .filter(col("other_id") =!= col("doc_id"))
+      // a batch doc defers only to EARLIER batch docs (min-id keeper rule);
+      // corpus docs match regardless of id
+      .filter(col("other_source") =!= BatchSource || col("other_id") < col("doc_id"))
+      .select("doc_id", "other_id", "other_source")
+      .dropDuplicates("doc_id", "other_id")
+    val shA = signed.select(col("doc_id"), col("shingles").as("sh_a"))
+    val shB = signed.select(col("doc_id").as("other_id"), col("shingles").as("sh_b"))
+    val matches = cand.join(shA, "doc_id").join(shB, "other_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("other_id"), col("other_source"), col("jaccard"))
+    // best match per (doc, side): max jaccard, tie → min other_id — the
+    // struct max is (jaccard, -id) lexicographic, deterministic both engines
+    def best(side: DataFrame): DataFrame = side
+      .groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("other_id")).as("neg"))).as("__b"))
+      .select(col("doc_id"), (-col("__b.neg")).cast("long").as("match_id"),
+        col("__b.jaccard").as("match_jaccard"))
+    val corpusBest = best(matches.filter(col("other_source") =!= BatchSource))
+      .withColumnRenamed("match_id", "corpus_id")
+      .withColumnRenamed("match_jaccard", "corpus_jaccard")
+    val batchBest = best(matches.filter(col("other_source") === BatchSource))
+      .withColumnRenamed("match_id", "batch_id")
+      .withColumnRenamed("match_jaccard", "batch_jaccard")
+    docs.filter(col("source") === BatchSource).select(col("doc_id"))
+      .join(corpusBest, Seq("doc_id"), "left")
+      .join(batchBest, Seq("doc_id"), "left")
+      .withColumn("decision",
+        when(col("corpus_id").isNotNull, "drop_near_corpus")
+          .when(col("batch_id").isNotNull, "drop_near_batch")
+          .otherwise("keep"))
+      .withColumn("keeper_id",
+        when(col("corpus_id").isNotNull, col("corpus_id"))
+          .otherwise(col("batch_id")))
+      .withColumn("jaccard",
+        when(col("corpus_id").isNotNull, col("corpus_jaccard"))
+          .otherwise(col("batch_jaccard")))
+      .select("doc_id", "decision", "keeper_id", "jaccard")
+  }
+
+  /** DuckDB twin of [[incrementalNearDup]]: exact inverted-index Jaccard
+    * between batch docs and (corpus ∪ earlier batch docs), same decision
+    * ladder, window-ranked best match (jaccard DESC, id ASC). */
+  def incrementalNearDupOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, source, toks FROM t WHERE len(toks) >= 3
+       |), sh AS (
+       |  SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+       |  FROM e
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT b.doc_id AS bid, a.doc_id AS oid, a.source AS osrc, count(*) AS isect
+       |  FROM sh b JOIN sh a ON b.sh = a.sh
+       |  WHERE b.source = '$BatchSource' AND a.doc_id <> b.doc_id
+       |    AND (a.source <> '$BatchSource' OR a.doc_id < b.doc_id)
+       |  GROUP BY 1, 2, 3
+       |), pairs AS (
+       |  SELECT bid, oid, osrc,
+       |    CAST(isect AS DOUBLE) / (cb.n + ca.n - isect) AS jaccard
+       |  FROM inter
+       |  JOIN cnt cb ON bid = cb.doc_id JOIN cnt ca ON oid = ca.doc_id
+       |  WHERE CAST(isect AS DOUBLE) / (cb.n + ca.n - isect) >= 0.8
+       |), ranked AS (
+       |  SELECT bid, oid, osrc, jaccard,
+       |    row_number() OVER (PARTITION BY bid, osrc = '$BatchSource'
+       |      ORDER BY jaccard DESC, oid ASC) AS rn
+       |  FROM pairs
+       |), cb AS (
+       |  SELECT bid, oid AS corpus_id, jaccard AS corpus_jaccard
+       |  FROM ranked WHERE osrc <> '$BatchSource' AND rn = 1
+       |), bb AS (
+       |  SELECT bid, oid AS batch_id, jaccard AS batch_jaccard
+       |  FROM ranked WHERE osrc = '$BatchSource' AND rn = 1
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN corpus_id IS NOT NULL THEN 'drop_near_corpus'
+       |       WHEN batch_id IS NOT NULL THEN 'drop_near_batch'
+       |       ELSE 'keep' END AS decision,
+       |  CASE WHEN corpus_id IS NOT NULL THEN corpus_id ELSE batch_id END AS keeper_id,
+       |  CASE WHEN corpus_id IS NOT NULL THEN corpus_jaccard
+       |       ELSE batch_jaccard END AS jaccard
+       |FROM (SELECT doc_id FROM documents WHERE source = '$BatchSource') d
+       |LEFT JOIN cb ON d.doc_id = cb.bid
+       |LEFT JOIN bb ON d.doc_id = bb.bid""".stripMargin
+
   def incrementalDedupOracle: String =
     s"""WITH h AS (
        |  SELECT doc_id, source,

@@ -57,4 +57,28 @@ class IncrementalDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental near-dup: corpus match beats batch match, keep is residual") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val tmp = craftedDir(Seq(
+      // corpus doc 5 ~ batch doc 100 (high overlap, not exact)
+      (5L, base, "en", "corpus"),
+      (6L, (1 to 30).map(i => s"u$i").mkString(" "), "en", "corpus"),
+      // batch: 100 near-dups corpus 5; 101/102 near-dup each other only;
+      // 103 unique
+      (100L, base + " extra1 extra2", "en", "src0"),
+      (101L, (1 to 35).map(i => s"v$i").mkString(" "), "en", "src0"),
+      (102L, (1 to 35).map(i => s"v$i").mkString(" ") + " v36", "en", "src0"),
+      (103L, (1 to 25).map(i => s"w$i").mkString(" "), "en", "src0")))
+    val out = graft.dedup.IncrementalDedup.incrementalNearDup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"),
+          if (r.isNullAt(r.fieldIndex("keeper_id"))) -1L else r.getAs[Long]("keeper_id"))).toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L), "batch docs only")
+    assert(out(100L) == (("drop_near_corpus", 5L)), out(100L))
+    assert(out(101L) == (("keep", -1L)), "earlier batch doc keeps")
+    assert(out(102L) == (("drop_near_batch", 101L)), out(102L))
+    assert(out(103L) == (("keep", -1L)))
+    spark.catalog.clearCache()
+  }
 }
