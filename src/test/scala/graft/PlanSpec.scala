@@ -251,6 +251,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("incremental near-dup probes buckets without cartesian or single partition") {
+    val plan = formatted(graft.dedup.IncrementalDedup.incrementalNearDup(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SinglePartition"),
+      "bucket probe or best-match aggregation collapsed to one partition")
+  }
+
   test("curated corpus: one composed plan, semi-join membership, no cartesian") {
     val plan = formatted(graft.text.TrainPrep.curatedCorpus(spark, dir))
     assert(plan.contains("LeftSemi"),
