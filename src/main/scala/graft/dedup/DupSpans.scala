@@ -104,18 +104,26 @@ object DupSpans {
       // normalized text ⇒ identical tokens ⇒ identical islands, so the
       // expansion reproduces exactly what the direct pipeline would emit.
       // (The MinHash/SimHash collapse recipe, Collapse.scala.)
-      val (members, keeperDocs) = Collapse.byNormalizedText(docs)
-      val mult = members.groupBy("keeper").agg(countAll.as("__m"))
-      val kd = withWords(keeperDocs)
-        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"))
-        .join(mult, col("doc_id") === col("keeper"))
-        .select(col("doc_id"), col("__w"), col("__n"), col("__m"))
+      val (members, kd) = collapsedKeeperFrame(docs)
       val keeperRollup = perDocRollup(kd)
         .withColumnRenamed("doc_id", "keeper")
       finishRollup(members.select(col("doc_id"), col("keeper"))
         .join(keeperRollup, "keeper")
         .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"), col("dup_tokens")))
     }
+  }
+
+  /** Collapse prep shared by [[dupSpans]] and [[spanRemoval]]: the
+    * (copy → keeper) membership plus the tokenized keeper frame carrying
+    * each keeper's copy multiplicity `__m`. */
+  private def collapsedKeeperFrame(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (members, keeperDocs) = Collapse.byNormalizedText(docs)
+    val mult = members.groupBy("keeper").agg(countAll.as("__m"))
+    val kd = withWords(keeperDocs)
+      .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"))
+      .join(mult, col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("__w"), col("__n"), col("__m"))
+    (members, kd)
   }
 
   /** The span-REMOVAL action (Lee et al. 2021 §4): the cleaned corpus with
@@ -140,12 +148,7 @@ object DupSpans {
         .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"),
           lit(1L).as("__m")))
     else {
-      val (members, keeperDocs) = Collapse.byNormalizedText(docs)
-      val mult = members.groupBy("keeper").agg(countAll.as("__m"))
-      val kd = withWords(keeperDocs)
-        .select(col("doc_id"), col("__w"), size(col("__w")).cast("long").as("__n"))
-        .join(mult, col("doc_id") === col("keeper"))
-        .select(col("doc_id"), col("__w"), col("__n"), col("__m"))
+      val (members, kd) = collapsedKeeperFrame(docs)
       val kc = cleanedFrom(kd).withColumnRenamed("doc_id", "keeper")
       members.select(col("doc_id"), col("keeper"))
         .join(kc, "keeper")
@@ -239,15 +242,12 @@ object DupSpans {
        |    AS is_kept
        |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id""".stripMargin
 
-  /** DuckDB twin of [[spanRemoval]]: same islands, then tokens re-joined by
-    * 0-based position with island-range exclusion and an ordered re-concat. */
-  def spanRemovalOracle: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-       |  FROM documents
-       |), n AS (
-       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt FROM d
-       |), g AS (
+  /** Shared DuckDB span-removal CTE chain — the single SQL source for
+    * [[spanRemovalOracle]] and TrainPrep.curatedCorpusOracle (any edit to
+    * the island merge or excision rule lands in both). Expects a prior CTE
+    * `n`(doc_id, w, nt); emits CTE `sr`(doc_id, nt, nrem, ct). */
+  private[graft] def spanRemovalCtes: String =
+    s"""g AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
        |    CAST(i - 1 + ${N - 1} AS BIGINT) AS e,
        |    array_to_string(list_slice(w, i, i + ${N - 1}), ' ') AS gr
@@ -269,19 +269,31 @@ object DupSpans {
        |), ia AS (
        |  SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
        |  FROM isl GROUP BY doc_id, island
-       |), t AS (
+       |), tk AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
        |  FROM n, unnest(range(1, CAST(nt + 1 AS BIGINT))) AS u(i)
-       |), k AS (
-       |  SELECT t.doc_id, pos, tok FROM t
+       |), kk AS (
+       |  SELECT tk.doc_id, pos, tok FROM tk
        |  WHERE NOT EXISTS (SELECT 1 FROM ia
-       |    WHERE ia.doc_id = t.doc_id AND t.pos BETWEEN ia.mn AND ia.mx)
-       |), c AS (
+       |    WHERE ia.doc_id = tk.doc_id AND tk.pos BETWEEN ia.mn AND ia.mx)
+       |), cl AS (
        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
        |    CAST(COUNT(*) AS BIGINT) AS nk
-       |  FROM k GROUP BY doc_id
-       |)
-       |SELECT n.doc_id, nt AS n_tokens, nt - coalesce(nk, 0) AS n_removed,
-       |  coalesce(ct, '') AS cleaned_text
-       |FROM n LEFT JOIN c ON n.doc_id = c.doc_id""".stripMargin
+       |  FROM kk GROUP BY doc_id
+       |), sr AS (
+       |  SELECT n.doc_id, nt, nt - coalesce(nk, 0) AS nrem, coalesce(ct, '') AS ct
+       |  FROM n LEFT JOIN cl ON n.doc_id = cl.doc_id
+       |)""".stripMargin
+
+  /** DuckDB twin of [[spanRemoval]]: same islands, then tokens re-joined by
+    * 0-based position with island-range exclusion and an ordered re-concat. */
+  def spanRemovalOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt FROM d
+       |), $spanRemovalCtes
+       |SELECT doc_id, nt AS n_tokens, nrem AS n_removed, ct AS cleaned_text
+       |FROM sr""".stripMargin
 }

@@ -95,16 +95,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_cosine"), VectorFunctions.info,
       (children: Seq[Expression]) => ArrayCosine(children.head, children(1))))
+    // shared builders (TextKernels) — the per-session register path and
+    // this injection can never drift
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[NgramArray].getName, "word_ngrams"),
-      (children: Seq[Expression]) => NgramArray(children.head,
-        children(1).eval(null).asInstanceOf[Int])))
+      TextKernels.ngramBuilder))
     ext.injectFunction((FunctionIdentifier("run_stats"),
       new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
-      (children: Seq[Expression]) => RunStats(children.head)))
+      TextKernels.runStatsBuilder))
     ext.injectFunction((FunctionIdentifier("trigram_keys"),
       new ExpressionInfo(classOf[TrigramKeys].getName, "trigram_keys"),
-      (children: Seq[Expression]) => TrigramKeys(children.head, children(1))))
+      TextKernels.trigramBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }

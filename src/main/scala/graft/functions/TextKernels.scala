@@ -21,23 +21,35 @@ object TextKernels {
 
   private[functions] val Space = UTF8String.fromString(" ")
 
+  /** Shared function builders — the single source for both the per-session
+    * `register` path and the cluster-wide `GraftExtensions` injection, so
+    * the two registration paths can never drift. */
+  private[functions] val ngramBuilder: Seq[Expression] => Expression = {
+    children =>
+      children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) =>
+          NgramArray(children.head, i)
+        case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, LongType) =>
+          NgramArray(children.head, l.toInt)
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: the gram width must be an integer literal, got $other")
+      }
+  }
+  private[functions] val runStatsBuilder: Seq[Expression] => Expression =
+    children => RunStats(children.head)
+  private[functions] val trigramBuilder: Seq[Expression] => Expression =
+    children => TrigramKeys(children.head, children(1))
+
   def register(spark: SparkSession): Unit = {
-    val ng = FunctionIdentifier("word_ngrams")
-    if (!spark.sessionState.functionRegistry.functionExists(ng))
-      spark.sessionState.functionRegistry.registerFunction(
-        ng, new ExpressionInfo(classOf[NgramArray].getName, "word_ngrams"),
-        (children: Seq[Expression]) => NgramArray(children.head,
-          children(1).eval(null).asInstanceOf[Int]))
-    val rs = FunctionIdentifier("run_stats")
-    if (!spark.sessionState.functionRegistry.functionExists(rs))
-      spark.sessionState.functionRegistry.registerFunction(
-        rs, new ExpressionInfo(classOf[RunStats].getName, "run_stats"),
-        (children: Seq[Expression]) => RunStats(children.head))
-    val tk = FunctionIdentifier("trigram_keys")
-    if (!spark.sessionState.functionRegistry.functionExists(tk))
-      spark.sessionState.functionRegistry.registerFunction(
-        tk, new ExpressionInfo(classOf[TrigramKeys].getName, "trigram_keys"),
-        (children: Seq[Expression]) => TrigramKeys(children.head, children(1)))
+    def reg(name: String, cls: Class[_], builder: Seq[Expression] => Expression): Unit = {
+      val fid = FunctionIdentifier(name)
+      if (!spark.sessionState.functionRegistry.functionExists(fid))
+        spark.sessionState.functionRegistry.registerFunction(
+          fid, new ExpressionInfo(cls.getName, name), builder)
+    }
+    reg("word_ngrams", classOf[NgramArray], ngramBuilder)
+    reg("run_stats", classOf[RunStats], runStatsBuilder)
+    reg("trigram_keys", classOf[TrigramKeys], trigramBuilder)
   }
 }
 
@@ -170,8 +182,17 @@ case class TrigramKeys(left: Expression, right: Expression)
   * evaluates null → filter drops. The word set is baked in at
   * registration ([[CountIn.register]]) or resolved via [[CountIn.of]]. */
 object CountIn {
-  def register(spark: SparkSession, tag: String, words: Seq[String]): String = {
-    val name = s"count_in_$tag"
+  /** Tag = md5 of the NUL-joined word list (the separator cannot occur in
+    * a whitespace-split token, so distinct lists cannot alias; 128 bits
+    * makes a collision implausible, unlike a 32-bit hashCode). */
+  private def tagOf(words: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(words.mkString("\u0000").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  def register(spark: SparkSession, words: Seq[String]): String = {
+    val name = s"count_in_${tagOf(words)}"
     val fid = FunctionIdentifier(name)
     if (!spark.sessionState.functionRegistry.functionExists(fid))
       spark.sessionState.functionRegistry.registerFunction(
@@ -180,13 +201,12 @@ object CountIn {
     name
   }
 
-  /** Column builder: registers `count_in_<hash-of-words>` on the active
-    * session (idempotent) and calls it. */
-  def of(arr: org.apache.spark.sql.Column, words: Seq[String]): org.apache.spark.sql.Column = {
-    val spark = SparkSession.active
-    val tag = java.lang.Integer.toHexString(words.mkString(" ").hashCode)
-    org.apache.spark.sql.functions.call_function(register(spark, tag, words), arr)
-  }
+  /** Column builder: registers `count_in_<md5-of-words>` on the GIVEN
+    * session (idempotent) and calls it — callers pass the session that
+    * owns the frame, never an ambient active session. */
+  def of(spark: SparkSession, arr: org.apache.spark.sql.Column,
+         words: Seq[String]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(register(spark, words), arr)
 }
 
 case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpression {

@@ -30,10 +30,10 @@ object TextOps {
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
 
-  private def stopHits(list: Seq[String]): org.apache.spark.sql.Column =
+  private def stopHits(spark: SparkSession, list: Seq[String]): org.apache.spark.sql.Column =
     // null-text guard: Spark size(NULL)=-1, oracle len(NULL)=NULL
     when(col("text").isNull, lit(null).cast("long"))
-      .otherwise(graft.functions.CountIn.of(col("__tokens"), list))
+      .otherwise(graft.functions.CountIn.of(spark, col("__tokens"), list))
 
   /** Length/character-class/stopword statistics + a composite quality score. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
@@ -56,7 +56,7 @@ object TextOps {
       .withColumn("punct_count", length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long"))
       .withColumn("digit_count", length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
       .withColumn("upper_count", length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long"))
-      .withColumn("stopword_count", stopHits(enStop))
+      .withColumn("stopword_count", stopHits(spark, enStop))
       .withColumn("stopword_ratio",
         when(col("n_tokens") === 0, lit(null).cast("double"))
           .otherwise(col("stopword_count").cast("double") / col("n_tokens")))
@@ -97,10 +97,10 @@ object TextOps {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = withTokens(Tables.documents(spark, dir))
     val scored = d
-      .withColumn("en_hits", stopHits(enStop))
-      .withColumn("es_hits", stopHits(esStop))
-      .withColumn("fr_hits", stopHits(frStop))
-      .withColumn("de_hits", stopHits(deStop))
+      .withColumn("en_hits", stopHits(spark, enStop))
+      .withColumn("es_hits", stopHits(spark, esStop))
+      .withColumn("fr_hits", stopHits(spark, frStop))
+      .withColumn("de_hits", stopHits(spark, deStop))
     scored
       .withColumn("predicted_lang",
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits")

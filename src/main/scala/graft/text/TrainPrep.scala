@@ -672,7 +672,7 @@ object TrainPrep {
     val d = withWords(docs)
       .withColumn("__n", size(col("__w")).cast("long"))
       .withColumn("__ws", expr("run_stats(__w)"))
-      .withColumn("__stop", graft.functions.CountIn.of(col("__w"), enStop))
+      .withColumn("__stop", graft.functions.CountIn.of(docs.sparkSession, col("__w"), enStop))
       .withColumn("__sym",
         length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long"))
       .withColumn("__len", length(col("text")).cast("long"))
@@ -787,11 +787,10 @@ object TrainPrep {
   }
 
   def curatedCorpusOracle: String = {
-    val N = graft.dedup.DupSpans.N
     s"""WITH d0 AS (
        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
        |  FROM documents
-       |), n0 AS (
+       |), n AS (
        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt FROM d0
        |), ff AS (
        |  SELECT doc_id,
@@ -828,43 +827,7 @@ object TrainPrep {
        |          ELSE CAST(coalesce(c, 0) AS DOUBLE) / len(grams) END) > 0.2 AS is_cont
        |  FROM cg g LEFT JOIN cc ON g.doc_id = cc.doc_id
        |  WHERE g.doc_id % 97 <> 0
-       |), g8 AS (
-       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-       |    CAST(i - 1 + ${N - 1} AS BIGINT) AS e,
-       |    array_to_string(list_slice(w, i, i + ${N - 1}), ' ') AS gr
-       |  FROM n0, unnest(range(1, CAST(nt - $N + 2 AS BIGINT))) AS t(i)
-       |  WHERE nt >= $N
-       |), dup8 AS (
-       |  SELECT gr FROM g8 GROUP BY gr HAVING COUNT(*) >= 2
-       |), sp AS (
-       |  SELECT doc_id, s, e,
-       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-       |      THEN 1 ELSE 0 END AS nw
-       |  FROM g8 WHERE gr IN (SELECT gr FROM dup8)
-       |), isl AS (
-       |  SELECT doc_id,
-       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, s, e
-       |  FROM sp
-       |), ia AS (
-       |  SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
-       |  FROM isl GROUP BY doc_id, island
-       |), tk AS (
-       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
-       |  FROM n0, unnest(range(1, CAST(nt + 1 AS BIGINT))) AS u(i)
-       |), kk AS (
-       |  SELECT tk.doc_id, pos, tok FROM tk
-       |  WHERE NOT EXISTS (SELECT 1 FROM ia
-       |    WHERE ia.doc_id = tk.doc_id AND tk.pos BETWEEN ia.mn AND ia.mx)
-       |), cl AS (
-       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
-       |    CAST(COUNT(*) AS BIGINT) AS nk
-       |  FROM kk GROUP BY doc_id
-       |), sr AS (
-       |  SELECT n0.doc_id, nt, nt - coalesce(nk, 0) AS nrem, coalesce(ct, '') AS ct
-       |  FROM n0 LEFT JOIN cl ON n0.doc_id = cl.doc_id
-       |)
+       |), ${graft.dedup.DupSpans.spanRemovalCtes}
        |SELECT sr.doc_id, nt AS n_tokens, nrem AS n_removed,
        |  nt - nrem AS n_tokens_out, ct AS cleaned_text
        |FROM sr

@@ -91,7 +91,7 @@ class FunctionsSpec extends AnyFunSuite {
     val inList = stopSet.map(w => s"'${w}'").mkString(", ")
     def checkCountIn(): Unit = {
       val bad = df.filter(not(
-        graft.functions.CountIn.of(col("w"), stopSet) <=>
+        graft.functions.CountIn.of(spark, col("w"), stopSet) <=>
           expr(s"IF(w IS NULL, NULL, size(filter(w, t -> t IN ($inList))))").cast("long"))).count()
       assert(bad == 0, "count_in diverges from the size(filter(IN)) SQL")
     }
