@@ -66,12 +66,13 @@ object HybridSearch {
                    dim: Int = Embeddings.Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = query.toLowerCase.split("\\s+").toSeq
-    val termList = terms.map(t => s"'$t'").mkString(", ")
     val scored = Tables.documents(spark, dir)
-      .withColumn("__w", words(col("text")))
       .select(
         col("doc_id"),
-        expr(s"size(filter(__w, x -> x IN ($termList)))").cast("long").as("kw_score"),
+        // codegen'd count_in kernel (TextKernels.scala): one compiled loop
+        // over a shared hash set instead of the interpreted per-token
+        // k-term IN-list lambda — same null semantics (null tokens drop).
+        graft.functions.CountIn.of(spark, words(col("text")), terms).as("kw_score"),
         aggregate(
           zip_with(q20Vec(col("text"), dim), typedLit(q20Const(query, dim).toSeq),
             (a, b) => a * b),
