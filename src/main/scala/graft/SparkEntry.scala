@@ -149,6 +149,10 @@ object SparkEntry {
     "retention_policy" -> ((s, d) => Retention.retentionPolicy(s, d)),
     // ensemble anomaly vote (reference: predictive_engine.py:673-826)
     "anomaly_ensemble" -> ((s, d) => Ensemble.anomalyEnsemble(s, d)),
+    // ML-model anomaly detection (reference: anomaly_detection.py:435-557
+    // IsolationForest/DBSCAN — KMeans-distance analog, rows-only)
+    "anomaly_ml"          -> ((s, d) => graft.ml.MlAnomaly.mlAnomaly(s, d)),
+    "anomaly_ensemble_ml" -> ((s, d) => Ensemble.anomalyEnsembleMl(s, d)),
     // lagged supervised matrix (reference: predictive_engine.py:379)
     "lagged_features"  -> ((s, d) => FeaturePipeline.laggedFeatures(s, d)),
     // business alert ladders (reference: bi_dashboard_integration.py:138)

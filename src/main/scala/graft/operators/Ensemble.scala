@@ -109,4 +109,37 @@ object Ensemble {
       .select("o_orderkey", "country", "o_totalprice", "z", "modified_z",
         "is_iqr_outlier", "ensemble_score", "votes", "is_anomaly", "severity")
   }
+
+  /** The statistical ensemble plus the KMeans-distance ML detector
+    * ([[graft.ml.MlAnomaly]], the reference's `_detect_ml_anomalies` analog)
+    * as a FOURTH vote — the reference's pyod zoo mixes statistical and
+    * model detectors in exactly this way (predictive_engine.py:698 stacks
+    * IForest/LOF next to the z-family). Kept as a separate query key so the
+    * 3-vote statistical ensemble stays DuckDB-oracle-exact (MLlib KMeans is
+    * partition-order-dependent → this one is rows-only + ScalaTest, the
+    * customer_clusters precedent).
+    *
+    * Cost on top of the two parents: one shuffle join on the order key
+    * (both sides order-grain; the ML side re-reads orders/lineitem, the
+    * statistical side orders only). */
+  def anomalyEnsembleMl(spark: SparkSession, dir: String): DataFrame = {
+    val stat = anomalyEnsemble(spark, dir)
+    val ml = graft.ml.MlAnomaly.mlAnomaly(spark, dir)
+      .select(col("o_orderkey").as("ml_orderkey"), col("ml_score"),
+        col("is_ml_anomaly"))
+    stat.join(ml, col("o_orderkey") === col("ml_orderkey")).drop("ml_orderkey")
+      .withColumn("votes",
+        col("votes") + when(col("is_ml_anomaly"), 1L).otherwise(0L))
+      .withColumn("ensemble_score",
+        (col("ensemble_score") * 3.0 + col("ml_score")) / 4.0)
+      .withColumn("is_anomaly", col("votes") >= 2)
+      .withColumn("severity",
+        when(col("ensemble_score") >= 0.9, "critical")
+          .when(col("ensemble_score") >= 0.7, "high")
+          .when(col("ensemble_score") >= 0.5, "medium")
+          .otherwise("low"))
+      .select("o_orderkey", "country", "o_totalprice", "z", "modified_z",
+        "is_iqr_outlier", "ml_score", "is_ml_anomaly", "ensemble_score",
+        "votes", "is_anomaly", "severity")
+  }
 }
