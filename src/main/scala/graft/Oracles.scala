@@ -113,7 +113,8 @@ object Oracles {
          |SELECT d.doc_id,
          |  coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
          |  d.doc_id = coalesce(lab.cluster_id, d.doc_id) AS is_keeper,
-         |  CAST(coalesce(sz.csz, 1) AS BIGINT) AS cluster_size
+         |  CAST(coalesce(sz.csz, 1) AS BIGINT) AS cluster_size,
+         |  TRUE AS converged
          |FROM documents d
          |LEFT JOIN lab ON d.doc_id = lab.doc_id
          |LEFT JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin,

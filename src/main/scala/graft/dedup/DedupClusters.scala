@@ -27,9 +27,16 @@ object DedupClusters {
     * once the returned frame is unreferenced (or on `clearCache`). */
   /** `ordered = false` skips the final global sort (driver-compare
     * convenience only — production callers avoid the full-output range
-    * exchange). */
+    * exchange).
+    *
+    * Convergence contract: the output carries a `converged` column (same
+    * value on every row — did a propagation round observe zero label
+    * changes within `maxIters`?) so a caller can gate programmatically
+    * instead of parsing the stderr warning; under `strict = true` a
+    * non-converged run throws instead of returning split components. */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8,
-               maxIters: Int = 10, ordered: Boolean = true): DataFrame = {
+               maxIters: Int = 10, ordered: Boolean = true,
+               strict: Boolean = false): DataFrame = {
     // Exact duplicates collapse to one keeper BEFORE the LSH stage: a corpus
     // where docs carry m identical copies otherwise inflates every LSH
     // bucket m× and the true pair count m² — measured 20× wall-clock at a
@@ -95,9 +102,15 @@ object DedupClusters {
       converged = changed == 0
       i += 1
     }
-    if (!converged)
-      System.err.println(s"[dedup_clusters] WARNING: label propagation hit maxIters=$maxIters " +
-        "before converging — components wider than the iteration budget are split; raise maxIters")
+    if (!converged) {
+      val msg = s"label propagation hit maxIters=$maxIters before converging — " +
+        "components wider than the iteration budget are split; raise maxIters"
+      if (strict) {
+        pinned.unpersist()
+        throw new IllegalStateException(s"[dedup_clusters] $msg")
+      }
+      System.err.println(s"[dedup_clusters] WARNING: $msg")
+    }
 
     // component sizes from the (tiny) label frame, then cut lineage so the
     // iterative persist chain can be released
@@ -113,6 +126,7 @@ object DedupClusters {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
       .withColumn("cluster_size", coalesce(col("__sz"), lit(1L)).cast("long"))
+      .withColumn("converged", lit(converged))
       .drop("__sz")
     if (ordered) out.orderBy("doc_id") else out
   }

@@ -76,6 +76,41 @@ class DedupClustersSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("converged flag: exhausted iteration budget is visible, strict mode throws") {
+    import spark.implicits._
+    // 3-chain A–B–C: B near-dups both ends (34/42 ≈ 0.81 shingle Jaccard),
+    // the ends don't near-dup each other (30/46 ≈ 0.65 < 0.8), so the min
+    // label needs TWO propagation rounds to reach C — maxIters=1 must
+    // return split components and say so
+    val mid = (1 to 40).map(i => s"tok$i")
+    val a = (1 to 4).map(i => s"aa$i") ++ mid.drop(4)
+    val c = mid.dropRight(4) ++ (1 to 4).map(i => s"cc$i")
+    val docs = Seq(
+      (1L, a.mkString(" ")), (2L, mid.mkString(" ")), (3L, c.mkString(" ")),
+      (4L, (1 to 40).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val full = DedupClusters.clusters(spark, tmp)
+    assert(full.filter(!col("converged")).count() == 0)
+    val chain = full.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select("cluster_id").distinct().count()
+    assert(chain == 1, "the 3-chain must be one component when converged")
+
+    val cut = DedupClusters.clusters(spark, tmp, maxIters = 1)
+    assert(cut.filter(col("converged")).count() == 0,
+      "maxIters=1 cannot observe a zero-change round")
+    val split = cut.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select("cluster_id").distinct().count()
+    assert(split > 1, "the unconverged run should expose the split components")
+
+    intercept[IllegalStateException] {
+      DedupClusters.clusters(spark, tmp, maxIters = 1, strict = true)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("ordered=false emits no global sort (production escape hatch)") {
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
