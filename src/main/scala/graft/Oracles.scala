@@ -1070,6 +1070,8 @@ object Oracles {
          |FROM g""".stripMargin,
 
     "cat_drift" -> graft.operators.Drift.catDriftOracle,
+    "psi_drift" -> graft.operators.Drift.psiDriftOracle,
+    "js_drift" -> graft.operators.Drift.jsDriftOracle,
     "prediction_drift" -> graft.operators.Drift.predictionDriftOracle,
 
     "hash_split" -> graft.text.TrainPrep.hashSplitOracle,

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * The KS statistic is pure rational arithmetic — cumulative counts divided
   * by group totals — so it is bit-deterministic and oracle-exact (SURVEY.md
-  * §3). Jensen-Shannon needs `ln`, which is NOT bitwise-portable across
-  * libm implementations (measured ~2e-4 mismatch rate vs DuckDB), so
-  * `jsDrift` is a rows-only query covered by DriftSpec instead of a hash
-  * oracle.
+  * §3). Jensen-Shannon and PSI need `ln`, whose libm implementations are
+  * NOT bitwise-portable (measured ~2e-4 mismatch rate vs DuckDB) — since r9
+  * both run through [[portableLn]], an arithmetic-only ln (ladder range
+  * reduction + fixed Horner series) whose expression tree is mirrored
+  * op-for-op in the DuckDB oracles, making js_drift and psi_drift
+  * hash-exact.
   */
 object Drift {
 
@@ -77,8 +79,14 @@ object Drift {
   /** Jensen-Shannon drift per country (model_monitor.py:223-246): 50
     * equal-width bins over the combined [min, max], densities normalized to
     * probabilities with 1e-8 epsilon smoothing, JS distance = sqrt(JSD).
-    * Rows-only (ln is not bitwise-portable); DriftSpec pins the math on a
-    * hand-computed case and bounds: 0 ≤ js ≤ sqrt(ln 2), js(self)=0.
+    *
+    * HASH-EXACT since r9 (was rows-only): the two non-portable pieces were
+    * the libm `ln` and the groupBy-order double summation of the KL terms.
+    * The ln now runs through [[portableLn]]; the Σ folds over the
+    * bin-SORTED cell array (the featureCells recipe) so the IEEE
+    * accumulation order is deterministic in both engines — every other step
+    * (bin = floor over doubles, integer counts, smoothing, sqrt) was
+    * already one-op-correctly-rounded. DuckDB twin: [[jsDriftOracle]].
     *
     * Two documented deviations from the reference's numerics (~1e-8 effect):
     * np.histogram over np.linspace(min, max, 50) yields 49 bins where this
@@ -101,22 +109,24 @@ object Drift {
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("cnt_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cnt_cur"))
-    val wAll = Window.partitionBy(col("country"))
     val eps = lit(1e-8)
-    val probs = binned
-      .withColumn("p0", col("cnt_ref").cast("double") / sum(col("cnt_ref")).over(wAll).cast("double"))
-      .withColumn("q0", col("cnt_cur").cast("double") / sum(col("cnt_cur")).over(wAll).cast("double"))
-      // epsilon-smooth then renormalize, as the reference does
-      .withColumn("p", (col("p0") + eps) / (lit(1.0) + eps * bins))
-      .withColumn("q", (col("q0") + eps) / (lit(1.0) + eps * bins))
-      .withColumn("m", (col("p") + col("q")) / 2)
-      .withColumn("kl_pm", col("p") * log(col("p") / col("m")))
-      .withColumn("kl_qm", col("q") * log(col("q") / col("m")))
-    probs.groupBy(col("country"))
+    val cells = binned.groupBy(col("country"))
       .agg(
         sum(col("cnt_ref")).as("n_ref"),
         sum(col("cnt_cur")).as("n_cur"),
-        sqrt((sum(col("kl_pm")) + sum(col("kl_qm"))) / 2).as("js_distance"))
+        array_sort(collect_list(struct(col("bin"), col("cnt_ref"), col("cnt_cur"))))
+          .as("cells"))
+    val fold = aggregate(col("cells"), lit(0.0), (acc, x) => {
+      val p0 = x("cnt_ref").cast("double") / col("n_ref").cast("double")
+      val q0 = x("cnt_cur").cast("double") / col("n_cur").cast("double")
+      val p = (p0 + eps) / (lit(1.0) + eps * bins)
+      val q = (q0 + eps) / (lit(1.0) + eps * bins)
+      val m = (p + q) / 2
+      acc + (p * portableLn(p / m) + q * portableLn(q / m))
+    })
+    cells
+      .withColumn("js_distance", sqrt(fold / 2))
+      .select("country", "n_ref", "n_cur", "js_distance")
       .withColumn("drift_detected", col("js_distance") > 0.1)
   }
 
@@ -203,15 +213,72 @@ object Drift {
         col("drift_score"), col("drift_detected"), col("severity"))
   }
 
+  /** Bitwise-PORTABLE natural log over (0, 2^31): IEEE +,−,×,÷ are each
+    * correctly rounded, so two engines evaluating the SAME expression tree
+    * produce the SAME double — the only non-portable step in `ln` is the
+    * libm call itself. This replaces it with arithmetic: power-of-two range
+    * reduction via a comparison ladder (x = m·2^k, m ∈ [1,2); multiplying
+    * by 2^±e is exact), then 2·artanh((m−1)/(m+1)) as a FIXED 13-term
+    * Horner series (z ≤ 1/3 ⇒ tail < (1/9)¹³ ≈ 4e-13 relative). The twin
+    * SQL emitter [[portableLnSql]] mirrors the tree operation-for-operation,
+    * which is what turned psi_drift from rows-only into hash-exact.
+    * Accuracy vs Math.log is ~1e-13 relative — identical drift decisions,
+    * and DriftSpec pins the agreement. */
+  private[graft] val Ln2 = 0.6931471805599453
+  private[graft] def portableLn(r: Column): Column = {
+    val exps = 30 to -30 by -1
+    def exp2(e: Int) = math.pow(2.0, e)
+    val k = exps.foldRight(lit(-31.0)) { (e, acc) =>
+      when(r >= lit(exp2(e)), lit(e.toDouble)).otherwise(acc)
+    }
+    val m = exps.foldRight(r * lit(exp2(31))) { (e, acc) =>
+      when(r >= lit(exp2(e)), r * lit(exp2(-e))).otherwise(acc)
+    }
+    val z = (m - lit(1.0)) / (m + lit(1.0))
+    val z2 = z * z
+    val t = (23 to 1 by -2).foldLeft(lit(1.0 / 25)) { (acc, j) =>
+      lit(1.0 / j) + z2 * acc
+    }
+    k * lit(Ln2) + lit(2.0) * z * t
+  }
+
+  /** DuckDB twin of [[portableLn]]: emits the same expression tree over the
+    * SQL expressions `rExpr` (the ratio), with `kVar`/`mVar`/`zVar`/`z2Var`
+    * expected to be bound by the caller's struct-transform chain. Constants
+    * are shortest-round-trip Java double reprs — DuckDB's decimal→double
+    * literal conversion is correctly rounded to the identical double. */
+  private[graft] def lnLadderSqlK(rExpr: String): String =
+    "CASE " + (30 to -30 by -1).map(e =>
+      s"WHEN $rExpr >= ${math.pow(2.0, e)} THEN ${e.toDouble}").mkString(" ") +
+      " ELSE -31.0 END"
+  private[graft] def lnLadderSqlM(rExpr: String): String =
+    "CASE " + (30 to -30 by -1).map(e =>
+      s"WHEN $rExpr >= ${math.pow(2.0, e)} THEN $rExpr * ${math.pow(2.0, -e)}").mkString(" ") +
+      s" ELSE $rExpr * ${math.pow(2.0, 31)} END"
+  /** Coefficients are CAST(… AS DOUBLE): DuckDB parses bare decimal
+    * literals as DECIMAL and folds the nested constant arithmetic in
+    * decimal (scale overflow at depth ~12); the cast pins IEEE semantics
+    * and the decimal→double literal conversion is correctly rounded to the
+    * identical double Scala's `lit` holds. */
+  private[graft] def lnHornerSql(z2Var: String): String =
+    (23 to 1 by -2).foldLeft(s"CAST(${1.0 / 25} AS DOUBLE)") { (acc, j) =>
+      s"(CAST(${1.0 / j} AS DOUBLE) + ($z2Var * ($acc)))"
+    }
+
   /** Population-stability index for one categorical feature: PSI =
     * Σ_i (q_i − p_i)·ln(q_i/p_i) over smoothed category shares, the
     * industry-standard categorical drift score (the reference's categorical
     * JS branch at model_monitor.py:316-325 fills the same role; PSI is its
     * per-category-share analog). Smoothing is jsDrift's recipe — p =
     * (p0 + ε)/(1 + ε·k), ε = 1e-8 — so empty cells contribute finitely.
-    * Rows-only (ln): DriftSpec pins a hand-computed case and the
-    * psi(self) = 0 / psi ≥ 0 bounds. Bands at 0.1/0.25 are the conventional
-    * stable/moderate/significant PSI cut points. */
+    * HASH-EXACT since r9: the ln runs through [[portableLn]] (ladder
+    * range-reduction + fixed Horner series — pure IEEE +−×÷, bit-identical
+    * on both engines), the Σ folds over the category-sorted cell array, and
+    * everything upstream is integer counts — so the whole statistic is
+    * deterministic double arithmetic with a DuckDB twin
+    * ([[psiDriftOracle]]). DriftSpec still pins the hand-computed case and
+    * the psi(self) = 0 / psi ≥ 0 bounds. Bands at 0.1/0.25 are the
+    * conventional stable/moderate/significant PSI cut points. */
   def featurePsi(src: DataFrame, fname: String): DataFrame = {
     val eps = lit(1e-8)
     val kD = col("n_categories").cast("double")
@@ -220,7 +287,7 @@ object Drift {
     val fold = aggregate(col("cells"), lit(0.0), (acc, x) => {
       val p = (x("cnt_ref").cast("double") / nRefD + eps) / (lit(1.0) + eps * kD)
       val q = (x("cnt_cur").cast("double") / nCurD + eps) / (lit(1.0) + eps * kD)
-      acc + (q - p) * log(q / p)
+      acc + (q - p) * portableLn(q / p)
     })
     featureCells(src)
       .withColumn("psi",
@@ -252,7 +319,8 @@ object Drift {
       .map { case (f, src) => featureChi2(src, f) }
       .reduce(_.unionByName(_))
 
-  /** PSI report over the same categorical features — rows-only (ln). */
+  /** PSI report over the same categorical features — hash-exact via
+    * [[portableLn]] since r9. */
   def psiDrift(spark: SparkSession, dir: String): DataFrame =
     categoricalSources(spark, dir)
       .map { case (f, src) => featurePsi(src, f) }
@@ -462,5 +530,115 @@ object Drift {
          |FROM k)""".stripMargin
     feature("country", "n_name") + "\nUNION ALL\n" +
       feature("order_priority", "o_orderpriority")
+  }
+
+  /** DuckDB twin of [[psiDrift]] — mirrors [[featurePsi]]'s expression tree
+    * operation-for-operation (same smoothing order, same sorted-cell fold,
+    * same [[portableLn]] ladder/Horner tree), so the psi doubles are
+    * bit-identical and the driver hash-compare passes. The ln expansion is
+    * staged through chained list_transform structs exactly as the Scala
+    * side stages named vals. */
+  def psiDriftOracle: String = {
+    def feature(fname: String, catExpr: String): String = {
+      val pExpr = "((CAST(x.cnt_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)) + 1e-08)" +
+        " / (1.0 + (1e-08 * CAST(n_categories AS DOUBLE)))"
+      val qExpr = "((CAST(x.cnt_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)) + 1e-08)" +
+        " / (1.0 + (1e-08 * CAST(n_categories AS DOUBLE)))"
+      s"""SELECT * FROM (
+         |WITH src AS (
+         |  SELECT $catExpr AS category, o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |), counts AS (
+         |  SELECT category,
+         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+         |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur
+         |  FROM src GROUP BY 1
+         |), agg AS (
+         |  SELECT COUNT(*) AS n_categories,
+         |    CAST(SUM(cnt_ref) AS BIGINT) AS n_ref, CAST(SUM(cnt_cur) AS BIGINT) AS n_cur,
+         |    list_sort(list({'category': category, 'cnt_ref': cnt_ref, 'cnt_cur': cnt_cur})) AS cells
+         |  FROM counts
+         |), f AS (
+         |  SELECT n_categories, n_ref, n_cur,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list_transform(
+         |        list_transform(
+         |          list_transform(
+         |            list_transform(cells, x -> {'p': $pExpr, 'q': $qExpr}),
+         |            y -> {'pq': y.q - y.p, 'r': y.q / y.p}),
+         |          y -> {'pq': y.pq,
+         |                'k': ${lnLadderSqlK("y.r")},
+         |                'm': ${lnLadderSqlM("y.r")}}),
+         |        y -> {'pq': y.pq, 'k': y.k,
+         |              'z': (y.m - 1.0) / (y.m + 1.0)}),
+         |      y -> y.pq * ((y.k * CAST($Ln2 AS DOUBLE)) + ((CAST(2.0 AS DOUBLE) * y.z) * ${lnHornerSql("(y.z * y.z)")}))
+         |    )), (a, b) -> a + b) AS fold
+         |  FROM agg
+         |)
+         |SELECT '$fname' AS feature, n_categories, n_ref, n_cur,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL ELSE fold END AS psi,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+         |       WHEN fold > 0.25 THEN 'significant'
+         |       WHEN fold > 0.1 THEN 'moderate'
+         |       ELSE 'stable' END AS stability
+         |FROM f)""".stripMargin
+    }
+    feature("country", "n_name") + "\nUNION ALL\n" +
+      feature("order_priority", "o_orderpriority")
+  }
+
+  /** DuckDB twin of [[jsDrift]] — same bin construction, same sorted-cell
+    * fold, same [[portableLn]] expansion per KL term. The transform chain is
+    * assembled by a fold so the nesting can't go out of balance. */
+  def jsDriftOracle: String = {
+    val pExpr = "((CAST(x.cnt_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)) + 1e-08)" +
+      " / (1.0 + (1e-08 * 50))"
+    val qExpr = "((CAST(x.cnt_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)) + 1e-08)" +
+      " / (1.0 + (1e-08 * 50))"
+    def lnOf(k: String, z: String): String =
+      s"(($k * CAST($Ln2 AS DOUBLE)) + ((CAST(2.0 AS DOUBLE) * $z) * ${lnHornerSql(s"($z * $z)")}))"
+    val stages = Seq(
+      s"x -> {'p': $pExpr, 'q': $qExpr}",
+      "y -> {'p': y.p, 'q': y.q, 'm': (y.p + y.q) / 2}",
+      "y -> {'p': y.p, 'q': y.q, 'rp': y.p / y.m, 'rq': y.q / y.m}",
+      s"y -> {'p': y.p, 'q': y.q, 'kp': ${lnLadderSqlK("y.rp")}, 'mp': ${lnLadderSqlM("y.rp")}, " +
+        s"'kq': ${lnLadderSqlK("y.rq")}, 'mq': ${lnLadderSqlM("y.rq")}}",
+      "y -> {'p': y.p, 'q': y.q, 'kp': y.kp, 'kq': y.kq, " +
+        "'zp': (y.mp - 1.0) / (y.mp + 1.0), 'zq': (y.mq - 1.0) / (y.mq + 1.0)}",
+      s"y -> ((y.p * ${lnOf("y.kp", "y.zp")}) + (y.q * ${lnOf("y.kq", "y.zq")}))")
+    val chain = stages.foldLeft("cells") { (inner, lam) => s"list_transform($inner, $lam)" }
+    s"""SELECT * FROM (
+       |WITH src AS (
+       |  SELECT n_name AS country, o_totalprice AS v,
+       |    o_orderdate < TIMESTAMP '1998-01-01' AS is_ref
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |), ext AS (
+       |  SELECT country AS e_country, MIN(v) AS v_min, MAX(v) AS v_max FROM src GROUP BY 1
+       |), binned AS (
+       |  SELECT country,
+       |    CASE WHEN v_max = v_min THEN CAST(0 AS BIGINT)
+       |         ELSE LEAST(CAST(FLOOR((v - v_min) / ((v_max - v_min) / 50)) AS BIGINT),
+       |                    CAST(49 AS BIGINT)) END AS bin,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+       |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cur
+       |  FROM src JOIN ext ON country = e_country
+       |  GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT country, CAST(SUM(cnt_ref) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cnt_cur) AS BIGINT) AS n_cur,
+       |    list_sort(list({'bin': bin, 'cnt_ref': cnt_ref, 'cnt_cur': cnt_cur})) AS cells
+       |  FROM binned GROUP BY 1
+       |), f AS (
+       |  SELECT country, n_ref, n_cur,
+       |    list_reduce(list_prepend(0.0, $chain), (a, b) -> a + b) AS fold
+       |  FROM agg
+       |)
+       |SELECT country, n_ref, n_cur, sqrt(fold / 2) AS js_distance,
+       |  sqrt(fold / 2) > 0.1 AS drift_detected
+       |FROM f)""".stripMargin
   }
 }

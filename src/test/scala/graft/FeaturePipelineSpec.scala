@@ -66,6 +66,21 @@ class FeaturePipelineSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ks_stat") == d, s"ks=${row.getAs[Double]("ks_stat")} expected $d")
   }
 
+  test("portable ln agrees with libm ln to ~1e-13 relative over the drift domain") {
+    import spark.implicits._
+    // the full ratio domain the smoothed drift stats can produce, plus
+    // awkward points (powers of two, just-below thresholds, 1.0 exactly)
+    val xs = Seq(1e-8, 2.3e-8, 9.99e-7, 1e-4, 0.015625, 0.5, 0.9999999, 1.0,
+      1.0000001, 1.5, 2.0, 3.0, 7.77, 1024.0, 1048576.0, 9.87e7)
+    val got = xs.toDF("x").select(graft.operators.Drift.portableLn(col("x")).as("ln"))
+      .collect().map(_.getDouble(0))
+    xs.zip(got).foreach { case (x, v) =>
+      val expect = math.log(x)
+      val tol = math.max(math.abs(expect) * 1e-12, 1e-13)
+      assert(math.abs(v - expect) <= tol, s"portableLn($x) = $v vs libm $expect")
+    }
+  }
+
   test("js drift is a bounded distance and covers every country") {
     val js = Drift.jsDrift(spark, dir).collect()
     assert(js.length == 25)
