@@ -603,6 +603,7 @@ object Oracles {
     "anomalous_periods" -> graft.operators.TimeSeries.anomalousPeriodsOracle,
     "seasonality_check" -> graft.operators.TimeSeries.seasonalityCheckOracle,
     "normality_check" -> graft.operators.Stats.normalityCheckOracle,
+    "dagostino_check" -> graft.operators.Stats.dagostinoCheckOracle,
 
     "vault_model" -> graft.operators.Vault.vaultModelOracle,
     "vault_integrity" -> graft.operators.Vault.vaultIntegrityOracle,

@@ -265,6 +265,74 @@ object Drift {
       s"(CAST(${1.0 / j} AS DOUBLE) + ($z2Var * ($acc)))"
     }
 
+  /** Scalar JVM twin of [[portableLn]] — the identical operation sequence on
+    * doubles, for spec replays and documentation. */
+  private[graft] def portableLnScalar(x: Double): Double = {
+    val e = (30 to -30 by -1).find(e => x >= math.pow(2.0, e))
+    val (k, m) = e match {
+      case Some(e) => (e.toDouble, x * math.pow(2.0, -e))
+      case None    => (-31.0, x * math.pow(2.0, 31))
+    }
+    val z = (m - 1.0) / (m + 1.0)
+    val z2 = z * z
+    var t = 1.0 / 25
+    var j = 23
+    while (j >= 1) { t = 1.0 / j + z2 * t; j -= 2 }
+    k * Ln2 + 2.0 * z * t
+  }
+
+  /** Bitwise-portable cube root over (0, 8^16) — the [[portableLn]] recipe
+    * for `pow(x, 1/3)`: octave range reduction (v = m·8^k, m ∈ [1,8);
+    * dividing by 8^k and scaling by 2^k are exact), then SIX fixed Newton
+    * steps t ← (2t + m/t²)/3 from the seed 1 + (m−1)/3. Every step is
+    * correctly-rounded IEEE arithmetic, so both engines produce the same
+    * double. Because each Newton step references its operands three times,
+    * the tree is staged through real output columns ([[withPortableCbrt]])
+    * rather than nested — a naive nest grows 3^6 copies of the ladder. */
+  private[graft] def cbLadderSqlM(vVar: String): String =
+    "CASE " + (15 to -15 by -1).map(e =>
+      s"WHEN $vVar >= CAST(${math.pow(8.0, e)} AS DOUBLE) THEN $vVar * CAST(${math.pow(8.0, -e)} AS DOUBLE)").mkString(" ") +
+      s" ELSE $vVar * CAST(${math.pow(8.0, 16)} AS DOUBLE) END"
+  private[graft] def cbLadderSqlS(vVar: String): String =
+    "CASE " + (15 to -15 by -1).map(e =>
+      s"WHEN $vVar >= CAST(${math.pow(8.0, e)} AS DOUBLE) THEN CAST(${math.pow(2.0, e)} AS DOUBLE)").mkString(" ") +
+      s" ELSE CAST(${math.pow(2.0, -16)} AS DOUBLE) END"
+
+  /** Stage the portable cube root of column `in` into column `out` via
+    * intermediate columns (`__cb_m`, `__cb_s`, `__cb_t`); the Newton chain
+    * references attributes, so the plan stays linear in steps. */
+  private[graft] def withPortableCbrt(df: DataFrame, in: String, out: String): DataFrame = {
+    val v = col(in)
+    val exps = 15 to -15 by -1
+    val m = exps.foldRight(v * lit(math.pow(8.0, 16))) { (e, acc) =>
+      when(v >= lit(math.pow(8.0, e)), v * lit(math.pow(8.0, -e))).otherwise(acc)
+    }
+    val s = exps.foldRight(lit(math.pow(2.0, -16))) { (e, acc) =>
+      when(v >= lit(math.pow(8.0, e)), lit(math.pow(2.0, e))).otherwise(acc)
+    }
+    val seeded = df.withColumn("__cb_m", m).withColumn("__cb_s", s)
+      .withColumn("__cb_t", lit(1.0) + (col("__cb_m") - lit(1.0)) / 3.0)
+    val iterated = (1 to 6).foldLeft(seeded) { (d, _) =>
+      d.withColumn("__cb_t",
+        (lit(2.0) * col("__cb_t") + col("__cb_m") / (col("__cb_t") * col("__cb_t"))) / 3.0)
+    }
+    iterated.withColumn(out, col("__cb_s") * col("__cb_t"))
+      .drop("__cb_m", "__cb_s", "__cb_t")
+  }
+
+  /** Scalar JVM twin of the staged portable cbrt. */
+  private[graft] def portableCbrtScalar(v: Double): Double = {
+    val e = (15 to -15 by -1).find(e => v >= math.pow(8.0, e))
+    val (m, s) = e match {
+      case Some(e) => (v * math.pow(8.0, -e), math.pow(2.0, e))
+      case None    => (v * math.pow(8.0, 16), math.pow(2.0, -16))
+    }
+    var t = 1.0 + (m - 1.0) / 3.0
+    var i = 0
+    while (i < 6) { t = (2.0 * t + m / (t * t)) / 3.0; i += 1 }
+    s * t
+  }
+
   /** Population-stability index for one categorical feature: PSI =
     * Σ_i (q_i − p_i)·ln(q_i/p_i) over smoothed category shares, the
     * industry-standard categorical drift score (the reference's categorical

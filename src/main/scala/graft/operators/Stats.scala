@@ -439,9 +439,12 @@ object Stats {
     * normalityCheck (one aggregate pass, no driver series). K² is χ²(2)
     * under H₀, so the decision shares normality_check's critical value.
     * n < 20 ⇒ inconclusive (nulls), the reference's minimum-sample guard.
-    * Rows-only query: the transforms are ln/pow-heavy and transcendentals
-    * are not bitwise-portable across engines (the js_drift precedent);
-    * OperatorsSpec replays the closed forms bit-exactly on the JVM. */
+    * HASH-EXACT since r9: the two `ln`s run through [[Drift.portableLn]]
+    * and the `pow(·, 1/3)` through [[Drift.withPortableCbrt]] (six staged
+    * Newton steps) — arithmetic-only transforms mirrored op-for-op by the
+    * DuckDB oracle ([[dagostinoCheckOracle]]). Intermediates are staged as
+    * real columns so the Newton/ladder trees stay linear. OperatorsSpec
+    * replays the closed forms bit-exactly on the JVM via the scalar twins. */
   def dagostinoCheck(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_orderpriority"),
@@ -468,43 +471,185 @@ object Stats {
     val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
     val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
       - lit(3.0) * t * t * t * t / (nD * nD * nD)) / nD
-    val g1 = m3 / sqrt(m2 * m2 * m2)
-    val b2 = m4 / (m2 * m2) // Pearson kurtosis (not excess), as scipy's test uses
-    // D'Agostino (1970) skewness Z — scipy.stats.skewtest's exact sequence
-    val y0 = g1 * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0)))
-    val y = when(y0 === 0.0, lit(1.0)).otherwise(y0)
-    val beta2 = lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) * (nD + 1.0) * (nD + 3.0) /
-      ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
-    val w2 = sqrt(lit(2.0) * (beta2 - 1.0)) - 1.0
-    val delta = lit(1.0) / sqrt(lit(0.5) * log(w2))
-    val alpha = sqrt(lit(2.0) / (w2 - 1.0))
-    val z1 = delta * log(y / alpha + sqrt((y / alpha) * (y / alpha) + 1.0))
-    // Anscombe-Glynn (1983) kurtosis Z — scipy.stats.kurtosistest's sequence
-    val eb2 = lit(3.0) * (nD - 1.0) / (nD + 1.0)
-    val vb2 = lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
-      ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0))
-    val x = (b2 - eb2) / sqrt(vb2)
-    val sqrtbeta1 = lit(6.0) * (nD * nD - lit(5.0) * nD + 2.0) / ((nD + 7.0) * (nD + 9.0)) *
-      sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) / (nD * (nD - 2.0) * (nD - 3.0)))
-    val aa = lit(6.0) + lit(8.0) / sqrtbeta1 *
-      (lit(2.0) / sqrtbeta1 + sqrt(lit(1.0) + lit(4.0) / (sqrtbeta1 * sqrtbeta1)))
-    val term1 = lit(1.0) - lit(2.0) / (lit(9.0) * aa)
-    val denom = lit(1.0) + x * sqrt(lit(2.0) / (aa - 4.0))
-    val term2 = when(denom === 0.0, lit(Double.NaN))
-      .otherwise(signum(denom) * pow((lit(1.0) - lit(2.0) / aa) / abs(denom), lit(1.0 / 3.0)))
-    val z2 = (term1 - term2) / sqrt(lit(2.0) / (lit(9.0) * aa))
-    val bad = col("n") < 20 || m2 === 0.0
+    // Each named step becomes a REAL column: the portable-ln ladder and the
+    // Newton cbrt reference their operands many times, and attribute refs
+    // keep the plan linear where nested trees would grow geometrically.
+    val staged0 = m
+      .withColumn("__m2", m2).withColumn("__m3", m3).withColumn("__m4", m4)
+      .withColumn("__g1", col("__m3") / sqrt(col("__m2") * col("__m2") * col("__m2")))
+      // Pearson kurtosis (not excess), as scipy's test uses
+      .withColumn("__b2", col("__m4") / (col("__m2") * col("__m2")))
+      // D'Agostino (1970) skewness Z — scipy.stats.skewtest's exact sequence
+      .withColumn("__y0",
+        col("__g1") * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0))))
+      .withColumn("__y", when(col("__y0") === 0.0, lit(1.0)).otherwise(col("__y0")))
+      .withColumn("__beta2",
+        lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) * (nD + 1.0) * (nD + 3.0) /
+          ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0)))
+      .withColumn("__w2", sqrt(lit(2.0) * (col("__beta2") - 1.0)) - 1.0)
+      .withColumn("__lnw2", Drift.portableLn(col("__w2")))
+      .withColumn("__delta", lit(1.0) / sqrt(lit(0.5) * col("__lnw2")))
+      .withColumn("__alpha", sqrt(lit(2.0) / (col("__w2") - 1.0)))
+      .withColumn("__u", col("__y") / col("__alpha"))
+      .withColumn("__asinharg",
+        col("__u") + sqrt(col("__u") * col("__u") + lit(1.0)))
+      .withColumn("__z1", col("__delta") * Drift.portableLn(col("__asinharg")))
+      // Anscombe-Glynn (1983) kurtosis Z — scipy.stats.kurtosistest's sequence
+      .withColumn("__eb2", lit(3.0) * (nD - 1.0) / (nD + 1.0))
+      .withColumn("__vb2", lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
+        ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0)))
+      .withColumn("__x", (col("__b2") - col("__eb2")) / sqrt(col("__vb2")))
+      .withColumn("__sb1",
+        lit(6.0) * (nD * nD - lit(5.0) * nD + 2.0) / ((nD + 7.0) * (nD + 9.0)) *
+          sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) / (nD * (nD - 2.0) * (nD - 3.0))))
+      .withColumn("__aa", lit(6.0) + lit(8.0) / col("__sb1") *
+        (lit(2.0) / col("__sb1") + sqrt(lit(1.0) + lit(4.0) / (col("__sb1") * col("__sb1")))))
+      .withColumn("__term1", lit(1.0) - lit(2.0) / (lit(9.0) * col("__aa")))
+      .withColumn("__denom", lit(1.0) + col("__x") * sqrt(lit(2.0) / (col("__aa") - 4.0)))
+      .withColumn("__cv", (lit(1.0) - lit(2.0) / col("__aa")) / abs(col("__denom")))
+    val staged = Drift.withPortableCbrt(staged0, "__cv", "__cbrt")
+      .withColumn("__term2", when(col("__denom") === 0.0, lit(Double.NaN))
+        .otherwise(signum(col("__denom")) * col("__cbrt")))
+      .withColumn("__z2", (col("__term1") - col("__term2")) /
+        sqrt(lit(2.0) / (lit(9.0) * col("__aa"))))
+    val bad = col("n") < 20 || col("__m2") === 0.0
     def guarded(c: Column): Column = when(bad, lit(null).cast("double")).otherwise(c)
-    m.select(
+    staged.select(
         col("g").as("o_orderpriority"), col("n"),
-        guarded(g1).as("skewness"), guarded(b2).as("kurtosis"),
-        guarded(z1).as("z_skew"), guarded(z2).as("z_kurt"))
+        guarded(col("__g1")).as("skewness"), guarded(col("__b2")).as("kurtosis"),
+        guarded(col("__z1")).as("z_skew"), guarded(col("__z2")).as("z_kurt"))
       .withColumn("k2_stat",
         when(col("z_skew").isNull || col("z_kurt").isNull, lit(null).cast("double"))
           .otherwise(col("z_skew") * col("z_skew") + col("z_kurt") * col("z_kurt")))
       .withColumn("is_normal",
         when(col("k2_stat").isNull, lit(null).cast("boolean"))
           .otherwise(col("k2_stat") < 5.991464547107979))
+  }
+
+  /** DuckDB twin of [[dagostinoCheck]] — normalityCheckOracle's moment CTEs
+    * plus the z-transform chain, with every staged column a CTE column and
+    * the ln/cbrt expansions emitted by the Drift portable-math emitters. */
+  def dagostinoCheckOracle: String = {
+    def ln(kVar: String, zVar: String): String =
+      s"(($kVar * CAST(${Drift.Ln2} AS DOUBLE)) + ((CAST(2.0 AS DOUBLE) * $zVar) * ${Drift.lnHornerSql(s"($zVar * $zVar)")}))"
+    // six Newton steps, each its own CTE (REPLACE rewrites cbt in place)
+    val newtonCtes = (1 to 6).map { i =>
+      val prev = if (i == 1) "cb0" else s"cb${i - 1}"
+      s"""cb$i AS (
+         |  SELECT * REPLACE ((((2.0 * cbt) + (cbm / (cbt * cbt))) / 3.0) AS cbt) FROM $prev
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+       |), c AS (
+       |  SELECT o_orderpriority AS g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
+       |  FROM o GROUP BY 1
+       |), cc AS (SELECT *, s // n AS center FROM c
+       |), j AS (
+       |  SELECT g, n, s, cents - center AS d, (cents - center) * (cents - center) AS d2
+       |  FROM o JOIN cc ON o_orderpriority = g
+       |), mm AS (
+       |  SELECT g, n, s,
+       |    SUM(CAST(d2 AS DECIMAL(19,0))) AS sd2,
+       |    SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS sd3,
+       |    SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0))) AS sd4
+       |  FROM j GROUP BY 1, 2, 3
+       |), p AS (
+       |  SELECT g, n,
+       |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
+       |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+       |  FROM mm
+       |), q AS (
+       |  SELECT g, n, nd,
+       |    (sd2 - (t * t) / nd) / nd AS m2,
+       |    (sd3 - 3.0 * t * sd2 / nd + 2.0 * t * t * t / (nd * nd)) / nd AS m3,
+       |    (sd4 - 4.0 * t * sd3 / nd + 6.0 * t * t * sd2 / (nd * nd)
+       |       - 3.0 * t * t * t * t / (nd * nd * nd)) / nd AS m4
+       |  FROM p
+       |), r1 AS (
+       |  SELECT g, n, nd, m2,
+       |    m3 / sqrt((m2 * m2) * m2) AS g1,
+       |    m4 / (m2 * m2) AS b2
+       |  FROM q
+       |), s1 AS (
+       |  SELECT *,
+       |    g1 * sqrt(((nd + 1.0) * (nd + 3.0)) / (6.0 * (nd - 2.0))) AS y0,
+       |    (((3.0 * (((nd * nd) + (27.0 * nd)) - 70.0)) * (nd + 1.0)) * (nd + 3.0))
+       |      / ((((nd - 2.0) * (nd + 5.0)) * (nd + 7.0)) * (nd + 9.0)) AS beta2
+       |  FROM r1
+       |), s2 AS (
+       |  SELECT *,
+       |    CASE WHEN y0 = 0.0 THEN 1.0 ELSE y0 END AS y,
+       |    (sqrt(2.0 * (beta2 - 1.0)) - 1.0) AS w2
+       |  FROM s1
+       |), l1 AS (
+       |  SELECT *, ${Drift.lnLadderSqlK("w2")} AS lnk1, ${Drift.lnLadderSqlM("w2")} AS lnm1 FROM s2
+       |), l2 AS (
+       |  SELECT *, ((lnm1 - 1.0) / (lnm1 + 1.0)) AS lnz1 FROM l1
+       |), l3 AS (
+       |  SELECT *, ${ln("lnk1", "lnz1")} AS lnw2 FROM l2
+       |), s3 AS (
+       |  SELECT *,
+       |    1.0 / sqrt(0.5 * lnw2) AS delta,
+       |    sqrt(2.0 / (w2 - 1.0)) AS alpha
+       |  FROM l3
+       |), s4 AS (
+       |  SELECT *, y / alpha AS u FROM s3
+       |), s5 AS (
+       |  SELECT *, (u + sqrt(((u * u) + 1.0))) AS asinharg FROM s4
+       |), l4 AS (
+       |  SELECT *, ${Drift.lnLadderSqlK("asinharg")} AS lnk2, ${Drift.lnLadderSqlM("asinharg")} AS lnm2 FROM s5
+       |), l5 AS (
+       |  SELECT *, ((lnm2 - 1.0) / (lnm2 + 1.0)) AS lnz2 FROM l4
+       |), l6 AS (
+       |  SELECT *, (delta * ${ln("lnk2", "lnz2")}) AS z1 FROM l5
+       |), k1 AS (
+       |  SELECT *,
+       |    ((3.0 * (nd - 1.0)) / (nd + 1.0)) AS eb2,
+       |    ((((24.0 * nd) * (nd - 2.0)) * (nd - 3.0))
+       |      / ((((nd + 1.0) * (nd + 1.0)) * (nd + 3.0)) * (nd + 5.0))) AS vb2,
+       |    (((6.0 * (((nd * nd) - (5.0 * nd)) + 2.0)) / ((nd + 7.0) * (nd + 9.0)))
+       |      * sqrt((((6.0 * (nd + 3.0)) * (nd + 5.0)) / ((nd * (nd - 2.0)) * (nd - 3.0))))) AS sb1
+       |  FROM l6
+       |), k2c AS (
+       |  SELECT *,
+       |    ((b2 - eb2) / sqrt(vb2)) AS x,
+       |    (6.0 + ((8.0 / sb1) * ((2.0 / sb1) + sqrt((1.0 + (4.0 / (sb1 * sb1))))))) AS aa
+       |  FROM k1
+       |), k3 AS (
+       |  SELECT *,
+       |    (1.0 - (2.0 / (9.0 * aa))) AS term1,
+       |    (1.0 + (x * sqrt((2.0 / (aa - 4.0))))) AS denom
+       |  FROM k2c
+       |), k4 AS (
+       |  SELECT *, ((1.0 - (2.0 / aa)) / abs(denom)) AS cv FROM k3
+       |), cb0 AS (
+       |  SELECT *, ${Drift.cbLadderSqlM("cv")} AS cbm, ${Drift.cbLadderSqlS("cv")} AS cbs,
+       |    (1.0 + ((${Drift.cbLadderSqlM("cv")}) - 1.0) / 3.0) AS cbt
+       |  FROM k4
+       |), $newtonCtes, k5 AS (
+       |  SELECT *, (cbs * cbt) AS cbrt_v FROM cb6
+       |), k6 AS (
+       |  SELECT *,
+       |    CASE WHEN denom = 0.0 THEN CAST('nan' AS DOUBLE)
+       |         ELSE CAST(sign(denom) AS DOUBLE) * cbrt_v END AS term2
+       |  FROM k5
+       |), k7 AS (
+       |  SELECT *, ((term1 - term2) / sqrt((2.0 / (9.0 * aa)))) AS z2 FROM k6
+       |), fin AS (
+       |  SELECT g AS o_orderpriority, n,
+       |    CASE WHEN n < 20 OR m2 = 0.0 THEN NULL ELSE g1 END AS skewness,
+       |    CASE WHEN n < 20 OR m2 = 0.0 THEN NULL ELSE b2 END AS kurtosis,
+       |    CASE WHEN n < 20 OR m2 = 0.0 THEN NULL ELSE z1 END AS z_skew,
+       |    CASE WHEN n < 20 OR m2 = 0.0 THEN NULL ELSE z2 END AS z_kurt
+       |  FROM k7
+       |)
+       |SELECT o_orderpriority, n, skewness, kurtosis, z_skew, z_kurt,
+       |  CASE WHEN z_skew IS NULL OR z_kurt IS NULL THEN NULL
+       |       ELSE (z_skew * z_skew) + (z_kurt * z_kurt) END AS k2_stat,
+       |  CASE WHEN z_skew IS NULL OR z_kurt IS NULL THEN NULL
+       |       ELSE ((z_skew * z_skew) + (z_kurt * z_kurt)) < 5.991464547107979 END AS is_normal
+       |FROM fin""".stripMargin
   }
 
   private val distPcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)

@@ -89,9 +89,12 @@ class OperatorsSpec extends AnyFunSuite {
       val beta2 = 3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0) /
         ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
       val w2 = math.sqrt(2.0 * (beta2 - 1.0)) - 1.0
-      val delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+      // portable transcendentals (the hash-exact plan's arithmetic-only
+      // ln/cbrt, scalar twins) — ~1e-13 of the libm forms
+      val delta = 1.0 / math.sqrt(0.5 * graft.operators.Drift.portableLnScalar(w2))
       val alpha = math.sqrt(2.0 / (w2 - 1.0))
-      val z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) * (y / alpha) + 1.0))
+      val u = y / alpha
+      val z1 = delta * graft.operators.Drift.portableLnScalar(u + math.sqrt(u * u + 1.0))
       // Anscombe-Glynn kurtosis Z
       val eb2 = 3.0 * (n - 1.0) / (n + 1.0)
       val vb2 = 24.0 * n * (n - 2.0) * (n - 3.0) / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
@@ -102,7 +105,8 @@ class OperatorsSpec extends AnyFunSuite {
         (2.0 / sqrtbeta1 + math.sqrt(1.0 + 4.0 / (sqrtbeta1 * sqrtbeta1)))
       val term1 = 1.0 - 2.0 / (9.0 * aa)
       val denom = 1.0 + x * math.sqrt(2.0 / (aa - 4.0))
-      val term2 = math.signum(denom) * math.pow((1.0 - 2.0 / aa) / math.abs(denom), 1.0 / 3.0)
+      val term2 = math.signum(denom) *
+        graft.operators.Drift.portableCbrtScalar((1.0 - 2.0 / aa) / math.abs(denom))
       val z2 = (term1 - term2) / math.sqrt(2.0 / (9.0 * aa))
       assert(r.getAs[Double]("z_skew") == z1, s"z_skew ${r.getAs[Double]("z_skew")} != $z1")
       assert(r.getAs[Double]("z_kurt") == z2, s"z_kurt ${r.getAs[Double]("z_kurt")} != $z2")
