@@ -290,4 +290,18 @@ class PlanSpec extends AnyFunSuite {
         "the aggregate-lambda run-stats pass crept back into a kernel path")
     }
   }
+
+  test("hybrid search keyword score rides the count_in kernel, not an IN-list lambda") {
+    val plan = formatted(graft.text.HybridSearch.hybridSearch(spark, dir))
+    assert(plan.contains("count_in"), "kw_score lost the count_in kernel")
+    assert(!plan.toLowerCase.contains("filter(lambda"),
+      "an interpreted filter-lambda reappeared in the hybrid-search projection")
+  }
+
+  test("ml anomaly feature build: partial aggregation, no cartesian, no single partition") {
+    val plan = formatted(graft.ml.MlAnomaly.orderFeatures(spark, dir))
+    assert(plan.contains("HashAggregate"), "lineitem rollup should partial-aggregate")
+    assert(!plan.contains("CartesianProduct"), "feature join must stay a key join")
+    assert(!plan.contains("SinglePartition"), "feature build collapsed to one partition")
+  }
 }
