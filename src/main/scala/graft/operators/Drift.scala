@@ -116,14 +116,32 @@ object Drift {
         sum(col("cnt_cur")).as("n_cur"),
         array_sort(collect_list(struct(col("bin"), col("cnt_ref"), col("cnt_cur"))))
           .as("cells"))
-    val fold = aggregate(col("cells"), lit(0.0), (acc, x) => {
-      val p0 = x("cnt_ref").cast("double") / col("n_ref").cast("double")
-      val q0 = x("cnt_cur").cast("double") / col("n_cur").cast("double")
-      val p = (p0 + eps) / (lit(1.0) + eps * bins)
-      val q = (q0 + eps) / (lit(1.0) + eps * bins)
-      val m = (p + q) / 2
-      acc + (p * portableLn(p / m) + q * portableLn(q / m))
-    })
+    // staged per-element transforms (the oracle's CTE staging, in-plan):
+    // each stage MATERIALIZES its struct per element, so the ladder/Horner
+    // references are field reads — the nested-tree form re-evaluated the
+    // whole ladder per Horner term and measured 120+ s at sf0.1
+    val terms = {
+      val t1 = transform(col("cells"), x => struct(
+        (((x("cnt_ref").cast("double") / col("n_ref").cast("double")) + eps)
+          / (lit(1.0) + eps * bins)).as("p"),
+        (((x("cnt_cur").cast("double") / col("n_cur").cast("double")) + eps)
+          / (lit(1.0) + eps * bins)).as("q")))
+      val t2 = transform(t1, y => struct(y("p").as("p"), y("q").as("q"),
+        ((y("p") + y("q")) / 2).as("m0")))
+      val t3 = transform(t2, y => struct(y("p").as("p"), y("q").as("q"),
+        (y("p") / y("m0")).as("rp"), (y("q") / y("m0")).as("rq")))
+      val t4 = transform(t3, y => struct(y("p").as("p"), y("q").as("q"),
+        lnLadderK(y("rp")).as("kp"), lnLadderM(y("rp")).as("mp"),
+        lnLadderK(y("rq")).as("kq"), lnLadderM(y("rq")).as("mq")))
+      val t5 = transform(t4, y => struct(y("p").as("p"), y("q").as("q"),
+        y("kp").as("kp"), y("kq").as("kq"),
+        ((y("mp") - lit(1.0)) / (y("mp") + lit(1.0))).as("zp"),
+        ((y("mq") - lit(1.0)) / (y("mq") + lit(1.0))).as("zq")))
+      transform(t5, y =>
+        y("p") * lnFromParts(y("kp"), y("zp"), y("zp") * y("zp"))
+          + y("q") * lnFromParts(y("kq"), y("zq"), y("zq") * y("zq")))
+    }
+    val fold = aggregate(terms, lit(0.0), (acc, v) => acc + v)
     cells
       .withColumn("js_distance", sqrt(fold / 2))
       .select("country", "n_ref", "n_cur", "js_distance")
@@ -225,22 +243,49 @@ object Drift {
     * Accuracy vs Math.log is ~1e-13 relative — identical drift decisions,
     * and DriftSpec pins the agreement. */
   private[graft] val Ln2 = 0.6931471805599453
-  private[graft] def portableLn(r: Column): Column = {
-    val exps = 30 to -30 by -1
-    def exp2(e: Int) = math.pow(2.0, e)
-    val k = exps.foldRight(lit(-31.0)) { (e, acc) =>
-      when(r >= lit(exp2(e)), lit(e.toDouble)).otherwise(acc)
+
+  /** The ladder/series building blocks. IMPORTANT for cost: `lnLadderK`/
+    * `lnLadderM` reference `r` ~120 times and `lnHorner` references `z2`
+    * 12 times — callers must pass MATERIALIZED values (an attribute, or a
+    * struct field staged by a `transform` chain), never a computed subtree,
+    * or the expression tree (and interpreted per-element evaluation inside
+    * array lambdas) grows by that factor. jsDrift/featurePsi stage
+    * per-element structs; dagostinoCheck stages real columns. A naive
+    * nested form measured 120+ s at sf0.1 where the staged one is <1 s. */
+  private[graft] def lnLadderK(r: Column): Column =
+    (30 to -30 by -1).foldRight(lit(-31.0)) { (e, acc) =>
+      when(r >= lit(math.pow(2.0, e)), lit(e.toDouble)).otherwise(acc)
     }
-    val m = exps.foldRight(r * lit(exp2(31))) { (e, acc) =>
-      when(r >= lit(exp2(e)), r * lit(exp2(-e))).otherwise(acc)
+  private[graft] def lnLadderM(r: Column): Column =
+    (30 to -30 by -1).foldRight(r * lit(math.pow(2.0, 31))) { (e, acc) =>
+      when(r >= lit(math.pow(2.0, e)), r * lit(math.pow(2.0, -e))).otherwise(acc)
     }
-    val z = (m - lit(1.0)) / (m + lit(1.0))
-    val z2 = z * z
-    val t = (23 to 1 by -2).foldLeft(lit(1.0 / 25)) { (acc, j) =>
+  private[graft] def lnHorner(z2: Column): Column =
+    (23 to 1 by -2).foldLeft(lit(1.0 / 25)) { (acc, j) =>
       lit(1.0 / j) + z2 * acc
     }
-    k * lit(Ln2) + lit(2.0) * z * t
+  /** ln from pre-staged ladder parts: k·ln2 + 2z·Σ — z2 must equal z·z. */
+  private[graft] def lnFromParts(k: Column, z: Column, z2: Column): Column =
+    k * lit(Ln2) + lit(2.0) * z * lnHorner(z2)
+
+  /** One-expression portable ln — convenience for SMALL frames / tests
+    * only (the nested tree re-evaluates the ladder per Horner term; see the
+    * staging note above for anything hot). */
+  private[graft] def portableLn(r: Column): Column = {
+    val m = lnLadderM(r)
+    val z = (m - lit(1.0)) / (m + lit(1.0))
+    lnFromParts(lnLadderK(r), z, z * z)
   }
+
+  /** Stage the portable ln of column `in` into column `out` through real
+    * columns (the dagostino path — attributes keep the plan linear). */
+  private[graft] def withPortableLn(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn("__ln_k", lnLadderK(col(in)))
+      .withColumn("__ln_m", lnLadderM(col(in)))
+      .withColumn("__ln_z", (col("__ln_m") - lit(1.0)) / (col("__ln_m") + lit(1.0)))
+      .withColumn("__ln_z2", col("__ln_z") * col("__ln_z"))
+      .withColumn(out, lnFromParts(col("__ln_k"), col("__ln_z"), col("__ln_z2")))
+      .drop("__ln_k", "__ln_m", "__ln_z", "__ln_z2")
 
   /** DuckDB twin of [[portableLn]]: emits the same expression tree over the
     * SQL expressions `rExpr` (the ratio), with `kVar`/`mVar`/`zVar`/`z2Var`
@@ -352,11 +397,20 @@ object Drift {
     val kD = col("n_categories").cast("double")
     val nRefD = col("n_ref").cast("double")
     val nCurD = col("n_cur").cast("double")
-    val fold = aggregate(col("cells"), lit(0.0), (acc, x) => {
-      val p = (x("cnt_ref").cast("double") / nRefD + eps) / (lit(1.0) + eps * kD)
-      val q = (x("cnt_cur").cast("double") / nCurD + eps) / (lit(1.0) + eps * kD)
-      acc + (q - p) * portableLn(q / p)
-    })
+    // staged per-element transforms — see jsDrift's staging note
+    val terms = {
+      val t1 = transform(col("cells"), x => struct(
+        ((x("cnt_ref").cast("double") / nRefD + eps) / (lit(1.0) + eps * kD)).as("p"),
+        ((x("cnt_cur").cast("double") / nCurD + eps) / (lit(1.0) + eps * kD)).as("q")))
+      val t2 = transform(t1, y => struct(
+        (y("q") - y("p")).as("pq"), (y("q") / y("p")).as("r")))
+      val t3 = transform(t2, y => struct(y("pq").as("pq"),
+        lnLadderK(y("r")).as("k"), lnLadderM(y("r")).as("m")))
+      val t4 = transform(t3, y => struct(y("pq").as("pq"), y("k").as("k"),
+        ((y("m") - lit(1.0)) / (y("m") + lit(1.0))).as("z")))
+      transform(t4, y => y("pq") * lnFromParts(y("k"), y("z"), y("z") * y("z")))
+    }
+    val fold = aggregate(terms, lit(0.0), (acc, v) => acc + v)
     featureCells(src)
       .withColumn("psi",
         when(col("n_ref") === 0 || col("n_cur") === 0, lit(null).cast("double"))

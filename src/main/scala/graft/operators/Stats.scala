@@ -474,7 +474,7 @@ object Stats {
     // Each named step becomes a REAL column: the portable-ln ladder and the
     // Newton cbrt reference their operands many times, and attribute refs
     // keep the plan linear where nested trees would grow geometrically.
-    val staged0 = m
+    val staged0a = m
       .withColumn("__m2", m2).withColumn("__m3", m3).withColumn("__m4", m4)
       .withColumn("__g1", col("__m3") / sqrt(col("__m2") * col("__m2") * col("__m2")))
       // Pearson kurtosis (not excess), as scipy's test uses
@@ -487,13 +487,16 @@ object Stats {
         lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) * (nD + 1.0) * (nD + 3.0) /
           ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0)))
       .withColumn("__w2", sqrt(lit(2.0) * (col("__beta2") - 1.0)) - 1.0)
-      .withColumn("__lnw2", Drift.portableLn(col("__w2")))
-      .withColumn("__delta", lit(1.0) / sqrt(lit(0.5) * col("__lnw2")))
-      .withColumn("__alpha", sqrt(lit(2.0) / (col("__w2") - 1.0)))
-      .withColumn("__u", col("__y") / col("__alpha"))
-      .withColumn("__asinharg",
-        col("__u") + sqrt(col("__u") * col("__u") + lit(1.0)))
-      .withColumn("__z1", col("__delta") * Drift.portableLn(col("__asinharg")))
+    val lnStaged = Drift.withPortableLn(
+      Drift.withPortableLn(staged0a, "__w2", "__lnw2")
+        .withColumn("__delta", lit(1.0) / sqrt(lit(0.5) * col("__lnw2")))
+        .withColumn("__alpha", sqrt(lit(2.0) / (col("__w2") - 1.0)))
+        .withColumn("__u", col("__y") / col("__alpha"))
+        .withColumn("__asinharg",
+          col("__u") + sqrt(col("__u") * col("__u") + lit(1.0))),
+      "__asinharg", "__lnasinh")
+    val staged0 = lnStaged
+      .withColumn("__z1", col("__delta") * col("__lnasinh"))
       // Anscombe-Glynn (1983) kurtosis Z — scipy.stats.kurtosistest's sequence
       .withColumn("__eb2", lit(3.0) * (nD - 1.0) / (nD + 1.0))
       .withColumn("__vb2", lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
