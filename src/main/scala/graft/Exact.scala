@@ -27,4 +27,34 @@ object Exact {
 
   /** long-typed count(*) — matches DuckDB COUNT(*) BIGINT. */
   def countAll: Column = count(lit(1))
+
+  /** 2^62 split base for [[bigDecToDouble]]. */
+  private val SplitB = 4611686018427387904L
+
+  /** Engine-portable DECIMAL(38,0) → DOUBLE for non-negative values.
+    *
+    * A direct decimal→double cast is NOT portable past 2^63: DuckDB converts
+    * its int128 backing store in two pieces with independent roundings,
+    * while Spark rounds the BigDecimal once. And the old recipe —
+    * `.cast("long").cast("double")` — THROWS [CAST_OVERFLOW] under ANSI the
+    * moment the sum passes 2^63 (measured: a 60k-row country group of cent²
+    * deviations at the 10× corpus hits 1.2e19). This splits at 2^62: both
+    * pieces fit BIGINT exactly, hi·2^62 is an exact power-of-two multiply,
+    * and the single closing add is one correctly-rounded IEEE op — the same
+    * three-step sequence the oracle runs, so the doubles stay bit-identical.
+    * Headroom: hi < 2^53 ⇔ v < 2^115, beyond any 38-digit decimal sum. */
+  def bigDecToDouble(c: Column): Column = {
+    val b = lit(BigDecimal(SplitB)).cast("decimal(38,0)")
+    val lo = c % b
+    val hi = ((c - lo) / b).cast("long")
+    hi.cast("double") * lit(SplitB.toDouble) + lo.cast("long").cast("double")
+  }
+
+  /** DuckDB twin of [[bigDecToDouble]] over a DECIMAL(38,0) column expr.
+    * Callers should bind `vExpr` to a named column (it is referenced 3×). */
+  def bigDecToDoubleSql(vExpr: String): String = {
+    val b = s"CAST($SplitB AS DECIMAL(38,0))"
+    s"((CAST(CAST(($vExpr - ($vExpr % $b)) / $b AS BIGINT) AS DOUBLE) * ${SplitB.toDouble})" +
+      s" + CAST(CAST($vExpr % $b AS BIGINT) AS DOUBLE))"
+  }
 }

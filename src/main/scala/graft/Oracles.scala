@@ -1225,7 +1225,7 @@ object Oracles {
          |  SELECT z_country,
          |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
          |    CASE WHEN n <= 1 THEN NULL
-         |         ELSE sqrt((CAST(CAST(ssd AS BIGINT) AS DOUBLE)
+         |         ELSE sqrt((${Exact.bigDecToDoubleSql("ssd")}
          |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 END AS std_price
          |  FROM a2
          |), ranked AS (
@@ -1466,7 +1466,7 @@ object Oracles {
          |  SELECT s_country,
          |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
          |    CASE WHEN n <= 1 THEN NULL
-         |         ELSE sqrt((CAST(CAST(ssd AS BIGINT) AS DOUBLE)
+         |         ELSE sqrt((${Exact.bigDecToDoubleSql("ssd")}
          |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 END AS std_price
          |  FROM a2
          |)

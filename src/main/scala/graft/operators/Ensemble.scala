@@ -37,7 +37,7 @@ object Ensemble {
       .groupBy(col("a_country").as("z_country"), col("n"), col("s"), col("center"))
       .agg(sum(d15 * d15).as("ssd"))
     val tD = (col("s") % col("n")).cast("double")
-    val ssdD = col("ssd").cast("long").cast("double")
+    val ssdD = bigDecToDouble(col("ssd"))
     val zStats = agg2.select(
       col("z_country"),
       ((col("s").cast("double") / col("n")) / lit(100.0)).as("mean_price"),

@@ -218,9 +218,10 @@ object Quality {
       .groupBy(col("a_country").as("s_country"), col("n"), col("s"), col("center"))
       .agg(sum(d15 * d15).as("ssd"))
     val tD = (col("s") % col("n")).cast("double") // Σd = S mod n, < n so exact
-    // ssd fits BIGINT up to ~9e18 cents² — ample below ~1e8 rows per group;
-    // beyond that widen the split (SURVEY §3).
-    val ssdD = col("ssd").cast("long").cast("double")
+    // ssd exceeds BIGINT once a group's Σd² passes 2^63 (measured at a 60k-row
+    // country of cent² deviations) — the 2^62 hi/lo split converts the full
+    // DECIMAL(38,0) range engine-portably (Exact.bigDecToDouble).
+    val ssdD = bigDecToDouble(col("ssd"))
     val stats = agg2.select(
       col("s_country"),
       ((col("s").cast("double") / col("n")) / lit(100.0)).as("mean_price"),
