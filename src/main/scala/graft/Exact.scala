@@ -57,4 +57,24 @@ object Exact {
     s"((CAST(CAST(($vExpr - ($vExpr % $b)) / $b AS BIGINT) AS DOUBLE) * ${SplitB.toDouble})" +
       s" + CAST(CAST($vExpr % $b AS BIGINT) AS DOUBLE))"
   }
+
+  /** Sign-aware [[bigDecToDouble]] for sums that can go negative (odd central
+    * moments like Σd³). The `%`/`//` pair is only engine-portable for
+    * non-negative operands (the engines' negative-remainder conventions are
+    * theirs to choose), so the split runs on `abs(v)` and the sign is
+    * reapplied afterwards — IEEE negation is exact, so both engines still
+    * execute the identical rounding sequence. */
+  def bigDecToDoubleSigned(c: Column): Column = {
+    val v = c.cast("decimal(38,0)")
+    val conv = bigDecToDouble(abs(v))
+    when(v < 0, -conv).otherwise(conv)
+  }
+
+  /** DuckDB twin of [[bigDecToDoubleSigned]]. Callers should bind `vExpr` to
+    * a named column (it is referenced several times; these run on post-agg
+    * group-count-sized frames, so the duplication is free). */
+  def bigDecToDoubleSignedSql(vExpr: String): String = {
+    val a = s"abs(CAST($vExpr AS DECIMAL(38,0)))"
+    s"(CASE WHEN $vExpr < 0 THEN -${bigDecToDoubleSql(a)} ELSE ${bigDecToDoubleSql(a)} END)"
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Exact.countAll
+import graft.Exact.{bigDecToDouble, bigDecToDoubleSql, bigDecToDoubleSigned, bigDecToDoubleSignedSql, countAll}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,7 +42,10 @@ object Stats {
 
     val nD = col("n").cast("double")
     def s(a: String): Column = col(s"s_$a").cast("double")
-    def p(a: String, b: String): Column = col(s"p_${a}_$b").cast("double")
+    // Σxy cross-moments are cents² per row — the largest sums in the suite,
+    // past 2^63 well before the decimal cap — so the conversion goes through
+    // the portable hi/lo split (non-negative measures ⇒ unsigned is enough).
+    def p(a: String, b: String): Column = bigDecToDouble(col(s"p_${a}_$b"))
     def corr(a: String, b: String): Column = {
       val den = sqrt(nD * p(a, a) - s(a) * s(a)) * sqrt(nD * p(b, b) - s(b) * s(b))
       when(den === 0.0, lit(null).cast("double"))
@@ -82,10 +85,11 @@ object Stats {
       sum(dec("x") * dec("x")).as("sxx"),
       sum(dec("y") * dec("y")).as("syy"))
     val nD = col("n_days").cast("double")
-    def d(c: String): Column = col(c).cast("double")
-    val num = nD * d("sxy") - d("sx") * d("sy")
-    val denX = nD * d("sxx") - d("sx") * d("sx")
-    val denY = nD * d("syy") - d("sy") * d("sy")
+    def d(c: String): Column = col(c).cast("double")          // BIGINT sums: direct cast is portable
+    def dd(c: String): Column = bigDecToDouble(col(c))        // DECIMAL(38,0) sums: hi/lo split
+    val num = nD * dd("sxy") - d("sx") * d("sy")
+    val denX = nD * dd("sxx") - d("sx") * d("sx")
+    val denY = nD * dd("syy") - d("sy") * d("sy")
     m.withColumn("slope",
         when(col("n_days") < 3 || denX === 0.0, lit(null).cast("double"))
           .otherwise(num / denX / lit(100.0)))
@@ -138,9 +142,13 @@ object Stats {
         sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4"))
     val nD = col("n").cast("double")
     val t = (col("s") % col("n")).cast("double")      // Σd = S mod n: exact
-    val sd2 = col("sd2").cast("double")
-    val sd3 = col("sd3").cast("double")
-    val sd4 = col("sd4").cast("double")
+    // Σd² / Σd²·d / Σ(d²)² exceed 2^63 long before the DECIMAL(38,0) cap, and
+    // a direct decimal→double cast is engine-divergent past 2^63 (the
+    // bigDecToDouble contract) — route through the sign-aware hi/lo split
+    // (sd3 is an odd moment and can be negative).
+    val sd2 = bigDecToDoubleSigned(col("sd2"))
+    val sd3 = bigDecToDoubleSigned(col("sd3"))
+    val sd4 = bigDecToDoubleSigned(col("sd4"))
     val m2 = (sd2 - (t * t) / nD) / nD                // population central moments (cents^k)
     val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
     val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
@@ -167,7 +175,7 @@ object Stats {
   /** DuckDB oracle mirroring descriptiveStats — identical moment expansion
     * and IEEE sequencing. */
   def descriptiveStatsOracle: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
       |), c AS (
       |  SELECT o_orderpriority AS g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
@@ -188,7 +196,9 @@ object Stats {
       |), p AS (
       |  SELECT g, n, s, mn, mx,
       |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
-      |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+      |    ${bigDecToDoubleSignedSql("sd2")} AS sd2,
+      |    ${bigDecToDoubleSignedSql("sd3")} AS sd3,
+      |    ${bigDecToDoubleSignedSql("sd4")} AS sd4
       |  FROM m
       |), q AS (
       |  SELECT g, n, s, mn, mx, nd, t, sd2, sd3, sd4,
@@ -235,7 +245,7 @@ object Stats {
       .agg(sum(d * d).as("sd2"))
     val t = (col("s") % col("n")).cast("double")
     val varD = when(col("n") <= 1, lit(null).cast("double"))
-      .otherwise((col("sd2").cast("double") - (t * t) / col("n").cast("double"))
+      .otherwise((bigDecToDouble(col("sd2")) - (t * t) / col("n").cast("double"))
         / (col("n").cast("double") - lit(1.0)))
     val halves = byHalf.select(col("country"), col("half"), col("n"), varD.as("v"))
     val first = halves.filter(col("half") === "first")
@@ -259,7 +269,7 @@ object Stats {
 
   /** DuckDB oracle mirroring stationarityCheck. */
   def stationarityOracle: String =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
       |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -280,7 +290,7 @@ object Stats {
       |), v AS (
       |  SELECT country, half, n,
       |    CASE WHEN n <= 1 THEN NULL
-      |         ELSE (CAST(sd2 AS DOUBLE) - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / CAST(n AS DOUBLE))
+      |         ELSE (${bigDecToDoubleSql("sd2")} - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / CAST(n AS DOUBLE))
       |              / (CAST(n AS DOUBLE) - 1.0) END AS v
       |  FROM m
       |), f AS (SELECT country, n AS n_first, v AS var_first FROM v WHERE half = 'first'
@@ -300,7 +310,7 @@ object Stats {
 
   /** DuckDB oracle mirroring trendDetection (same exact-moment recipe). */
   def trendDetectionOracle: String =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
       |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -317,9 +327,9 @@ object Stats {
       |  FROM xy GROUP BY 1
       |), p AS (
       |  SELECT country, n_days,
-      |    CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-      |    CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
-      |    CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
+      |    CAST(n_days AS DOUBLE) * ${bigDecToDoubleSql("sxy")} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    CAST(n_days AS DOUBLE) * ${bigDecToDoubleSql("sxx")} - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+      |    CAST(n_days AS DOUBLE) * ${bigDecToDoubleSql("syy")} - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
       |  FROM m
       |), s AS (
       |  SELECT country, n_days,
@@ -364,9 +374,13 @@ object Stats {
         sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4"))
     val nD = col("n").cast("double")
     val t = (col("s") % col("n")).cast("double")
-    val sd2 = col("sd2").cast("double")
-    val sd3 = col("sd3").cast("double")
-    val sd4 = col("sd4").cast("double")
+    // Σd² / Σd²·d / Σ(d²)² exceed 2^63 long before the DECIMAL(38,0) cap, and
+    // a direct decimal→double cast is engine-divergent past 2^63 (the
+    // bigDecToDouble contract) — route through the sign-aware hi/lo split
+    // (sd3 is an odd moment and can be negative).
+    val sd2 = bigDecToDoubleSigned(col("sd2"))
+    val sd3 = bigDecToDoubleSigned(col("sd3"))
+    val sd4 = bigDecToDoubleSigned(col("sd4"))
     val m2 = (sd2 - (t * t) / nD) / nD
     val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
     val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
@@ -388,7 +402,7 @@ object Stats {
 
   /** DuckDB oracle mirroring normalityCheck. */
   def normalityCheckOracle: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
       |), c AS (
       |  SELECT o_orderpriority AS g, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s
@@ -406,7 +420,9 @@ object Stats {
       |), p AS (
       |  SELECT g, n,
       |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
-      |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+      |    ${bigDecToDoubleSignedSql("sd2")} AS sd2,
+      |    ${bigDecToDoubleSignedSql("sd3")} AS sd3,
+      |    ${bigDecToDoubleSignedSql("sd4")} AS sd4
       |  FROM m
       |), q AS (
       |  SELECT g, n, nd,
@@ -464,9 +480,13 @@ object Stats {
         sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4"))
     val nD = col("n").cast("double")
     val t = (col("s") % col("n")).cast("double")
-    val sd2 = col("sd2").cast("double")
-    val sd3 = col("sd3").cast("double")
-    val sd4 = col("sd4").cast("double")
+    // Σd² / Σd²·d / Σ(d²)² exceed 2^63 long before the DECIMAL(38,0) cap, and
+    // a direct decimal→double cast is engine-divergent past 2^63 (the
+    // bigDecToDouble contract) — route through the sign-aware hi/lo split
+    // (sd3 is an odd moment and can be negative).
+    val sd2 = bigDecToDoubleSigned(col("sd2"))
+    val sd3 = bigDecToDoubleSigned(col("sd3"))
+    val sd4 = bigDecToDoubleSigned(col("sd4"))
     val m2 = (sd2 - (t * t) / nD) / nD
     val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
     val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
@@ -560,7 +580,9 @@ object Stats {
        |), p AS (
        |  SELECT g, n,
        |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
-       |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+       |    ${bigDecToDoubleSignedSql("sd2")} AS sd2,
+      |    ${bigDecToDoubleSignedSql("sd3")} AS sd3,
+      |    ${bigDecToDoubleSignedSql("sd4")} AS sd4
        |  FROM mm
        |), q AS (
        |  SELECT g, n, nd,
@@ -695,9 +717,13 @@ object Stats {
         sum(dec(col("__d2")) * dec(col("__d2"))).as("sd4")): _*)
     val nD = col("n").cast("double")
     val t = (col("s") % col("n")).cast("double")
-    val sd2 = col("sd2").cast("double")
-    val sd3 = col("sd3").cast("double")
-    val sd4 = col("sd4").cast("double")
+    // Σd² / Σd²·d / Σ(d²)² exceed 2^63 long before the DECIMAL(38,0) cap, and
+    // a direct decimal→double cast is engine-divergent past 2^63 (the
+    // bigDecToDouble contract) — route through the sign-aware hi/lo split
+    // (sd3 is an odd moment and can be negative).
+    val sd2 = bigDecToDoubleSigned(col("sd2"))
+    val sd3 = bigDecToDoubleSigned(col("sd3"))
+    val sd4 = bigDecToDoubleSigned(col("sd4"))
     val m2 = (sd2 - (t * t) / nD) / nD
     val m3 = (sd3 - lit(3.0) * t * sd2 / nD + lit(2.0) * t * t * t / (nD * nD)) / nD
     val m4 = (sd4 - lit(4.0) * t * sd3 / nD + lit(6.0) * t * t * sd2 / (nD * nD)
@@ -752,7 +778,9 @@ object Stats {
       |), p AS (
       |  SELECT g, n, s, ${distPcts.map(p => s"pp$p").mkString(", ")},
       |    CAST(n AS DOUBLE) AS nd, CAST(s % n AS DOUBLE) AS t,
-      |    CAST(sd2 AS DOUBLE) AS sd2, CAST(sd3 AS DOUBLE) AS sd3, CAST(sd4 AS DOUBLE) AS sd4
+      |    ${bigDecToDoubleSignedSql("sd2")} AS sd2,
+      |    ${bigDecToDoubleSignedSql("sd3")} AS sd3,
+      |    ${bigDecToDoubleSignedSql("sd4")} AS sd4
       |  FROM m
       |), q AS (
       |  SELECT *,
@@ -790,10 +818,10 @@ object Stats {
       orderedPairs.map { case ((_, a), (_, b)) =>
         s"SUM(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS p_${a}_$b" }).mkString(", ")
     def corrSql(a: String, b: String): String = {
-      val den = s"(sqrt(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
-        s"sqrt(CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
+      val den = s"(sqrt(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${a}_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${b}_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
       s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
-        s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
+        s"(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
     }
     val branches = orderedPairs.collect { case ((cx, a), (cy, b)) if a != b =>
       s"SELECT '$cx' AS col_x, '$cy' AS col_y, n, ${corrSql(a, b)} AS corr FROM m"
@@ -887,10 +915,10 @@ object Stats {
       orderedPairs.map { case ((_, a), (_, b)) =>
         s"SUM(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS p_${a}_$b" }).mkString(", ")
     def corrSql(a: String, b: String): String = {
-      val den = s"(sqrt(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
-        s"sqrt(CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
+      val den = s"(sqrt(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${a}_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${b}_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
       s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
-        s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
+        s"(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
     }
     val branches = orderedPairs.collect { case ((cx, a), (cy, b)) if a != b =>
       s"SELECT '$cx' AS col_x, '$cy' AS col_y, n, ${corrSql(a, b)} AS corr FROM m"
@@ -932,10 +960,10 @@ object Stats {
       orderedPairs.map { case ((_, a), (_, b)) =>
         s"SUM(CAST($a AS DECIMAL(19,0)) * CAST($b AS DECIMAL(19,0))) AS p_${a}_$b" }).mkString(", ")
     def corrSql(a: String, b: String): String = {
-      val den = s"(sqrt(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
-        s"sqrt(CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
+      val den = s"(sqrt(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${a}_$a")} - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"sqrt(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${b}_$b")} - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))"
       s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
-        s"(CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
+        s"(CAST(n AS DOUBLE) * ${bigDecToDoubleSql(s"p_${a}_$b")} - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / $den END"
     }
     val branches = orderedPairs.collect { case ((cx, a), (cy, b)) if a != b =>
       s"SELECT '$cx' AS col_x, '$cy' AS col_y, ${corrSql(a, b)} AS corr FROM m"
