@@ -126,8 +126,15 @@ object MlAnomaly {
       .select("o_orderkey", "o_totalprice", "line_count", "sum_qty", "avg_discount",
         "cluster", "cluster_n", "dist", "dist_z", "is_noise_cluster",
         "is_ml_anomaly", "ml_score", "severity")
+    // feats has served the fit and the scored cache is already materialized
+    // (the stats/size actions above ran it), so dropping feats is safe.
+    // scored stays persisted ON PURPOSE: the returned frame reads it, and an
+    // unpersist here would make every caller action re-run the whole scoring
+    // pipeline. Contract: the cache is released by the caller's
+    // spark.catalog.clearCache() (Verify/Bench do this between queries — the
+    // RankOps localCheckpoint precedent) or by the ContextCleaner once the
+    // frame is unreferenced.
     feats.unpersist()
-    scored.unpersist()
     out
   }
 }

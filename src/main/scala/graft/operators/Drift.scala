@@ -137,9 +137,14 @@ object Drift {
         y("kp").as("kp"), y("kq").as("kq"),
         ((y("mp") - lit(1.0)) / (y("mp") + lit(1.0))).as("zp"),
         ((y("mq") - lit(1.0)) / (y("mq") + lit(1.0))).as("zq")))
-      transform(t5, y =>
-        y("p") * lnFromParts(y("kp"), y("zp"), y("zp") * y("zp"))
-          + y("q") * lnFromParts(y("kq"), y("zq"), y("zq") * y("zq")))
+      // z² staged as fields before lnFromParts (which reads z2 12×) — the
+      // ladder helpers' contract: pass materialized values, never subtrees
+      val t6 = transform(t5, y => struct(y("p").as("p"), y("q").as("q"),
+        y("kp").as("kp"), y("kq").as("kq"), y("zp").as("zp"), y("zq").as("zq"),
+        (y("zp") * y("zp")).as("zp2"), (y("zq") * y("zq")).as("zq2")))
+      transform(t6, y =>
+        y("p") * lnFromParts(y("kp"), y("zp"), y("zp2"))
+          + y("q") * lnFromParts(y("kq"), y("zq"), y("zq2")))
     }
     val fold = aggregate(terms, lit(0.0), (acc, v) => acc + v)
     cells
@@ -408,7 +413,11 @@ object Drift {
         lnLadderK(y("r")).as("k"), lnLadderM(y("r")).as("m")))
       val t4 = transform(t3, y => struct(y("pq").as("pq"), y("k").as("k"),
         ((y("m") - lit(1.0)) / (y("m") + lit(1.0))).as("z")))
-      transform(t4, y => y("pq") * lnFromParts(y("k"), y("z"), y("z") * y("z")))
+      // z² staged as a field before lnFromParts (which reads it 12×) — the
+      // ladder helpers' contract: pass materialized values, never subtrees
+      val t5 = transform(t4, y => struct(y("pq").as("pq"), y("k").as("k"),
+        y("z").as("z"), (y("z") * y("z")).as("z2")))
+      transform(t5, y => y("pq") * lnFromParts(y("k"), y("z"), y("z2")))
     }
     val fold = aggregate(terms, lit(0.0), (acc, v) => acc + v)
     featureCells(src)
