@@ -25,6 +25,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: restrict to these query names (local iteration only;
+    // the driver always runs with no args → full sweep), Verify's precedent
+    val subset: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -43,7 +46,9 @@ object Bench {
       .foreach(t => Tables.read(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .sortBy(_._1)
     // sweeps(s)(i) = time of query i in sweep s, None on failure
     val sweeps: Seq[(Double, Seq[Option[Double]])] = (1 to runs).map { _ =>
       val s0 = System.nanoTime()

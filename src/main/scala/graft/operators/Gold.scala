@@ -42,8 +42,10 @@ object Gold {
   }
 
   /** Product performance by part × country with revenue rank-in-country
-    * (reference: src/etl/gold/spark_gold.py:68-90). The rank window is
-    * partitioned by country (never a global sort) and tie-broken by part key. */
+    * (reference: src/etl/gold/spark_gold.py:68-90). The rank is per-group
+    * distributed (RankOps.withGroupedRank, tie-broken by part key): a bare
+    * country-partitioned window would cap parallelism at 25 tasks forever
+    * while the ranked part×country frame scales with the part count. */
   def productAnalysis(spark: SparkSession, dir: String): DataFrame = {
     val f = Tables.salesFact(spark, dir)
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand")
@@ -60,9 +62,8 @@ object Gold {
       .withColumn("avg_extended_price", col("__ext").cast("double") / col("transaction_count"))
       .withColumn("revenue_per_transaction", col("__rev").cast("double") / col("transaction_count"))
       .drop("__rev", "__ext")
-    val w = Window.partitionBy(col("country"))
-      .orderBy(col("total_revenue").desc, col("p_partkey").asc)
-    agg.withColumn("revenue_rank_in_country", row_number().over(w).cast("long"))
+    RankOps.withGroupedRank(agg, "revenue_rank_in_country", Seq("country"),
+      Seq(col("total_revenue").desc, col("p_partkey").asc))
   }
 
   /** RFM customer segmentation (reference: src/etl/gold/spark_gold.py:93-137).

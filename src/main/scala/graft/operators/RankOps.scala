@@ -90,6 +90,96 @@ object RankOps {
       .drop("__pid", "__crn", "__coff", "__v")
   }
 
+  /** Adds `rankCol` = 1-based `row_number() OVER (PARTITION BY groupCols
+    * ORDER BY sortCols)` (long) without ever sorting a whole group in one
+    * task.
+    *
+    * Why: a bare `Window.partitionBy(group)` yields exactly #groups tasks —
+    * a parallelism ceiling when groups are few and huge (25 countries over
+    * 20M+ ranked parts at 100 TB means 25 tasks sorting ~1M rows each).
+    * Here the frame is range-partitioned on (groupCols ++ sortCols) — a
+    * distributed sort in which each group's rows occupy CONSECUTIVE
+    * partitions — so a per-(partition, group) row number plus the count of
+    * rows the same group placed in earlier partitions is exactly the
+    * per-group rank. Those boundary offsets are nonzero only where a group
+    * spans a partition boundary — at most #partitions − 1 rows no matter how
+    * many groups or rows — so the offset frame is computed distributively (a
+    * running-sum window over the per-(pid, group) count frame, whose
+    * per-group slices are ≤ #partitions rows each) and broadcast back. No
+    * driver collect anywhere, and nothing in the plan scales with #groups or
+    * group size.
+    *
+    * `countCol`, if set, also adds the per-group total row count via a
+    * broadcast of the ≤ #groups-row totals frame — ask for it only when the
+    * group cardinality is itself broadcast-sized (the median-rank use case;
+    * segment/country-grade cardinalities, not part-grade).
+    *
+    * The range-shuffled frame is localCheckpoint'ed for the same reason as
+    * [[withGlobalRankCounted]]: the per-partition counts are only valid for
+    * the exact boundaries the range sampler drew. `sortCols` must
+    * total-order rows within a group (callers append a unique tie-breaker).
+    * Group columns are compared null-safely (`<=>`), so null groups rank
+    * like any other group. */
+  def withGroupedRank(df: DataFrame, rankCol: String, groupCols: Seq[String],
+                      sortCols: Seq[Column], numPartitions: Int = 0,
+                      countCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "withGroupedRank needs at least one group column")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val gCols = groupCols.map(col)
+    val ranged = df.repartitionByRange(parts, gCols ++ sortCols: _*).localCheckpoint(false)
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    // one row per (partition, group) present — ≤ #partitions + #groups rows,
+    // contiguous groups ⇒ each partition holds a short group slice
+    val counts = withPid.groupBy(col("__pid") +: gCols: _*).agg(count(lit(1)).as("__cnt"))
+    // rows this group placed in EARLIER partitions; > 0 only at boundary
+    // spans (≤ #partitions − 1 rows survive the filter ⇒ always broadcastable)
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offCond = ((col("__pid") === col("__opid")) +:
+      groupCols.map(c => col(c) <=> col(s"__og_$c"))).reduce(_ && _)
+    val wRank = Window.partitionBy(col("__pid") +: gCols: _*).orderBy(sortCols: _*)
+    val internal = "__pid" :: "__rn" :: "__opid" :: "__goff" ::
+      groupCols.map(c => s"__og_$c").toList
+    countCol match {
+      case None =>
+        // broadcast ONLY the boundary-spanning rows (≤ #partitions − 1, no
+        // matter how many groups) — group cardinality never enters the plan
+        val offsets = counts
+          .withColumn("__goff", sum(col("__cnt")).over(wOff))
+          .filter(col("__goff").isNotNull && col("__goff") > 0)
+          .select(col("__pid").as("__opid") +:
+            groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__goff"): _*)
+        withPid
+          .withColumn("__rn", row_number().over(wRank))
+          .join(broadcast(offsets), offCond, "left")
+          .withColumn(rankCol, (col("__rn") + coalesce(col("__goff"), lit(0L))).cast("long"))
+          .drop(internal: _*)
+      case Some(cc) =>
+        // countCol implies broadcast-sized group cardinality, so ship offset
+        // AND group total in ONE auxiliary broadcast (≤ #groups + #partitions
+        // rows) — one join instead of two
+        // same partition+order as wOff (only the frame differs) so both
+        // sums share one Window sort of the tiny counts frame
+        val wTot = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val aux = counts
+          .withColumn("__goff", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+          .withColumn("__gtot", sum(col("__cnt")).over(wTot).cast("long"))
+          .select((col("__pid").as("__opid") +:
+            groupCols.map(c => col(c).as(s"__og_$c"))) ++
+            Seq(col("__goff"), col("__gtot")): _*)
+        withPid
+          .withColumn("__rn", row_number().over(wRank))
+          .join(broadcast(aux), offCond, "inner") // every (pid, group) is in counts
+          .withColumn(rankCol, (col("__rn") + col("__goff")).cast("long"))
+          .withColumn(cc, col("__gtot"))
+          .drop("__gtot" :: internal: _*)
+    }
+  }
+
   /** Adds `ntileCol` = exact `NTILE(k) OVER (ORDER BY sortCols)` (long). */
   def withGlobalNtile(df: DataFrame, ntileCol: String, k: Int, sortCols: Seq[Column]): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")

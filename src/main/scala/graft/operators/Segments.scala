@@ -130,12 +130,19 @@ object Segments {
       col("transaction_count"), col("last_purchase"),
       (col("recency_score") + col("frequency_score") + col("monetary_score")).as("__score3"))
     val asof = broadcast(seg.agg(max(col("last_purchase")).as("__asof")))
-    val w = Window.partitionBy(col("customer_segment"))
-      .orderBy(col("total_spent"), col("customer_id"))
-    val ranked = seg.crossJoin(asof)
+    // per-segment median rank/count via the distributed grouped rank: a bare
+    // segment-partitioned window would be ~9 tasks each sorting a whole
+    // segment (100M+ customers at scale). countCol is safe here — the totals
+    // frame is one row per RFM segment.
+    // persisted because the grouped rank evaluates its input twice (range
+    // sampling + checkpoint) — without the cache each pass re-assembles the
+    // whole rfmSegments join (the metrics-persist precedent in rfmSegments);
+    // freed by the caller's clearCache
+    val rankInput = seg.crossJoin(asof)
       .withColumn("__days_since", datediff(col("__asof"), col("last_purchase")).cast("long"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("customer_segment"))).cast("long"))
+      .persist()
+    val ranked = RankOps.withGroupedRank(rankInput, "rn", Seq("customer_segment"),
+      Seq(col("total_spent"), col("customer_id")), countCol = Some("n"))
     val agg = ranked.groupBy(col("customer_segment"), col("n").as("customer_count"))
       .agg(
         sum(col("total_spent").cast("decimal(18,6)")).as("__rev"),

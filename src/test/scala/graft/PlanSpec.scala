@@ -124,6 +124,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), "profile collapsed to one partition")
   }
 
+  test("no low-cardinality window sorts survive on the grouped-rank paths") {
+    // product_analysis and rfm_segment_rollup rank WITHIN country/segment via
+    // RankOps.withGroupedRank. The guard: every window spec that partitions
+    // on the low-cardinality group column must also involve __pid — either
+    // partitioned by (__pid, group) (the per-partition rank window) or
+    // ordered by __pid over the bounded per-(pid, group) counts frame (the
+    // offsets window). A bare partitionBy(group) sort over the data frame
+    // (the 25-tasks-forever ceiling) mentions no __pid and fails here.
+    Seq(
+      "country" -> Gold.productAnalysis(spark, dir),
+      "customer_segment" -> graft.operators.Segments.rfmSegmentRollup(spark, dir)
+    ).foreach { case (group, df) =>
+      val plan = formatted(df)
+      val specs = s"windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+        .filter(_.contains(group))
+      assert(specs.nonEmpty, s"expected grouped-rank windows mentioning $group")
+      specs.foreach { spec =>
+        assert(spec.contains("__pid"),
+          s"low-cardinality window partitioned by bare $group: $spec")
+      }
+    }
+  }
+
   test("ab test is one aggregate pass: no join, no window") {
     val plan = formatted(graft.operators.Experiment.abTestResults(spark, dir))
     assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),

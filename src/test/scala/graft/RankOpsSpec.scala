@@ -46,6 +46,47 @@ class RankOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("withGroupedRank matches a per-group window row_number exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // few groups, many rows per group — the exact shape the grouped rank
+    // exists for; sizes chosen to NOT divide evenly into 32 partitions so
+    // groups span partition boundaries
+    val df = (1 to 4013).map { i =>
+      (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(40))
+    }.toDF("id", "g", "v")
+    val got = RankOps.withGroupedRank(df, "r", Seq("g"),
+        Seq(col("v").desc, col("id").asc), countCol = Some("n"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("g"),
+        r.getAs[Int]("v"), r.getAs[Long]("r"), r.getAs[Long]("n")))
+    spark.catalog.clearCache()
+    val byGroup = got.groupBy(_._2)
+    assert(byGroup.size == 5)
+    byGroup.foreach { case (_, rows) =>
+      // ranks are the permutation 1..|group| and agree with a local sort
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq)
+      rows.sortBy { case (id, _, v, _, _) => (-v, id) }
+        .zipWithIndex.foreach { case ((_, _, _, r, _), i) => assert(r == i + 1) }
+      // countCol = group size on every row
+      assert(rows.forall(_._5 == rows.length))
+    }
+  }
+
+  test("withGroupedRank handles single-row and single-group frames") {
+    import spark.implicits._
+    val one = Seq((1L, "a", 5)).toDF("id", "g", "v")
+    val got1 = RankOps.withGroupedRank(one, "r", Seq("g"), Seq(col("v"), col("id")))
+      .collect()
+    spark.catalog.clearCache()
+    assert(got1.length == 1 && got1.head.getAs[Long]("r") == 1L)
+    // one group spanning every partition = pure boundary-offset path
+    val oneGroup = (1 to 500).map(i => (i.toLong, "only", 500 - i)).toDF("id", "g", "v")
+    val got2 = RankOps.withGroupedRank(oneGroup, "r", Seq("g"), Seq(col("v").asc, col("id").asc))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("r"))).toMap
+    spark.catalog.clearCache()
+    (1 to 500).foreach(i => assert(got2(i.toLong) == (500 - i + 1).toLong))
+  }
+
   test("ntile handles n < k (each row its own bucket)") {
     import spark.implicits._
     val df = Seq((1L, 10), (2L, 5), (3L, 1)).toDF("id", "v")
