@@ -46,7 +46,7 @@ object Bench {
       .foreach(t => Tables.read(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
 
-    val names = SparkEntry.queries.toSeq
+    val names = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy(_._1)
     // sweeps(s)(i) = time of query i in sweep s, None on failure

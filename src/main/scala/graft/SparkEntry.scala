@@ -184,4 +184,15 @@ object SparkEntry {
     * non-SQL-expressible (hash-function-dependent LSH etc.) and get the
     * driver's rows-only check plus ScalaTest coverage. */
   def oracleSql: Map[String, String] = Oracles.sql
+
+  /** Bench-only approximate scale twins (operators/Approx.scala): measured
+    * alongside their exact forms so the 100 TB recommendation (HLL distincts
+    * instead of the countDistinct Expand) is a benchmarked number, not an
+    * assertion. NOT part of `queries`: an HLL sketch has no cross-engine
+    * oracle (Spark and DuckDB implement different estimators), and the
+    * accuracy bounds are ApproxSpec's job. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sales_summary_approx"    -> ((s, d) => graft.operators.Approx.salesSummaryApprox(s, d)),
+    "product_analysis_approx" -> ((s, d) => graft.operators.Approx.productAnalysisApprox(s, d))
+  )
 }
