@@ -153,6 +153,8 @@ object SparkEntry {
     // IsolationForest/DBSCAN — KMeans-distance analog, rows-only)
     "anomaly_ml"          -> ((s, d) => graft.ml.MlAnomaly.mlAnomaly(s, d)),
     "anomaly_ensemble_ml" -> ((s, d) => Ensemble.anomalyEnsembleMl(s, d)),
+    // supervised GBT training/eval report (reference: model_trainer.py, rows-only)
+    "model_eval"          -> ((s, d) => graft.ml.ModelEval.modelEval(s, d)),
     // lagged supervised matrix (reference: predictive_engine.py:379)
     "lagged_features"  -> ((s, d) => FeaturePipeline.laggedFeatures(s, d)),
     // business alert ladders (reference: bi_dashboard_integration.py:138)

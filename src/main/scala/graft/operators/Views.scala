@@ -26,11 +26,17 @@ object Views {
 
   private def centsL(c: Column): Column = round(c * 100, 0).cast("long")
 
-  /** Sample stddev from exact rolling sums: sqrt((n·s2 − s1²)/(n·(n−1))). */
+  /** Sample stddev from exact rolling sums: sqrt((n·s2 − s1²)/(n·(n−1))).
+    * s2 (the Σv² DECIMAL(38,0)) passes 2^63 once a window holds ~30 days of
+    * squared daily cent sums (measured at sf0.1: daily_sales_kpi's q30 hit
+    * 3e19) — the direct decimal→double cast is not engine-portable there, so
+    * it rides the 2^62 hi/lo split (Exact.bigDecToDouble, the r9 overflow
+    * lesson). s1 is a plain cent sum, orders of magnitude under 2^53. */
   private def rollStd(n: Column, s1: Column, s2: Column): Column = {
     val nD = n.cast("double")
     when(n <= 1, lit(null).cast("double"))
-      .otherwise(sqrt((nD * s2.cast("double") - s1.cast("double") * s1.cast("double"))
+      .otherwise(sqrt((nD * graft.Exact.bigDecToDouble(s2.cast("decimal(38,0)"))
+        - s1.cast("double") * s1.cast("double"))
         / (nD * (nD - lit(1.0)))))
   }
 
@@ -148,7 +154,7 @@ object Views {
   }
 
   def realtimeMetricsOracle: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bucket,
       |    user_id, CAST(round(value * 100) AS BIGINT) AS centi
       |  FROM events
@@ -173,7 +179,7 @@ object Views {
       |  CAST(mn AS DOUBLE) / 100.0 AS min_sale,
       |  CAST(mx AS DOUBLE) / 100.0 AS max_sale,
       |  CASE WHEN n_events <= 1 THEN NULL
-      |       ELSE sqrt((CAST(n_events AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |       ELSE sqrt((CAST(n_events AS DOUBLE) * ${graft.Exact.bigDecToDoubleSql("q")} - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
       |                 / (CAST(n_events AS DOUBLE) * (CAST(n_events AS DOUBLE) - 1.0))) / 100.0 END AS revenue_stddev,
       |  CAST(coalesce(outlier_sales, 0) AS BIGINT) AS outlier_sales
       |FROM agg LEFT JOIN outl ON agg.bucket = outl.bucket""".stripMargin
@@ -333,7 +339,7 @@ object Views {
   }
 
   def dailySalesKpiOracle: String =
-    """WITH f AS (
+    s"""WITH f AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey, l_orderkey, l_linenumber,
       |    CAST(l_quantity AS BIGINT) AS qty,
       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
@@ -372,7 +378,7 @@ object Views {
       |  SELECT *,
       |    CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE) AS avg7,
       |    CASE WHEN c30 <= 1 THEN NULL
-      |         ELSE sqrt((CAST(c30 AS DOUBLE) * CAST(q30 AS DOUBLE) - CAST(s30 AS DOUBLE) * CAST(s30 AS DOUBLE))
+      |         ELSE sqrt((CAST(c30 AS DOUBLE) * ${graft.Exact.bigDecToDoubleSql("q30")} - CAST(s30 AS DOUBLE) * CAST(s30 AS DOUBLE))
       |                   / (CAST(c30 AS DOUBLE) * (CAST(c30 AS DOUBLE) - 1.0))) END AS std30,
       |    CASE WHEN prev IS NULL OR prev = 0 THEN NULL
       |         ELSE (CAST(net_cents AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE) * 100.0 END AS growth,
@@ -454,7 +460,7 @@ object Views {
   }
 
   def anomalyKpisOracle: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT strftime(o_orderdate, '%Y-%m') AS bucket,
       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev,
       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cust,
@@ -480,7 +486,7 @@ object Views {
       |  SELECT *,
       |    CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE) AS mean,
       |    CASE WHEN c <= 1 THEN NULL
-      |         ELSE sqrt((CAST(c AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |         ELSE sqrt((CAST(c AS DOUBLE) * ${graft.Exact.bigDecToDoubleSql("s2")} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
       |                   / (CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1.0))) END AS sd
       |  FROM x
       |), zz AS (
