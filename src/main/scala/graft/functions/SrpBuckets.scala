@@ -13,17 +13,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * `aggregate(zip_with(v, array(<dim literals>), …))` expressions — at
   * 12×5×64 that's a plan so large that Janino compile time dominated the
   * whole ann_lsh query (~7 s at sf0.1). Here the hyperplanes ride along as a
-  * codegen reference object (one flat double[]) and the generated code is
+  * codegen reference object (one flat long[]) and the generated code is
   * three tight loops. Returns array<int> of length `tables`; element t is
   * table t's `bits`-bit bucket key.
+  *
+  * EXACT-INTEGER projections (the scale-parity contract): the vector is
+  * quantized once to q20 fixed point (round-half-away, the ArrayCosineQ20
+  * recipe) and each hyperplane component is an INTEGER, so every product
+  * (≤ 2^52) and the running sum (≤ 2^58 over 64 dims) is exact in a long —
+  * the sign test, and hence the bucket key, is bit-reproducible on any
+  * engine and any accumulation order. Gaussian doubles would leave the
+  * bucketing JVM-private (seeded `Random.nextGaussian` is not expressible
+  * in SQL), which is what kept the embed_neardup oracle recall-dependent:
+  * at sf0.1 SRP recall at the demo threshold dropped to 0.94 and the
+  * exact-all-pairs "oracle" diverged. Integer planes let the DuckDB twin
+  * replay the identical bucketing (md5 digit-fold, the hashBucketSql
+  * recipe), turning the oracle into an implementation-parity check that
+  * holds at EVERY scale; recall vs brute force stays a measured AnnSpec
+  * property. Sign-projection families with symmetric integer components
+  * are the SimHash construction — recall behavior matches the Gaussian
+  * family in practice.
   */
-case class SrpBuckets(child: Expression, planes: Array[Double],
+case class SrpBuckets(child: Expression, planes: Array[Long],
                       tables: Int, bits: Int, dim: Int)
     extends UnaryExpression {
 
   require(planes.length == tables * bits * dim, "planes must be tables*bits*dim flat")
 
-  // Array[Double] equality is reference-based, which would make structurally
+  // Array equality is reference-based, which would make structurally
   // identical expressions compare unequal — Catalyst canonicalization and
   // subexpression elimination would miss. Compare planes by content.
   override def equals(other: Any): Boolean = other match {
@@ -43,6 +60,14 @@ case class SrpBuckets(child: Expression, planes: Array[Double],
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = math.min(dim, arr.numElements())
+    // quantize once per vector, not once per (table, bit)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val xv = arr.getFloat(i).toDouble * 1048576.0
+      q(i) = (if (xv >= 0) math.floor(xv + 0.5) else math.ceil(xv - 0.5)).toLong
+      i += 1
+    }
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -50,9 +75,9 @@ case class SrpBuckets(child: Expression, planes: Array[Double],
       var b = 0
       while (b < bits) {
         val off = (t * bits + b) * dim
-        var s = 0.0
+        var s = 0L
         var j = 0
-        while (j < n) { s += arr.getFloat(j).toDouble * planes(off + j); j += 1 }
+        while (j < n) { s += q(j) * planes(off + j); j += 1 }
         if (s > 0) bucket |= (1 << b)
         b += 1
       }
@@ -63,26 +88,35 @@ case class SrpBuckets(child: Expression, planes: Array[Double],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val planesRef = ctx.addReferenceObj("planes", planes, "long[]")
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val xv = ctx.freshName("xv")
       val out = ctx.freshName("out")
       val t = ctx.freshName("t")
       val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
       val bucket = ctx.freshName("bucket")
       s"""
          |final int $n = java.lang.Math.min($dim, $v.numElements());
+         |final long[] $q = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xv = ((double) $v.getFloat($i)) * 1048576.0;
+         |  $q[$i] = (long) ($xv >= 0 ? java.lang.Math.floor($xv + 0.5)
+         |                            : java.lang.Math.ceil($xv - 0.5));
+         |}
          |final int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bucket = 0;
          |  for (int $b = 0; $b < $bits; $b++) {
          |    final int $off = ($t * $bits + $b) * $dim;
-         |    double $s = 0.0;
+         |    long $s = 0L;
          |    for (int $j = 0; $j < $n; $j++) {
-         |      $s += ((double) $v.getFloat($j)) * $planesRef[$off + $j];
+         |      $s += $q[$j] * $planesRef[$off + $j];
          |    }
          |    if ($s > 0) $bucket |= (1 << $b);
          |  }
@@ -101,7 +135,7 @@ object SrpBuckets {
   /** Registers `srp_buckets_<tag>(vec)` with the planes bound in the builder
     * closure (planes can't travel through SQL text), and returns the
     * function name to use in `expr(...)`. */
-  def register(spark: SparkSession, tag: String, planes: Array[Double],
+  def register(spark: SparkSession, tag: String, planes: Array[Long],
                tables: Int, bits: Int, dim: Int): String = {
     val name = s"srp_buckets_$tag"
     val fid = FunctionIdentifier(name)
