@@ -80,6 +80,41 @@ object Oracles {
       |          FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
       |          WHERE CAST(isect AS DOUBLE) / (ca.n + cb.n - isect) >= 0.8)""".stripMargin
 
+  /** Full replay of the portable-MD5 SimHash detector (SimHash.scala): the
+    * per-token 64-bit hash is `md5_number_upper(token)` — numerically the
+    * little-endian first-8-digest-bytes long the Spark side computes
+    * (SimHash64.md5Long) — so the multiplicity-weighted bit votes, the
+    * fingerprint, the 4 × 16-bit pigeonhole bands, and the Hamming verify
+    * are all bit-identical across engines. The band join keeps the oracle
+    * sub-quadratic too (the pigeonhole guarantee — any pair at Hamming ≤ 3
+    * shares a whole band — is mathematical, not probabilistic, so banded
+    * output EQUALS the all-pairs answer at every scale). Ends in
+    * `shpairs(doc_a, doc_b, hamming)`. */
+  private val simhashPairsCte =
+    """sd AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |         t -> len(t) > 0) AS toks FROM documents),
+      |stc AS (SELECT doc_id, t, COUNT(*) AS c
+      |        FROM (SELECT doc_id, unnest(toks) AS t FROM sd) GROUP BY 1, 2),
+      |sth AS (SELECT doc_id, c, md5_number_upper(t) AS h FROM stc),
+      |svotes AS (SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN c ELSE -c END) AS v
+      |           FROM sth CROSS JOIN range(0, 64) r(j) GROUP BY 1, 2),
+      |sraw AS (SELECT doc_id,
+      |           SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END) AS uh
+      |         FROM svotes GROUP BY 1),
+      |ssh AS (SELECT sd.doc_id, COALESCE(uh, CAST(0 AS HUGEINT)) AS uh,
+      |          CAST(CASE WHEN COALESCE(uh, CAST(0 AS HUGEINT)) >= CAST(1 AS HUGEINT) << 63
+      |               THEN COALESCE(uh, CAST(0 AS HUGEINT)) - (CAST(1 AS HUGEINT) << 64)
+      |               ELSE COALESCE(uh, CAST(0 AS HUGEINT)) END AS BIGINT) AS simhash
+      |        FROM sd LEFT JOIN sraw USING (doc_id)),
+      |sbk AS (SELECT doc_id, simhash, j AS band, CAST((uh >> (16 * j)) & 65535 AS BIGINT) AS bucket
+      |        FROM ssh CROSS JOIN range(0, 4) r(j)),
+      |shpairs AS (SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |            FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                    a.simhash AS sa, b.simhash AS sb
+      |                  FROM sbk a JOIN sbk b USING (band, bucket)
+      |                  WHERE a.doc_id < b.doc_id)
+      |            WHERE bit_count(xor(sa, sb)) <= 3)""".stripMargin
+
   private val factJoinRollup =
     """SELECT o_orderpriority,
       |  COUNT(*) AS n_lines,
@@ -97,6 +132,32 @@ object Oracles {
     "dedup_minhash" ->
       s"""WITH $exactJaccardPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashPairsCte
+         |SELECT doc_a, doc_b, hamming FROM shpairs""".stripMargin,
+
+    // the composed report: exact ∪ minhash ∪ simhash ∪ embedding — each leg
+    // reuses its own detector's oracle form (the simhash leg became
+    // SQL-expressible when the detector moved to the portable MD5 hash)
+    "dedup_report" ->
+      s"""WITH $exactJaccardPairs,
+         |$simhashPairsCte,
+         |ex AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |       FROM documents),
+         |expairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, method, score FROM (
+         |  SELECT doc_a, doc_b, 'exact' AS method, CAST(1 AS DOUBLE) AS score FROM expairs
+         |  UNION ALL
+         |  SELECT doc_a, doc_b, 'minhash', jaccard FROM pairs
+         |  UNION ALL
+         |  SELECT doc_a, doc_b, 'simhash',
+         |    CAST(1 AS DOUBLE) - CAST(hamming AS DOUBLE) / CAST(64 AS DOUBLE) FROM shpairs
+         |  UNION ALL
+         |  SELECT vec_a AS doc_a, vec_b AS doc_b, 'embedding', cos_sim
+         |  FROM (${graft.ann.Ann.embedNearDupsOracle}) emb
+         |) u""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $exactJaccardPairs,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection (brief requirement).
   *
-  * 64-bit SimHash from token-frequency-weighted xxhash64 bit votes, then the
+  * 64-bit SimHash from token-frequency-weighted MD5 bit votes, then the
   * pigeonhole trick: split the 64 bits into 4 × 16-bit bands — any pair with
   * Hamming distance ≤ 3 must agree on at least one whole band — and join on
   * exact band matches only (sub-quadratic candidates), verifying with
@@ -17,13 +17,19 @@ object SimHash {
   /** doc_id + 64-bit `simhash` (long) — one narrow map through the
     * codegen'd graft.functions.SimHash64 expression (token multiplicity
     * votes fall out of iterating the raw token array; the previous
-    * explode → 64-aggregate-column pipeline shuffled every token). */
+    * explode → 64-aggregate-column pipeline shuffled every token).
+    *
+    * The token hash is the MD5-derived portable form (`simhash64_md5`), so
+    * a SQL oracle can replay every fingerprint via `md5_number_upper` —
+    * that flips the whole detector from rows-only to hash-exact checking.
+    * The Murmur3 variant (`simhash64`) remains registered for pipelines
+    * that prefer raw speed over cross-engine replayability. */
   def simhashDocs(docs: DataFrame): DataFrame = {
     graft.functions.SimHash64.register(docs.sparkSession)
     docs
       .withColumn("__tokens",
         expr("""filter(split(lower(trim(text)), '\\s+'), t -> length(t) > 0)"""))
-      .select(col("doc_id"), expr("simhash64(__tokens)").as("simhash"))
+      .select(col("doc_id"), expr("simhash64_md5(__tokens)").as("simhash"))
   }
 
   /** Candidate pairs sharing ≥1 16-bit band, with exact Hamming distance.

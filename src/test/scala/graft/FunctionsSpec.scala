@@ -162,4 +162,19 @@ class FunctionsSpec extends AnyFunSuite {
       .filter(not(col("fused") <=> col("decl"))).count()
     assert(mismatch == 0)
   }
+
+  test("simhash64_md5 token hash equals DuckDB's md5_number_upper") {
+    import spark.implicits._
+    // md5('abc') = 900150983cd24fb0..., DuckDB md5_number_upper('abc') =
+    // 12704604231530709392 (unsigned) = the little-endian first-8-bytes long.
+    // This pin IS the cross-engine contract the dedup_simhash oracle rests on.
+    val abc = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    assert(graft.functions.SimHash64.md5Long(abc) == -5742139842178842224L)
+    // single-token doc: every hash bit votes alone, so the fingerprint IS the
+    // token hash — and eval and codegen must agree on it
+    graft.functions.SimHash64.register(spark)
+    val viaExpr = Seq(Tuple1(Seq("abc"))).toDF("t")
+      .select(expr("simhash64_md5(t)")).head.getLong(0)
+    assert(viaExpr == -5742139842178842224L)
+  }
 }
