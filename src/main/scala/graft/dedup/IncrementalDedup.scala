@@ -75,53 +75,76 @@ object IncrementalDedup {
                          threshold: Double = 0.8, numHashes: Int = 16,
                          bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val docs = Tables.documents(spark, dir)
     val signed = MinHashLsh.withSignatures(MinHashLsh.shingleDocs(docs), numHashes)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .localCheckpoint(false)
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
-      struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
-    }
-    val buckets = signed
-      .withColumn("__band", explode(array(bandStructs: _*)))
-      .select(col("doc_id"), col("source"),
-        col("__band.band").as("band"), col("__band.bucket").as("bucket"))
+    val buckets = bandBuckets(signed, numHashes, bands)
+      .select(col("doc_id"), col("source"), col("band"), col("bucket"))
     val probe = buckets.filter(col("source") === BatchSource)
       .select(col("band"), col("bucket"), col("doc_id"))
     val index = buckets
-      .select(col("band"), col("bucket"),
-        col("doc_id").as("other_id"), col("source").as("other_source"))
+      .select(col("band"), col("bucket"), col("doc_id").as("other_id"),
+        (col("source") =!= BatchSource).as("other_is_corpus"))
     val cand = probe.join(index, Seq("band", "bucket"))
       .filter(col("other_id") =!= col("doc_id"))
       // a batch doc defers only to EARLIER batch docs (min-id keeper rule);
       // corpus docs match regardless of id
-      .filter(col("other_source") =!= BatchSource || col("other_id") < col("doc_id"))
-      .select("doc_id", "other_id", "other_source")
+      .filter(col("other_is_corpus") || col("other_id") < col("doc_id"))
+      .select("doc_id", "other_id", "other_is_corpus")
       .dropDuplicates("doc_id", "other_id")
     val shA = signed.select(col("doc_id"), col("shingles").as("sh_a"))
     val shB = signed.select(col("doc_id").as("other_id"), col("shingles").as("sh_b"))
+    jaccardDecisions(docs.filter(col("source") === BatchSource).select(col("doc_id")),
+      cand, shA, shB, threshold)
+  }
+
+  /** Band-bucket explode shared by the batch detector and the streaming
+    * per-micro-batch probe ([[graft.streaming.StreamingNearDup]]) — sharing
+    * the geometry is what makes stream and batch decisions comparable.
+    * Keeps the input's columns and adds `band` / `bucket`. */
+  private[graft] def bandBuckets(signed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until r).map(i => col("sig").getItem(b * r + i))
+      struct(lit(b).as("band"), xxhash64(concat_ws("|", slice: _*)).as("bucket"))
+    }
+    signed
+      .withColumn("__band", explode(array(bandStructs: _*)))
+      .withColumn("band", col("__band.band"))
+      .withColumn("bucket", col("__band.bucket"))
+      .drop("__band")
+  }
+
+  /** Exact-Jaccard verify + decision ladder over LSH candidates, shared by
+    * the batch detector and the streaming probe. `cand` carries
+    * (doc_id, other_id, other_is_corpus); shingles re-attach per side; best
+    * match per (doc, side) is max jaccard with ties to the smaller id — the
+    * struct max is (jaccard, -id) lexicographic, deterministic both engines.
+    * Output: one row per probe doc — (doc_id, decision, keeper_id, jaccard)
+    * with the drop_near_corpus > drop_near_batch > keep precedence. */
+  private[graft] def jaccardDecisions(probeDocs: DataFrame, cand: DataFrame,
+                                      shA: DataFrame, shB: DataFrame,
+                                      threshold: Double): DataFrame = {
     val matches = cand.join(shA, "doc_id").join(shB, "other_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("other_id"), col("other_source"), col("jaccard"))
-    // best match per (doc, side): max jaccard, tie → min other_id — the
-    // struct max is (jaccard, -id) lexicographic, deterministic both engines
+      .select(col("doc_id"), col("other_id"), col("other_is_corpus"), col("jaccard"))
     def best(side: DataFrame): DataFrame = side
       .groupBy("doc_id")
       .agg(max(struct(col("jaccard"), (-col("other_id")).as("neg"))).as("__b"))
       .select(col("doc_id"), (-col("__b.neg")).cast("long").as("match_id"),
         col("__b.jaccard").as("match_jaccard"))
-    val corpusBest = best(matches.filter(col("other_source") =!= BatchSource))
+    val corpusBest = best(matches.filter(col("other_is_corpus")))
       .withColumnRenamed("match_id", "corpus_id")
       .withColumnRenamed("match_jaccard", "corpus_jaccard")
-    val batchBest = best(matches.filter(col("other_source") === BatchSource))
+    val batchBest = best(matches.filter(!col("other_is_corpus")))
       .withColumnRenamed("match_id", "batch_id")
       .withColumnRenamed("match_jaccard", "batch_jaccard")
-    docs.filter(col("source") === BatchSource).select(col("doc_id"))
+    probeDocs
       .join(corpusBest, Seq("doc_id"), "left")
       .join(batchBest, Seq("doc_id"), "left")
       .withColumn("decision",

@@ -39,6 +39,16 @@ object ExactlyOnce {
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
   }
 
+  /** Atomically create the commit marker for a batch directory — the commit
+    * point of the write-then-rename protocol, exposed for sinks that stage
+    * more than one directory per batch (e.g. StreamingNearDup writes the
+    * decision output AND an index append, then marks each in turn). */
+  def commit(spark: org.apache.spark.sql.SparkSession, outDir: String,
+             batchId: Long): Unit = {
+    val m = marker(outDir, batchId)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).create(m, true).close()
+  }
+
   /** foreachBatch body with exactly-once sink semantics: skip committed
     * batchIds, else write parquet then atomically create the commit marker.
     * A crash between write and marker leaves an uncommitted directory that

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.dedup.{IncrementalDedup, MinHashLsh}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental NEAR-dup: the lambda-architecture completion of
+  * [[graft.dedup.IncrementalDedup.incrementalNearDup]] — each micro-batch of
+  * an unbounded document stream is LSH-probed against a PERSISTED corpus
+  * bucket index, decisions land exactly-once via the batchId marker protocol
+  * ([[ExactlyOnce]]), and the batch's own buckets/shingles are appended to
+  * the index so later micro-batches dedup against earlier ones. Reference
+  * analog: none (its dedup is whole-corpus batch only); this is the shape a
+  * continuously-crawled 100 TB corpus actually needs — the settled corpus is
+  * indexed ONCE, each nightly/streaming slice probes it, and the corpus is
+  * never self-joined again.
+  *
+  * Stream/batch parity: the probe shares the batch detector's signature
+  * family (MinHashSig is corpus-independent per doc), band geometry
+  * ([[IncrementalDedup.bandBuckets]]), Jaccard verify, and decision ladder
+  * ([[IncrementalDedup.jaccardDecisions]]), so when micro-batches arrive in
+  * doc_id order the streamed decisions equal the whole-batch run's
+  * bit-for-bit (StreamingNearDupSpec pins this). "Earlier arrival wins"
+  * replaces "smaller id wins" when arrival order diverges from id order —
+  * the only semantic difference, inherent to streaming.
+  *
+  * Crash safety: per batch the sink writes the decision dir, then the index
+  * append dir, then marks index, then marks output (the skip key). A crash
+  * between the two markers replays the probe with the batch's own docs
+  * already in the index — harmless, because the candidate filter
+  * (`other_id =!= doc_id`, batch side `other_id < doc_id`) makes the replay
+  * compute identical decisions, and both dirs are overwrite-idempotent.
+  *
+  * Scale shape per micro-batch: signature/bucket build is batch-sized; the
+  * bucket join probes batch buckets against the index (candidates = batch ×
+  * collision rate, never index × index); shingles re-attach for candidate
+  * ids only. The index grows by one parquet dir per batch — compact it
+  * offline by rewriting into `corpus/` whenever dir count matters.
+  */
+object StreamingNearDup {
+
+  /** One-time build of the settled-corpus LSH index under `indexDir/corpus`:
+    * `buckets` (doc_id, band, bucket) + `shingles` (doc_id, shingles). In
+    * production this is the persisted index the nightly batch probe reads;
+    * here it seeds the streaming probe. */
+  def buildCorpusIndex(corpus: DataFrame, indexDir: String,
+                       numHashes: Int = 16, bands: Int = 4): Unit = {
+    val signed = MinHashLsh.withSignatures(MinHashLsh.shingleDocs(corpus), numHashes)
+      .localCheckpoint(false)
+    IncrementalDedup.bandBuckets(signed, numHashes, bands)
+      .select("doc_id", "band", "bucket")
+      .write.mode("overwrite").parquet(s"$indexDir/corpus/buckets")
+    signed.select("doc_id", "shingles")
+      .write.mode("overwrite").parquet(s"$indexDir/corpus/shingles")
+  }
+
+  private def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
+    dfs.reduceOption(_.unionByName(_))
+
+  /** Decisions for one micro-batch (columns `doc_id`, `text`) probed against
+    * the settled index: `corpus/` plus every COMMITTED earlier batch append
+    * (the marker protocol makes half-written appends invisible). Returns
+    * (decisions, signed) — the sink reuses `signed` for the index append so
+    * the signatures are computed once per batch. */
+  private def probe(spark: SparkSession, batch: DataFrame, indexDir: String,
+                    threshold: Double, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    val signed = MinHashLsh.withSignatures(MinHashLsh.shingleDocs(batch), numHashes)
+      .localCheckpoint(false)
+    val bb = IncrementalDedup.bandBuckets(signed, numHashes, bands)
+      .select("doc_id", "band", "bucket")
+    val committed = ExactlyOnce.committedBatches(spark, indexDir)
+    val corpusB = spark.read.parquet(s"$indexDir/corpus/buckets")
+      .withColumn("other_is_corpus", lit(true))
+    val earlierB = unionAll(committed.map(d => spark.read.parquet(s"$d/buckets")))
+      .map(_.withColumn("other_is_corpus", lit(false)))
+    val selfB = bb.withColumn("other_is_corpus", lit(false))
+    val index = (Seq(corpusB) ++ earlierB ++ Seq(selfB))
+      .map(_.select(col("band"), col("bucket"), col("doc_id").as("other_id"),
+        col("other_is_corpus")))
+      .reduce(_.unionByName(_))
+    val cand = bb.join(index, Seq("band", "bucket"))
+      .filter(col("other_id") =!= col("doc_id"))
+      .filter(col("other_is_corpus") || col("other_id") < col("doc_id"))
+      .select("doc_id", "other_id", "other_is_corpus")
+      .dropDuplicates("doc_id", "other_id")
+    val corpusSh = spark.read.parquet(s"$indexDir/corpus/shingles")
+    val earlierSh = unionAll(committed.map(d => spark.read.parquet(s"$d/shingles")))
+    val allSh = (Seq(corpusSh) ++ earlierSh ++ Seq(signed.select("doc_id", "shingles")))
+      .reduce(_.unionByName(_))
+      // a replayed batch whose index append committed before the crash
+      // appears both as "earlier" and as "self" — one copy is enough
+      .dropDuplicates("doc_id")
+    val shA = signed.select(col("doc_id"), col("shingles").as("sh_a"))
+    val shB = allSh.select(col("doc_id").as("other_id"), col("shingles").as("sh_b"))
+    val decisions = IncrementalDedup.jaccardDecisions(
+      batch.select(col("doc_id")), cand, shA, shB, threshold)
+    (decisions, signed)
+  }
+
+  /** Public probe without the sink: decisions for an ad-hoc slice against a
+    * prebuilt index (the nightly-batch entry point over the same index). */
+  def probeBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                 threshold: Double = 0.8, numHashes: Int = 16,
+                 bands: Int = 4): DataFrame =
+    probe(spark, batch, indexDir, threshold, numHashes, bands)._1
+
+  /** foreachBatch body: exactly-once decisions under `outDir/batch=N` plus
+    * the index append under `indexDir/batch=N`, in marker order
+    * index-then-output (see crash-safety note above). Wire as
+    * `docs.writeStream.foreachBatch(nearDupSink(idx, out)).start()`. */
+  def nearDupSink(indexDir: String, outDir: String, threshold: Double = 0.8,
+                  numHashes: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      if (!ExactlyOnce.isCommitted(spark, outDir, batchId)) {
+        val (decisions, signed) =
+          probe(spark, batch, indexDir, threshold, numHashes, bands)
+        decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        IncrementalDedup.bandBuckets(signed, numHashes, bands)
+          .select("doc_id", "band", "bucket")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId/buckets")
+        signed.select("doc_id", "shingles")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId/shingles")
+        ExactlyOnce.commit(spark, indexDir, batchId)
+        ExactlyOnce.commit(spark, outDir, batchId)
+      }
+    }
+}

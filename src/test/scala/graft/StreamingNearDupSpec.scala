@@ -1,0 +1,89 @@
+package graft
+
+import graft.dedup.IncrementalDedup
+import graft.streaming.{ExactlyOnce, StreamingNearDup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream/batch parity for the incremental near-dup detector: the same
+  * corpus + batch slice, run once through the whole-batch detector and once
+  * as two id-ordered micro-batches through the foreachBatch sink against a
+  * persisted index, must produce identical decisions — plus the marker
+  * protocol's replay-dedup guarantee. */
+class StreamingNearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streamed micro-batch decisions equal the whole-batch detector's") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
+    val indexDir = tmp("snd_idx")
+    val outDir = tmp("snd_out")
+    StreamingNearDup.buildCorpusIndex(corpus, indexDir)
+
+    // the batch slice, id-ordered (arrival order = id order is the parity
+    // precondition — see StreamingNearDup scaladoc), split into two halves
+    val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(slice.length >= 4, s"batch slice too small for a 2-batch split: ${slice.length}")
+    val (first, second) = slice.splitAt(slice.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingNearDup.nearDupSink(indexDir, outDir))
+      .option("checkpointLocation", tmp("snd_ckpt"))
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val committed = ExactlyOnce.committedBatches(spark, outDir)
+    assert(committed.size == 2, s"expected 2 committed batches, got $committed")
+    val streamed = spark.read.parquet(committed: _*)
+      .select("doc_id", "decision", "keeper_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    val batch = IncrementalDedup.incrementalNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"stream/batch diverged: onlyStream=${streamed -- batch} onlyBatch=${batch -- streamed}")
+    // the stream found real work (corpus matches exist at sf0.001)
+    assert(streamed.exists(_._2 != "keep"), "no non-keep decisions — parity check vacuous")
+  }
+
+  test("replayed batchId is skipped by the marker protocol") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
+    val indexDir = tmp("snd_idx2")
+    val outDir = tmp("snd_out2")
+    StreamingNearDup.buildCorpusIndex(corpus, indexDir)
+    val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
+      .select("doc_id", "text").limit(20)
+    val sink = StreamingNearDup.nearDupSink(indexDir, outDir)
+    sink(slice, 0L)
+    val firstRun = spark.read.parquet(s"$outDir/batch=0")
+      .orderBy("doc_id").collect().toSeq
+    val marker = new java.io.File(s"$outDir/batch=0/_GRAFT_COMMITTED")
+    val mtime = marker.lastModified()
+    sink(slice, 0L) // replay after "crash": marker present → full skip
+    assert(marker.lastModified() == mtime, "replay re-wrote a committed batch")
+    val afterReplay = spark.read.parquet(s"$outDir/batch=0")
+      .orderBy("doc_id").collect().toSeq
+    assert(afterReplay == firstRun)
+  }
+}
