@@ -58,6 +58,22 @@ object Exact {
       s" + CAST(CAST($vExpr % $b AS BIGINT) AS DOUBLE))"
   }
 
+  /** Driver-side JVM twin of [[bigDecToDouble]]/[[bigDecToDoubleSql]] for
+    * integer-valued BigDecimals collected to the driver (DetKMeans embeds
+    * cluster-mean literals computed with EXACTLY the sequence the oracle's
+    * SQL runs: hi/lo split at 2^62, two exact long extracts, one rounded
+    * long→double cast each, one rounded multiply, one rounded add —
+    * sign-aware like [[bigDecToDoubleSigned]]). */
+  def bigDecToDoubleJvm(v: java.math.BigDecimal): Double = {
+    val neg = v.signum() < 0
+    val a = v.abs.toBigIntegerExact
+    val b = java.math.BigInteger.valueOf(SplitB)
+    val qr = a.divideAndRemainder(b)
+    val d = qr(0).longValueExact().toDouble * SplitB.toDouble +
+      qr(1).longValueExact().toDouble
+    if (neg) -d else d
+  }
+
   /** Sign-aware [[bigDecToDouble]] for sums that can go negative (odd central
     * moments like Σd³). The `%`/`//` pair is only engine-portable for
     * non-negative operands (the engines' negative-remainder conventions are

@@ -122,8 +122,86 @@ object Oracles {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Three-detector ensemble (z + MAD + IQR) oracle — also embedded as
+    * the statistical leg of anomaly_ensemble_ml. */
+  private val anomalyEnsembleSql: String =
+    s"""WITH oc AS (
+         |  SELECT o_orderkey, n_name AS country, o_totalprice,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  $ordersJoin
+         |), a1 AS (
+         |  SELECT country AS a_country, COUNT(*) AS n,
+         |    CAST(SUM(cents) AS BIGINT) AS s,
+         |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS center
+         |  FROM oc GROUP BY 1
+         |), a2 AS (
+         |  SELECT a_country AS z_country, n, s, center,
+         |    SUM(CAST(cents - center AS DECIMAL(15,0)) * CAST(cents - center AS DECIMAL(15,0))) AS ssd
+         |  FROM oc JOIN a1 ON country = a_country
+         |  GROUP BY 1, 2, 3, 4
+         |), zs AS (
+         |  SELECT z_country,
+         |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
+         |    CASE WHEN n <= 1 THEN NULL
+         |         ELSE sqrt((${Exact.bigDecToDoubleSql("ssd")}
+         |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 END AS std_price
+         |  FROM a2
+         |), ranked AS (
+         |  SELECT country, cents, o_orderkey,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM oc
+         |), os AS (
+         |  SELECT country AS o_country,
+         |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents,
+         |    MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.25) AS BIGINT)) THEN cents END) AS q1_cents,
+         |    MIN(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END) AS q3_cents
+         |  FROM ranked GROUP BY 1
+         |), dev AS (
+         |  SELECT oc.country, oc.o_orderkey, abs(cents - med_cents) AS absdev
+         |  FROM oc JOIN os ON oc.country = o_country
+         |), ranked2 AS (
+         |  SELECT country, absdev,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY absdev, o_orderkey) AS BIGINT) AS rn2,
+         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
+         |  FROM dev
+         |), ms AS (
+         |  SELECT country AS m_country,
+         |    MIN(CASE WHEN rn2 = (n + 1) // 2 THEN absdev END) AS mad_cents
+         |  FROM ranked2 GROUP BY 1
+         |), scored AS (
+         |  SELECT o_orderkey, country, o_totalprice,
+         |    (o_totalprice - mean_price) / std_price AS z,
+         |    CASE WHEN mad_cents = 0 THEN NULL
+         |         ELSE (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) END AS modified_z,
+         |    CAST(cents AS DOUBLE) < CAST(q1_cents AS DOUBLE) - 1.5 * (q3_cents - q1_cents)
+         |      OR CAST(cents AS DOUBLE) > CAST(q3_cents AS DOUBLE) + 1.5 * (q3_cents - q1_cents)
+         |      AS is_iqr_outlier
+         |  FROM oc
+         |  JOIN zs ON country = z_country
+         |  JOIN os ON country = o_country
+         |  JOIN ms ON country = m_country
+         |), votes AS (
+         |  SELECT *,
+         |    (CASE WHEN z IS NULL THEN 0.0 ELSE least(abs(z) / 3.0, 1.0) END
+         |     + CASE WHEN modified_z IS NULL THEN 0.0 ELSE least(abs(modified_z) / 3.5, 1.0) END
+         |     + CASE WHEN is_iqr_outlier THEN 1.0 ELSE 0.0 END) / 3.0 AS ensemble_score,
+         |    CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN abs(modified_z) > 3.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN is_iqr_outlier THEN 1 ELSE 0 END AS BIGINT) AS votes
+         |  FROM scored
+         |)
+         |SELECT o_orderkey, country, o_totalprice, z, modified_z, is_iqr_outlier,
+         |  ensemble_score, votes, votes >= 2 AS is_anomaly,
+         |  CASE WHEN ensemble_score >= 0.9 THEN 'critical'
+         |       WHEN ensemble_score >= 0.7 THEN 'high'
+         |       WHEN ensemble_score >= 0.5 THEN 'medium'
+         |       ELSE 'low' END AS severity
+         |FROM votes""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
+    "customer_clusters" -> graft.ml.Clustering.customerClustersOracle(),
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,
     "embed_neardup" -> graft.ann.Ann.embedNearDupsOracle,
     "faceted_search" -> graft.text.Search.facetedSearchOracle,
@@ -1267,80 +1345,27 @@ object Oracles {
          |)
          |SELECT * FROM lagged WHERE lag_7 IS NOT NULL""".stripMargin,
 
-    "anomaly_ensemble" ->
-      s"""WITH oc AS (
-         |  SELECT o_orderkey, n_name AS country, o_totalprice,
-         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-         |  $ordersJoin
-         |), a1 AS (
-         |  SELECT country AS a_country, COUNT(*) AS n,
-         |    CAST(SUM(cents) AS BIGINT) AS s,
-         |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS center
-         |  FROM oc GROUP BY 1
-         |), a2 AS (
-         |  SELECT a_country AS z_country, n, s, center,
-         |    SUM(CAST(cents - center AS DECIMAL(15,0)) * CAST(cents - center AS DECIMAL(15,0))) AS ssd
-         |  FROM oc JOIN a1 ON country = a_country
-         |  GROUP BY 1, 2, 3, 4
-         |), zs AS (
-         |  SELECT z_country,
-         |    (CAST(s AS DOUBLE) / n) / 100.0 AS mean_price,
-         |    CASE WHEN n <= 1 THEN NULL
-         |         ELSE sqrt((${Exact.bigDecToDoubleSql("ssd")}
-         |      - (CAST(s % n AS DOUBLE) * CAST(s % n AS DOUBLE)) / n) / (n - 1)) / 100.0 END AS std_price
-         |  FROM a2
-         |), ranked AS (
-         |  SELECT country, cents, o_orderkey,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
-         |  FROM oc
-         |), os AS (
-         |  SELECT country AS o_country,
-         |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents,
-         |    MIN(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.25) AS BIGINT)) THEN cents END) AS q1_cents,
-         |    MIN(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN cents END) AS q3_cents
-         |  FROM ranked GROUP BY 1
-         |), dev AS (
-         |  SELECT oc.country, oc.o_orderkey, abs(cents - med_cents) AS absdev
-         |  FROM oc JOIN os ON oc.country = o_country
-         |), ranked2 AS (
-         |  SELECT country, absdev,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY country ORDER BY absdev, o_orderkey) AS BIGINT) AS rn2,
-         |    CAST(COUNT(*) OVER (PARTITION BY country) AS BIGINT) AS n
-         |  FROM dev
-         |), ms AS (
-         |  SELECT country AS m_country,
-         |    MIN(CASE WHEN rn2 = (n + 1) // 2 THEN absdev END) AS mad_cents
-         |  FROM ranked2 GROUP BY 1
-         |), scored AS (
-         |  SELECT o_orderkey, country, o_totalprice,
-         |    (o_totalprice - mean_price) / std_price AS z,
-         |    CASE WHEN mad_cents = 0 THEN NULL
-         |         ELSE (0.6745 * CAST(cents - med_cents AS DOUBLE)) / CAST(mad_cents AS DOUBLE) END AS modified_z,
-         |    CAST(cents AS DOUBLE) < CAST(q1_cents AS DOUBLE) - 1.5 * (q3_cents - q1_cents)
-         |      OR CAST(cents AS DOUBLE) > CAST(q3_cents AS DOUBLE) + 1.5 * (q3_cents - q1_cents)
-         |      AS is_iqr_outlier
-         |  FROM oc
-         |  JOIN zs ON country = z_country
-         |  JOIN os ON country = o_country
-         |  JOIN ms ON country = m_country
-         |), votes AS (
-         |  SELECT *,
-         |    (CASE WHEN z IS NULL THEN 0.0 ELSE least(abs(z) / 3.0, 1.0) END
-         |     + CASE WHEN modified_z IS NULL THEN 0.0 ELSE least(abs(modified_z) / 3.5, 1.0) END
-         |     + CASE WHEN is_iqr_outlier THEN 1.0 ELSE 0.0 END) / 3.0 AS ensemble_score,
-         |    CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END
-         |     + CASE WHEN abs(modified_z) > 3.5 THEN 1 ELSE 0 END
-         |     + CASE WHEN is_iqr_outlier THEN 1 ELSE 0 END AS BIGINT) AS votes
-         |  FROM scored
-         |)
-         |SELECT o_orderkey, country, o_totalprice, z, modified_z, is_iqr_outlier,
-         |  ensemble_score, votes, votes >= 2 AS is_anomaly,
-         |  CASE WHEN ensemble_score >= 0.9 THEN 'critical'
-         |       WHEN ensemble_score >= 0.7 THEN 'high'
-         |       WHEN ensemble_score >= 0.5 THEN 'medium'
+    "anomaly_ensemble" -> anomalyEnsembleSql,
+
+    "anomaly_ml" -> graft.ml.MlAnomaly.mlAnomalyOracle(),
+
+    // the 4th-vote composition mirrors Ensemble.anomalyEnsembleMl: the
+    // 3-detector composite re-weighted (3·s + ml)/4, one more vote, and the
+    // severity ladder re-run on the new score — both legs reuse their own
+    // oracles verbatim as subqueries
+    "anomaly_ensemble_ml" ->
+      s"""SELECT s.o_orderkey, s.country, s.o_totalprice, s.z, s.modified_z,
+         |  s.is_iqr_outlier, ml.ml_score, ml.is_ml_anomaly,
+         |  (s.ensemble_score * 3.0 + ml.ml_score) / 4.0 AS ensemble_score,
+         |  CAST(s.votes + CASE WHEN ml.is_ml_anomaly THEN 1 ELSE 0 END AS BIGINT) AS votes,
+         |  s.votes + CASE WHEN ml.is_ml_anomaly THEN 1 ELSE 0 END >= 2 AS is_anomaly,
+         |  CASE WHEN (s.ensemble_score * 3.0 + ml.ml_score) / 4.0 >= 0.9 THEN 'critical'
+         |       WHEN (s.ensemble_score * 3.0 + ml.ml_score) / 4.0 >= 0.7 THEN 'high'
+         |       WHEN (s.ensemble_score * 3.0 + ml.ml_score) / 4.0 >= 0.5 THEN 'medium'
          |       ELSE 'low' END AS severity
-         |FROM votes""".stripMargin,
+         |FROM ($anomalyEnsembleSql) s
+         |JOIN (${graft.ml.MlAnomaly.mlAnomalyOracle()}) ml
+         |  ON s.o_orderkey = ml.o_orderkey""".stripMargin,
 
     "business_alerts" ->
       """WITH o AS (

@@ -1,56 +1,80 @@
 package graft.ml
 
 import graft.{Exact, Tables}
-import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Customer segmentation via KMeans over RFM-style features
   * (reference: src/etl/transformations/advanced_features.py:364-409, which
-  * uses sklearn on a pandas frame — single-node; this is MLlib's distributed
-  * Lloyd's over the same three standardized features, fixed seed).
+  * uses sklearn on a pandas frame — single-node; this is a distributed
+  * Lloyd's over the same three standardized features).
+  *
+  * Round 10 swapped MLlib's KMeans for [[DetKMeans]]: MLlib's kmeans||
+  * init is partition-order-dependent, which kept this query rows-only
+  * forever; the deterministic fit (exact integer features, portable
+  * standardization, md5-Forgy init, fixed iterations) produces the same
+  * kind of segmentation AND is replayed bit-for-bit by the DuckDB oracle —
+  * the same determinism-over-raw-speed trade every other oracle-exact
+  * query in this library makes.
   */
 object Clustering {
   import Exact._
 
-  /** Per-customer (recency_days, frequency, monetary) features. */
+  /** Fixed Lloyd's iteration count (no data-dependent stop — determinism). */
+  val Iters = 8
+
+  /** Per-customer exact integer features: recency days, order count,
+    * monetary in cents. */
   def customerFeatures(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val maxDate = o.agg(max(to_date(col("o_orderdate")))).head.getDate(0)
     o.groupBy(col("o_custkey").as("customer_id"))
       .agg(
         max(to_date(col("o_orderdate"))).as("last_purchase"),
-        countAll.as("frequency"),
-        decSum(col("o_totalprice")).as("__m"))
-      .withColumn("recency_days", datediff(lit(maxDate), col("last_purchase")).cast("double"))
-      .withColumn("monetary", col("__m").cast("double"))
-      .select(col("customer_id"), col("recency_days"),
-        col("frequency").cast("double").as("frequency"), col("monetary"))
+        countAll.as("x1"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x2"))
+      .withColumn("x0", datediff(lit(maxDate), col("last_purchase")).cast("long"))
+      .select(col("customer_id"), col("x0"), col("x1"), col("x2"))
   }
 
-  /** KMeans(k, seed=42) over standardized features → per-customer cluster
-    * id plus the features that drove it. */
+  /** Deterministic KMeans(k) over standardized (recency, frequency,
+    * monetary) → per-customer cluster id plus the features that drove it. */
   def customerClusters(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    // KMeans makes ~init+maxIter passes over the features; without a persist
-    // each pass re-runs the scan+groupBy lineage (this single line cut the
-    // query ~4x at sf0.1)
+    // the fit scans the feature frame 3 + Iters times; persist the groupBy
+    // (this single line cut the MLlib query ~4x at sf0.1 — same economics)
     val feats = customerFeatures(spark, dir).persist()
-    val pipeline = new Pipeline().setStages(Array(
-      new VectorAssembler()
-        .setInputCols(Array("recency_days", "frequency", "monetary"))
-        .setOutputCol("__raw"),
-      new StandardScaler().setInputCol("__raw").setOutputCol("__scaled")
-        .setWithMean(true).setWithStd(true),
-      new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("__scaled").setPredictionCol("cluster")))
-    val out = pipeline.fit(feats).transform(feats)
-      .select(col("customer_id"), col("recency_days"), col("frequency"),
-        col("monetary"), col("cluster").cast("long").as("cluster"))
-    // fit's passes hit the cache; release it — the lazy consumer recomputes
-    // the (single-pass) feature lineage once
+    val (assigned, _) = DetKMeans.fit(
+      feats, "customer_id", Seq("x0", "x1", "x2"), k, Iters)
+    val out = assigned.select(
+      col("customer_id"),
+      col("x0").cast("double").as("recency_days"),
+      col("x1").cast("double").as("frequency"),
+      (col("x2").cast("double") / lit(100.0)).as("monetary"),
+      col("cluster"))
+    // the fit's stats passes already ran; releasing here means the caller's
+    // first action recomputes the (single-pass, deterministic) feature
+    // lineage once — the pre-swap contract, unchanged
     feats.unpersist()
     out
+  }
+
+  /** DuckDB oracle replaying [[customerClusters]] end-to-end. */
+  def customerClustersOracle(k: Int = 5): String = {
+    val f =
+      """f AS (
+        |  SELECT o_custkey AS customer_id,
+        |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT) AS x0,
+        |    COUNT(*) AS x1,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x2
+        |  FROM orders GROUP BY 1)""".stripMargin
+    "WITH " + DetKMeans.oracleCtes(f, "customer_id", nFeats = 3, k = k, iters = Iters) +
+      """
+        |SELECT customer_id,
+        |  CAST(x0 AS DOUBLE) AS recency_days,
+        |  CAST(x1 AS DOUBLE) AS frequency,
+        |  CAST(x2 AS DOUBLE) / 100.0 AS monetary,
+        |  cluster
+        |FROM afin""".stripMargin
   }
 }

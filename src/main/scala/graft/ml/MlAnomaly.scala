@@ -1,11 +1,7 @@
 package graft.ml
 
-import graft.Tables
-import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ML-model-based anomaly detection (reference:
@@ -18,7 +14,7 @@ import org.apache.spark.sql.functions._
   * reference anyway (sklearn over a pandas batch). The Spark-native
   * equivalent keeps the reference's *contract* — standardize all numeric
   * features, fit an unsupervised model, flag records the model considers
-  * isolated, score them [0,1] — with a distributed KMeans distance detector:
+  * isolated, score them [0,1] — with a KMeans-distance detector:
   *
   *  - IsolationForest analog: distance from a record to its assigned
   *    centroid, z-scored over the corpus; records beyond `zThresh` sigmas
@@ -28,90 +24,106 @@ import org.apache.spark.sql.functions._
   *    noise by DBSCAN's own definition (min_samples), so their members are
   *    flagged regardless of distance.
   *
-  * Scale shape: feature build is one lineitem groupBy (partial-agg) + one
-  * shuffle join on the order key; KMeans is MLlib's distributed Lloyd's
-  * (~maxIter scans of the cached features); scoring is a pure projection
-  * (centroid lookup from a k-row literal array, codegen'd zip_with/aggregate
-  * distance); the distance stats and the k cluster sizes are one aggregate
-  * each, broadcast back. Nothing is driver-side except the 1-row stats and
-  * the ≤k-row size frame — both bounded by knobs, not data.
+  * Round 10 swapped MLlib KMeans for [[DetKMeans]] (partition-order-free
+  * fit) and made the corpus distance stats portable, flipping this query
+  * and its ensemble consumer from rows-only to hash-exact. Two priced
+  * determinism choices, both established recipes:
+  *  - `avg_discount` is the fixed-point mean at micro precision
+  *    ((Σ discount-cents × 10⁴) div n — exact integer both engines) rather
+  *    than a float mean whose corpus moments would be order-dependent;
+  *  - the distance z-score runs on the q20-quantized distance
+  *    (round(dist·2²⁰), the embed-pipeline precedent) so its corpus
+  *    mean/std are exact integer moments. `dist` itself stays the full
+  *    double (row-local, engine-portable).
   *
-  * Seed-fixed (42) but hash/partition-order-dependent like MLlib KMeans
-  * generally (customer_clusters precedent) → rows-only driver check +
-  * MlAnomalySpec invariants.
+  * Scale shape: feature build is one lineitem groupBy (partial-agg) + one
+  * shuffle join on the order key; the fit is `Iters` map-side-combined
+  * aggregates over a cached frame (DetKMeans); scoring is a pure projection
+  * (literal-centers distance ladder); the distance stats and the k cluster
+  * sizes are bounded aggregates (1 row / ≤ k rows). Nothing driver-side
+  * scales with data.
   */
 object MlAnomaly {
+  import Exact._
 
-  /** Per-order numeric feature frame — the reference's
+  /** Fixed Lloyd's iteration count (determinism — no early stop). */
+  val Iters = 10
+
+  /** Per-order exact integer feature frame — the reference's
     * `_extract_numerical_features` over the order grain: total price plus
-    * the line-level aggregates (line count, total quantity, mean discount).
-    * Orders with no lines take 0.0, the reference's own missing-value
-    * fallback (anomaly_detection.py:489 `record.get(field, 0)`). */
+    * the line-level aggregates. Orders with no lines take 0, the
+    * reference's own missing-value fallback (anomaly_detection.py:489
+    * `record.get(field, 0)`). x0 = price cents, x1 = line count,
+    * x2 = quantity cents, x3 = mean discount ×10⁶ (fixed-point). */
   def orderFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("x0"))
     val li = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(
-        count(lit(1)).cast("double").as("line_count"),
-        sum(col("l_quantity")).as("sum_qty"),
-        avg(col("l_discount")).as("avg_discount"))
+        countAll.as("lc"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qc"),
+        sum(round(col("l_discount") * 100, 0).cast("long")).as("dc"))
     o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
       .select(
-        col("o_orderkey"),
-        col("o_totalprice"),
-        coalesce(col("line_count"), lit(0.0)).as("line_count"),
-        coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"),
-        coalesce(col("avg_discount"), lit(0.0)).as("avg_discount"))
+        col("o_orderkey"), col("o_totalprice"), col("x0"),
+        coalesce(col("lc"), lit(0L)).as("x1"),
+        coalesce(col("qc"), lit(0L)).as("x2"),
+        coalesce(expr("(dc * 10000) div lc"), lit(0L)).as("x3"))
   }
 
-  private val FeatureCols = Array("o_totalprice", "line_count", "sum_qty", "avg_discount")
+  private val FeatureCols = Seq("x0", "x1", "x2", "x3")
 
   /** KMeans-distance anomaly scores per order. `zThresh` plays the
     * IsolationForest contamination cut (distance z beyond it ⇒ anomaly);
     * `minPts` plays DBSCAN min_samples (smaller clusters are noise). */
   def mlAnomaly(spark: SparkSession, dir: String, k: Int = 8,
                 zThresh: Double = 2.0, minPts: Int = 5): DataFrame = {
-    // KMeans makes ~init+maxIter passes; cache the features for the fit
-    // (the customer_clusters pattern, Clustering.scala:39)
     val feats = orderFeatures(spark, dir).persist()
-    val pipeline = new Pipeline().setStages(Array(
-      new VectorAssembler().setInputCols(FeatureCols).setOutputCol("__raw"),
-      new StandardScaler().setInputCol("__raw").setOutputCol("__scaled")
-        .setWithMean(true).setWithStd(true),
-      new KMeans().setK(k).setSeed(42L).setMaxIter(20)
-        .setFeaturesCol("__scaled").setPredictionCol("cluster")))
-    val model = pipeline.fit(feats)
-    val centers: Seq[Seq[Double]] = model.stages.last.asInstanceOf[KMeansModel]
-      .clusterCenters.map(_.toArray.toSeq).toSeq
+    val (assigned, model) = DetKMeans.fit(
+      feats, "o_orderkey", FeatureCols, k, Iters)
 
-    // distance to the ASSIGNED centroid: k-row literal lookup + codegen'd
-    // zip_with/aggregate — a pure projection, no UDF, no shuffle
-    val scored = model.transform(feats)
-      .withColumn("__arr", vector_to_array(col("__scaled"), "float64"))
-      .withColumn("__c", element_at(typedLit(centers), col("cluster") + 1))
-      .withColumn("dist",
-        sqrt(aggregate(zip_with(col("__arr"), col("__c"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)))
-      .select(col("o_orderkey"), col("o_totalprice"), col("line_count"),
-        col("sum_qty"), col("avg_discount"), col("cluster").cast("long").as("cluster"),
-        col("dist"))
+    // distance to the ASSIGNED centroid: one array-literal center lookup +
+    // the left-associated squared-distance sum (mirrored by the oracle's
+    // final-centers join) — a pure projection, no UDF, no shuffle
+    val zC = FeatureCols.indices.map(i => col(s"z$i"))
+    val cVec = element_at(typedLit(model.centers.map(_.toSeq).toSeq),
+      (col("cluster") + 1).cast("int"))
+    val d2 = zC.zipWithIndex.map { case (z, i) =>
+      (z - element_at(cVec, i + 1)) * (z - element_at(cVec, i + 1))
+    }.reduce(_ + _)
+    val scored = assigned
+      .withColumn("dist", sqrt(d2))
+      .withColumn("dqv", round(col("dist") * lit(1048576.0), 0).cast("long"))
       .persist()
 
-    // corpus distance stats (1 row) + cluster populations (≤k rows): both
-    // bounded aggregates, evaluated while the scored frame is cached and
-    // embedded as literals — the final plan then reads scored exactly once
-    val statsRow = scored.agg(
-      avg(col("dist")).as("__mu"), stddev_samp(col("dist")).as("__sigma")).head
-    val mu = if (statsRow.isNullAt(0)) 0.0 else statsRow.getDouble(0)
-    val sigma = if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    // corpus stats of the quantized distance: the shifted exact-moment
+    // recipe (two bounded aggregates), converted portably once — same
+    // sequence as the oracle's q-CTEs
+    val s1 = scored.agg(countAll.as("n"), sum(col("dqv").cast("decimal(38,0)")).as("sq")).head
+    val n = s1.getLong(0)
+    val sqBig = s1.getDecimal(1).toBigInteger
+    val nBig = java.math.BigInteger.valueOf(n)
+    val cq = sqBig.divide(nBig).longValueExact()
+    val tq = sqBig.mod(nBig).longValueExact().toDouble
+    val nD = n.toDouble
+    val dq19 = (col("dqv") - lit(cq)).cast("decimal(19,0)")
+    val sd2q = Exact.bigDecToDoubleJvm(
+      scored.agg(sum(dq19 * dq19)).head.getDecimal(0))
+    val muQ = Exact.bigDecToDoubleJvm(new java.math.BigDecimal(sqBig)) / nD
+    val varQ = if (n <= 1) 0.0 else (sd2q - (tq * tq) / nD) / (nD - 1.0)
+    val distZ: Column =
+      if (varQ <= 0.0) lit(0.0)
+      else (col("dqv").cast("double") - lit(muQ)) / lit(math.sqrt(varQ))
+    // cluster populations: ≤ k rows — bounded by the knob
     val sizeMap: Map[Long, Long] = scored.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n")).collect()
+      .agg(countAll.as("cn")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val out = scored
       .withColumn("cluster_n", element_at(typedLit(sizeMap), col("cluster")))
-      .withColumn("dist_z",
-        if (sigma == 0.0) lit(0.0) else (col("dist") - lit(mu)) / lit(sigma))
+      .withColumn("dist_z", distZ)
       .withColumn("is_noise_cluster", col("cluster_n") < minPts)
       .withColumn("is_ml_anomaly",
         col("dist_z") > zThresh || col("is_noise_cluster"))
@@ -123,18 +135,76 @@ object MlAnomaly {
           .when(col("ml_score") >= 0.7, "high")
           .when(col("ml_score") >= 0.5, "medium")
           .otherwise("low"))
-      .select("o_orderkey", "o_totalprice", "line_count", "sum_qty", "avg_discount",
-        "cluster", "cluster_n", "dist", "dist_z", "is_noise_cluster",
-        "is_ml_anomaly", "ml_score", "severity")
+      .select(
+        col("o_orderkey"), col("o_totalprice"),
+        col("x1").cast("double").as("line_count"),
+        (col("x2").cast("double") / lit(100.0)).as("sum_qty"),
+        (col("x3").cast("double") / lit(1000000.0)).as("avg_discount"),
+        col("cluster"), col("cluster_n"), col("dist"), col("dist_z"),
+        col("is_noise_cluster"), col("is_ml_anomaly"), col("ml_score"),
+        col("severity"))
     // feats has served the fit and the scored cache is already materialized
-    // (the stats/size actions above ran it), so dropping feats is safe.
-    // scored stays persisted ON PURPOSE: the returned frame reads it, and an
-    // unpersist here would make every caller action re-run the whole scoring
-    // pipeline. Contract: the cache is released by the caller's
-    // spark.catalog.clearCache() (Verify/Bench do this between queries — the
-    // RankOps localCheckpoint precedent) or by the ContextCleaner once the
-    // frame is unreferenced.
+    // (the stats actions above ran it). scored stays persisted ON PURPOSE:
+    // the returned frame reads it, and an unpersist here would make every
+    // caller action re-run the scoring pipeline. Contract: released by the
+    // caller's spark.catalog.clearCache() (Verify/Bench) or the
+    // ContextCleaner once the frame is unreferenced.
     feats.unpersist()
     out
+  }
+
+  /** DuckDB oracle replaying [[mlAnomaly]] end-to-end: the DetKMeans CTE
+    * chain, centroid distance via the final-centers join, q20 distance
+    * stats, and the flag/score ladder. */
+  def mlAnomalyOracle(k: Int = 8, zThresh: Double = 2.0, minPts: Int = 5): String = {
+    val f =
+      """f AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS x0,
+        |    COALESCE(li.lc, 0) AS x1,
+        |    COALESCE(li.qc, 0) AS x2,
+        |    COALESCE((li.dc * 10000) // li.lc, 0) AS x3
+        |  FROM orders o LEFT JOIN (
+        |    SELECT l_orderkey, COUNT(*) AS lc,
+        |      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc,
+        |      CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS dc
+        |    FROM lineitem GROUP BY 1) li ON o.o_orderkey = li.l_orderkey)""".stripMargin
+    val dist = (0 until 4).map(i => s"(z$i - g$i) * (z$i - g$i)")
+      .reduce((a, x) => s"($a + $x)")
+    "WITH " + DetKMeans.oracleCtes(f, "o_orderkey", nFeats = 4, k = k, iters = Iters) + ",\n" +
+      s"""cn AS MATERIALIZED (SELECT cluster, COUNT(*) AS cluster_n FROM afin GROUP BY 1),
+         |dd AS MATERIALIZED (SELECT a.*, sqrt($dist) AS dist
+         |  FROM afin a JOIN c$Iters USING (cluster)),
+         |dq AS MATERIALIZED (SELECT *, CAST(round(dist * 1048576.0) AS BIGINT) AS dqv FROM dd),
+         |q1 AS MATERIALIZED (SELECT COUNT(*) AS n, SUM(CAST(dqv AS DECIMAL(38,0))) AS sq FROM dq),
+         |q2 AS MATERIALIZED (SELECT n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(CAST(sq AS HUGEINT) // n AS BIGINT) AS cq,
+         |    CAST(CAST(sq AS HUGEINT) % n AS DOUBLE) AS tq,
+         |    ${Exact.bigDecToDoubleSql("sq")} AS sqd
+         |  FROM q1),
+         |q3 AS MATERIALIZED (SELECT n, nd, tq, sqd,
+         |    SUM(CAST(dqv - cq AS DECIMAL(19,0)) * CAST(dqv - cq AS DECIMAL(19,0))) AS sd2q
+         |  FROM dq CROSS JOIN q2 GROUP BY n, nd, tq, sqd),
+         |q4 AS MATERIALIZED (SELECT sqd / nd AS muq,
+         |    CASE WHEN n <= 1 THEN 0.0
+         |         ELSE (${Exact.bigDecToDoubleSql("sd2q")} - (tq * tq) / nd) / (nd - 1.0) END AS varq
+         |  FROM q3),
+         |res AS MATERIALIZED (SELECT dq.*, cluster_n,
+         |    CASE WHEN varq <= 0.0 THEN 0.0
+         |         ELSE (CAST(dqv AS DOUBLE) - muq) / sqrt(varq) END AS dist_z
+         |  FROM dq JOIN cn USING (cluster) CROSS JOIN q4)
+         |SELECT res.o_orderkey, o.o_totalprice,
+         |  CAST(x1 AS DOUBLE) AS line_count,
+         |  CAST(x2 AS DOUBLE) / 100.0 AS sum_qty,
+         |  CAST(x3 AS DOUBLE) / 1000000.0 AS avg_discount,
+         |  cluster, cluster_n, dist, dist_z,
+         |  cluster_n < $minPts AS is_noise_cluster,
+         |  dist_z > $zThresh OR cluster_n < $minPts AS is_ml_anomaly,
+         |  LEAST(GREATEST(dist_z, 0.0) / 3.0, 1.0) AS ml_score,
+         |  CASE WHEN LEAST(GREATEST(dist_z, 0.0) / 3.0, 1.0) >= 0.9 THEN 'critical'
+         |       WHEN LEAST(GREATEST(dist_z, 0.0) / 3.0, 1.0) >= 0.7 THEN 'high'
+         |       WHEN LEAST(GREATEST(dist_z, 0.0) / 3.0, 1.0) >= 0.5 THEN 'medium'
+         |       ELSE 'low' END AS severity
+         |FROM res JOIN orders o ON res.o_orderkey = o.o_orderkey""".stripMargin
   }
 }

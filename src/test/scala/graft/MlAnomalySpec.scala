@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** KMeans-distance ML anomaly detector (MlAnomaly) — rows-only driver query
-  * (MLlib KMeans is partition-order-dependent), so the invariants live here:
-  * grain, score bounds, flag/threshold consistency, determinism within a
-  * session, and the ensemble wiring arithmetic. */
+/** KMeans-distance ML anomaly detector (MlAnomaly) — oracle-hash-checked
+  * since the DetKMeans swap (round 10), but the behavioral invariants stay
+  * pinned here too: grain, score bounds, flag/threshold consistency,
+  * determinism within a session, and the ensemble wiring arithmetic. */
 class MlAnomalySpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
