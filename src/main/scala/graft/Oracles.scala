@@ -201,6 +201,8 @@ object Oracles {
 
   val sql: Map[String, String] = Map(
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
+    "ann_lsh" -> graft.ann.Ann.annLshOracle,
+    "ann_ivf" -> graft.ann.Ann.annIvfOracle(),
     "customer_clusters" -> graft.ml.Clustering.customerClustersOracle(),
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,
     "embed_neardup" -> graft.ann.Ann.embedNearDupsOracle,

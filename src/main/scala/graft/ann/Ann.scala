@@ -98,12 +98,69 @@ object Ann {
     val cEmb = corpus.select("vec_id", "embedding")
     val qEmb = broadcast(qIn)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    // re-score with the oracle-parity q20 fixed-point cosine (the
+    // bruteTopKExact recipe): the bucketing was already engine-replayable,
+    // so exact-integer scoring is what flips the whole query from
+    // rows-only to hash-exact checking (round 10)
     cand.join(cEmb, "vec_id").join(qEmb, "query_id")
-      .withColumn("cos_sim", cosine(corpus.sparkSession, "embedding", "q_emb"))
+      .withColumn("cos_sim", fixedPointCosine(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
+
+  /** DuckDB oracle replaying annLshTopK end-to-end: the md5-integer SRP
+    * hyperplanes, adaptive bits, exact-long bucket projections (the
+    * embedNearDupsOracle machinery at tables = 12), bucket-collision
+    * candidates against the `vec_id < 10` query set, q20 exact re-score,
+    * and the (cos DESC, vec_id) top-k window. */
+  def annLshOracle: String =
+    """WITH nb AS (
+      |  SELECT COALESCE((SELECT MIN(b) FROM range(3, 21) t(b)
+      |                   WHERE (1 << b) * 64 >= (SELECT COUNT(*) FROM embeddings)), 20) AS bits
+      |), pl AS (
+      |  SELECT t.range AS t, b.range AS b,
+      |    list_transform(range(0, 64), j ->
+      |      CAST(list_sum(list_transform(range(1, 9), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('srp|42|' || t.range || '|' || b.range || '|' || j), i, 1)) - 1)
+      |        * (16.0 ** (8 - i)))) AS BIGINT) - 2147483648) AS hv
+      |  FROM range(0, 12) t, range(0, 20) b, nb
+      |  WHERE b.range < nb.bits
+      |), qv AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+      |  FROM embeddings
+      |), bs AS (
+      |  SELECT v.vec_id, p.t, p.b,
+      |    list_sum(list_transform(range(1, LEAST(len(v.qe), 64) + 1),
+      |      j -> CAST(v.qe[j] AS BIGINT) * p.hv[j])) AS s
+      |  FROM qv v CROSS JOIN pl p
+      |), bk AS (
+      |  SELECT vec_id, t, SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS bucket
+      |  FROM bs GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      |  FROM bk c JOIN bk q ON c.t = q.t AND c.bucket = q.bucket
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |), n AS (
+      |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM qv
+      |), p2 AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
+      |      i -> a.qe[i] * b.qe[i])) AS dot,
+      |    a.nrm AS nrm, b.nrm AS q_nrm
+      |  FROM cand
+      |  JOIN n a ON a.vec_id = cand.vec_id
+      |  JOIN n b ON b.vec_id = cand.query_id
+      |), s2 AS (
+      |  SELECT query_id, vec_id,
+      |    CASE WHEN nrm * q_nrm = 0.0 THEN NULL ELSE dot / sqrt(nrm * q_nrm) END AS cos_sim
+      |  FROM p2
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS "rank"
+      |  FROM s2
+      |)
+      |SELECT query_id, vec_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin
 
   /** Fixed-point quantized embedding: floats scaled by 2^20 (a power of two —
     * the float→double widening and the multiply are both exact) and rounded
@@ -218,36 +275,53 @@ object Ann {
   }
 
   /** IVF (inverted-file) ANN — the other canonical scale path besides LSH:
-    * a KMeans coarse quantizer partitions the corpus into `nLists` inverted
-    * lists; each query probes only its `nProbe` nearest centroids and
-    * exact-rescored candidates come from those lists alone, so a query scores
-    * ~nProbe/nLists of the corpus. Spark shape: centroids are a broadcast
-    * k×dim table (constant-size at any corpus scale); list assignment is one
-    * MLlib transform pass; the probe join shuffles on the list id — the
-    * inverted lists ARE the partitioning at 100 TB. Seeded, deterministic
-    * replay; rows-only (KMeans-seed-dependent) with a recall spec. */
-  /** IVF index cache: (corpus plan digest, nLists, seed) → fitted quantizer.
-    * An IVF index is built ONCE and probed by many queries — refitting KMeans
-    * per search would charge index-build cost to every lookup. Deterministic:
-    * the seed fixes the fit, so a cached and a fresh model agree. Bounded:
-    * LRU over `MaxIvfModels` entries, so a long-lived session querying many
-    * distinct corpora cannot grow the cache without limit (centroid tables
-    * are small, but plan-digest keys accumulate). */
+    * a coarse quantizer partitions the corpus into `nLists` inverted lists;
+    * each query probes only its `nProbe` nearest centroids and
+    * exact-rescored candidates come from those lists alone, so a query
+    * scores ~nProbe/nLists of the corpus.
+    *
+    * Round 10 replaced the MLlib KMeans quantizer with
+    * [[graft.ml.DetKMeans]] over the q20-quantized embedding components
+    * themselves: each component is already an exact long (round(x·2²⁰)),
+    * so the deterministic Lloyd's clusters the FULL vector space — the
+    * same geometry MLlib clustered, hence the same recall — while
+    * standardization, init, iterations, probe ranking, and re-score are
+    * all engine-replayable, which flips ann_ivf from rows-only to
+    * hash-exact; recall vs brute force stays AnnSpec's measured bound.
+    * (A first cut clustered an 8-d random-projection sketch instead —
+    * recall collapsed to 0.55 on the isotropic test embeddings, the
+    * classic projection-loses-high-intrinsic-dimension failure.)
+    *
+    * Spark shape: centroids are a k×IvfDims literal (constant-size at any
+    * corpus scale); list assignment is one projection pass; the probe join
+    * shuffles on the list id — the inverted lists ARE the partitioning at
+    * 100 TB. */
+  val IvfDims = 64
+  val IvfIters = 10
+
+  /** q20-quantized embedding as exact longs. */
+  private def qeLong(c: Column): Column = transform(quantize(c), x => x.cast("long"))
+
+  /** IVF index cache: (corpus plan digest, nLists, seed) → fitted
+    * quantizer model. An IVF index is built ONCE and probed by many
+    * queries — refitting per search would charge index-build cost to every
+    * lookup. Deterministic: the fit is seed-fixed, so a cached and a fresh
+    * model agree. Bounded: LRU over `MaxIvfModels` entries. */
   private val MaxIvfModels = 4
   private val ivfModels =
-    new java.util.LinkedHashMap[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel](
+    new java.util.LinkedHashMap[(String, Int, Long), graft.ml.DetKMeans.Model](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]): Boolean =
+          e: java.util.Map.Entry[(String, Int, Long), graft.ml.DetKMeans.Model]): Boolean =
         size() > MaxIvfModels
     }
 
   private def cachedIvfModel(key: (String, Int, Long))(
-      fit: => org.apache.spark.ml.clustering.KMeansModel): org.apache.spark.ml.clustering.KMeansModel = {
-    // lock only the map get/put — a KMeans fit inside the monitor would
-    // serialize concurrent ivfTopK calls on DIFFERENT corpora behind one fit.
-    // Two threads racing the same cold key may both fit (seeded ⇒ identical
-    // models, so either result is correct); last put wins.
+      fit: => graft.ml.DetKMeans.Model): graft.ml.DetKMeans.Model = {
+    // lock only the map get/put — a fit inside the monitor would serialize
+    // concurrent ivfTopK calls on DIFFERENT corpora behind one fit. Two
+    // threads racing the same cold key may both fit (deterministic ⇒
+    // identical models, so either result is correct); last put wins.
     val hit = ivfModels.synchronized(ivfModels.get(key))
     if (hit != null) hit
     else { val m = fit; ivfModels.synchronized(ivfModels.put(key, m)); m }
@@ -258,57 +332,139 @@ object Ann {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val c = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("__arr"))
-      .withColumn("__vec", array_to_vector(col("__arr")))
+    val xs = (0 until IvfDims).map(i => s"x$i")
+    // spherical features: each q20 component re-projected onto the 2^20
+    // sphere (round(qe·2^20/||qe||) — exact-integer in, one portable
+    // division + round out), so Euclidean Lloyd's clusters ANGULAR
+    // neighborhoods, the geometry cosine top-k actually probes. Clustering
+    // the raw q20 space measured recall 0.63 at nProbe 3/8 (balanced lists,
+    // wrong metric); the sphere recovers it. Vectors shorter than IvfDims
+    // zero-pad; the zero vector maps to the origin (both engines).
+    def withProj(df: DataFrame, emb: String): DataFrame = {
+      val qe = qeLong(col(emb)).as("__qe")
+      val base = df.select(col("*"), qe)
+      val nrm = aggregate(transform(col("__qe"), v => v * v), lit(0L), (a, v) => a + v)
+      val withN = base.withColumn("__nrm", nrm)
+      withN.select(col("*") +:
+        (0 until IvfDims).map { d =>
+          val q = coalesce(try_element_at(col("__qe"), lit(d + 1)), lit(0L))
+          when(col("__nrm") === 0L, lit(0L))
+            .otherwise(round(q.cast("double") * lit(1048576.0) /
+              sqrt(col("__nrm").cast("double")), 0).cast("long")).as(s"x$d")
+        }: _*)
+        .drop("__qe", "__nrm")
+    }
+    val feats = withProj(corpus.select(col("vec_id"), col("embedding")), "embedding")
       .persist()
     val cacheKey = (corpus.queryExecution.analyzed.canonicalized.toString, nLists, seed)
     val model = cachedIvfModel(cacheKey) {
-      new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("__vec").setPredictionCol("list_id").fit(c)
+      graft.ml.DetKMeans.fit(feats, "vec_id", xs, nLists, IvfIters, standardize = false)._2
     }
-    // the persist exists for the iterative KMeans fit (an eager action);
-    // releasing it here means the one downstream list-assignment pass
-    // recomputes the cheap projection instead of pinning corpus-sized
-    // blocks for the (lazy) returned frame's lifetime
-    c.unpersist()
-    val lists = model.transform(c).select(col("vec_id"), col("list_id"))
-    // centroid table: constant-size (nLists × dim) → broadcast to queries
+    val lists = graft.ml.DetKMeans.assign(feats, xs, model)
+      .select(col("vec_id"), col("cluster").as("list_id"))
+    // the persist exists for the iterative fit; releasing here means the
+    // one downstream list-assignment pass recomputes the cheap projection
+    // instead of pinning corpus-sized blocks for the lazy frame's lifetime
+    feats.unpersist()
+    // centroid table: constant-size (nLists × IvfDims) in z-space
     val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toIndexedSeq
-        .map { case (v, i) => (i, v.toArray) })
-      .toDF("c_id", "c_vec")
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("q_arr"), col("embedding").as("q_emb"))
-    // each query ranks the nLists centroids (tiny crossJoin) and keeps nProbe
-    val qDist = q.crossJoin(broadcast(centroids))
-      .withColumn("__d2", aggregate(
-        zip_with(col("q_arr"), col("c_vec"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, v) => acc + v))
+      model.centers.toIndexedSeq.zipWithIndex
+        .map { case (g, i) => (i.toLong, g.toSeq) })
+      .toDF("c_id", "g")
+    // query z-vectors from the model's standardization (works for query
+    // sets outside the corpus too), ranked against all nLists centroids
+    // (tiny broadcast crossJoin), keep nProbe
+    val q = withProj(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), "q_emb")
+    val qz = (0 until IvfDims).foldLeft(q) { (d, i) =>
+      d.withColumn(s"qz$i",
+        (col(s"x$i").cast("double") - lit(model.mu(i))) / lit(model.sigma(i)))
+    }
+    val d2 = (0 until IvfDims).map { i =>
+      (col(s"qz$i") - element_at(col("g"), i + 1)) *
+        (col(s"qz$i") - element_at(col("g"), i + 1))
+    }.reduce(_ + _)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("c_id"))
-    val probes = qDist.withColumn("__r", row_number().over(wq))
+    val probes = qz.crossJoin(broadcast(centroids))
+      .withColumn("__d2", d2)
+      .withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("c_id").as("list_id"), col("q_emb"))
-    // candidates = corpus vectors in the probed lists; exact cosine re-score
+    // candidates = corpus vectors in the probed lists; exact q20 re-score
     val cand = lists.join(probes, "list_id")
       .filter(col("vec_id") =!= col("query_id"))
     val cEmb = corpus.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    val out = cand.join(cEmb, "vec_id")
-      .withColumn("cos_sim", cosine(spark, "embedding", "q_emb"))
+    cand.join(cEmb, "vec_id")
+      .withColumn("cos_sim", fixedPointCosine(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
-    out
   }
 
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopK(emb, emb.filter(col("vec_id") < 10), k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle replaying annIvfTopK end-to-end: the q20 component
+    * features (zero-padded past the vector length), the DetKMeans CTE
+    * chain over them, centroid probing in z-space, and the q20 re-score +
+    * top-k tail (the annLshOracle tail). The driver's query set is
+    * `vec_id < 10` ⊂ corpus, so query z-vectors come straight from
+    * `afin`. */
+  def annIvfOracle(k: Int = 10, nLists: Int = 8, nProbe: Int = 3): String = {
+    val pre =
+      """qv AS (
+        |  SELECT vec_id, qe,
+        |    list_sum(list_transform(qe, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+        |        FROM embeddings)
+        |), f AS (
+        |  SELECT vec_id,
+        |""".stripMargin +
+      (0 until IvfDims).map(d =>
+        s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+          s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
+        .mkString(",\n") +
+      "\n  FROM qv)"
+    val d2 = (0 until IvfDims).map(i => s"(q.z$i - c.g$i) * (q.z$i - c.g$i)")
+      .reduce((a, x) => s"($a + $x)")
+    "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
+      k = nLists, iters = IvfIters, standardize = false) + ",\n" +
+      s"""qzq AS MATERIALIZED (SELECT vec_id AS query_id, ${(0 until IvfDims).map(i => s"z$i").mkString(", ")} FROM afin WHERE vec_id < 10),
+         |pr AS MATERIALIZED (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.query_id, c.cluster AS list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2, c.cluster) AS rn
+         |    FROM qzq q CROSS JOIN c$IvfIters c)
+         |  WHERE rn <= $nProbe
+         |), cnd AS (
+         |  SELECT a.vec_id, p.query_id
+         |  FROM afin a JOIN pr p ON a.cluster = p.list_id
+         |  WHERE a.vec_id <> p.query_id
+         |), nn AS (
+         |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM qv
+         |), pp AS (
+         |  SELECT cnd.query_id, cnd.vec_id,
+         |    list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
+         |      i -> a.qe[i] * b.qe[i])) AS dot,
+         |    a.nrm AS nrm, b.nrm AS q_nrm
+         |  FROM cnd
+         |  JOIN nn a ON a.vec_id = cnd.vec_id
+         |  JOIN nn b ON b.vec_id = cnd.query_id
+         |), ss AS (
+         |  SELECT query_id, vec_id,
+         |    CASE WHEN nrm * q_nrm = 0.0 THEN NULL ELSE dot / sqrt(nrm * q_nrm) END AS cos_sim
+         |  FROM pp
+         |), rr AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS "rank"
+         |  FROM ss
+         |)
+         |SELECT query_id, vec_id, cos_sim, "rank" FROM rr WHERE "rank" <= $k""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs via shared LSH buckets. `threshold` is

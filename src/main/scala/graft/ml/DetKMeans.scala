@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   *  - standardization stats come from exact decimal sums via the shifted-
   *    moment recipe (descriptiveStats precedent) and convert through the
   *    portable hi/lo split once;
-  *  - init centers are deterministic Forgy: the k rows with the smallest
-  *    md5(id) — a seeded uniform sample both engines order identically
-  *    (one distributed TakeOrdered here, ROW_NUMBER over md5 there);
+  *  - init is deterministic farthest-point: seeded at the md5-smallest
+  *    row, then k−1 greedy maxmin rounds (largest min-distance, ties to
+  *    the smallest id) — a spread init both engines replay;
   *  - each Lloyd's iteration re-aggregates per-cluster EXACT integer sums
   *    (associative — shuffle order cannot drift them); new centers are
   *    derived driver-side with the identical IEEE sequence the oracle's CTE
@@ -52,77 +52,121 @@ object DetKMeans {
     graft.functions.KMeansAssign.of(
       array(zCols: _*), typedLit(centers.map(_.toSeq).toSeq))
 
+  /** Re-derive z-columns + `cluster` for any frame with the model's feature
+    * columns — the scoring path for a cached [[Model]] (e.g. Ann's IVF
+    * index cache skips the fit but still assigns inverted lists). */
+  def assign(df: DataFrame, featCols: Seq[String], model: Model): DataFrame = {
+    val zCols = featCols.indices.map(i =>
+      ((col(featCols(i)).cast("double") - lit(model.mu(i))) / lit(model.sigma(i))).as(s"z$i"))
+    val z = df.select(col("*") +: zCols: _*)
+    z.withColumn("cluster",
+      assignExpr(featCols.indices.map(i => col(s"z$i")), model.centers))
+  }
+
   /** Fit + assign: returns (df ∪ z-columns ∪ `cluster`, model). `featCols`
     * must be integral columns
     * (long-valued). Constant features standardize with σ := 1 (both
     * engines share the rule). The caller should persist `df` if its lineage
     * is expensive — fit scans it 3 + iters times. */
   def fit(df: DataFrame, idCol: String, featCols: Seq[String],
-          k: Int, iters: Int): (DataFrame, Model) = {
+          k: Int, iters: Int, standardize: Boolean = true): (DataFrame, Model) = {
     val nF = featCols.length
 
-    // pass 1: n + exact decimal sums → driver (1 row)
-    val sumAgg = featCols.map(f => sum(dec38(col(f))).as(s"s_$f"))
-    val r1 = df.agg(Exact.countAll.as("n"), sumAgg: _*).head
-    val n = r1.getLong(0)
-    require(n > 0, "DetKMeans.fit on an empty frame")
-    val sums = featCols.indices.map(i => r1.getDecimal(i + 1).toBigInteger)
-    val nBig = java.math.BigInteger.valueOf(n)
-    val ctr = sums.map(_.divide(nBig).longValueExact())         // S div n (exact)
-    val tRem = sums.map(_.mod(nBig).longValueExact().toDouble)  // S mod n (exact)
+    val (n, mu, sigma) =
+      if (!standardize) {
+        // raw-space mode (μ=0, σ=1 — z IS the feature as a double): the
+        // right geometry when the features already share one scale and the
+        // caller wants MLlib-raw-KMeans behavior (Ann's IVF quantizer —
+        // per-dim standardization warps cosine neighborhoods and measured
+        // recall 0.6 vs 0.85 raw)
+        (df.count(), Array.fill(nF)(0.0), Array.fill(nF)(1.0))
+      } else {
+        // pass 1: n + exact decimal sums → driver (1 row)
+        val sumAgg = featCols.map(f => sum(dec38(col(f))).as(s"s_$f"))
+        val r1 = df.agg(Exact.countAll.as("n"), sumAgg: _*).head
+        val n0 = r1.getLong(0)
+        require(n0 > 0, "DetKMeans.fit on an empty frame")
+        val sums = featCols.indices.map(i => r1.getDecimal(i + 1).toBigInteger)
+        val nBig = java.math.BigInteger.valueOf(n0)
+        val ctr = sums.map(_.divide(nBig).longValueExact())         // S div n (exact)
+        val tRem = sums.map(_.remainder(nBig).longValueExact().toDouble) // C-style rem
 
-    // pass 2: shifted second moments with literal centers (exact decimals)
-    val sd2Agg = featCols.zip(ctr).map { case (f, c) =>
-      val d = dec19(col(f) - lit(c))
-      sum(d * d).as(s"sd2_$f")
-    }
-    val r2 = df.agg(sd2Agg.head, sd2Agg.tail: _*).head
-    val nD = n.toDouble
-    val mu = sums.map(s => Exact.bigDecToDoubleJvm(new java.math.BigDecimal(s)) / nD).toArray
-    val sigma = featCols.indices.map { i =>
-      val sd2 = Exact.bigDecToDoubleJvm(r2.getDecimal(i))
-      val v = if (n <= 1) 0.0 else (sd2 - (tRem(i) * tRem(i)) / nD) / (nD - 1.0)
-      if (v <= 0.0) 1.0 else math.sqrt(v)
-    }.toArray
+        // pass 2: shifted second moments with literal centers (exact decimals)
+        val sd2Agg = featCols.zip(ctr).map { case (f, c) =>
+          val d = dec19(col(f) - lit(c))
+          sum(d * d).as(s"sd2_$f")
+        }
+        val r2 = df.agg(sd2Agg.head, sd2Agg.tail: _*).head
+        val nD = n0.toDouble
+        val mu0 = sums.map(s => Exact.bigDecToDoubleJvm(new java.math.BigDecimal(s)) / nD).toArray
+        val sigma0 = featCols.indices.map { i =>
+          val sd2 = Exact.bigDecToDoubleJvm(r2.getDecimal(i))
+          val v = if (n0 <= 1) 0.0 else (sd2 - (tRem(i) * tRem(i)) / nD) / (nD - 1.0)
+          if (v <= 0.0) 1.0 else math.sqrt(v)
+        }.toArray
+        (n0, mu0, sigma0)
+      }
 
     val zCols = featCols.indices.map(i =>
       ((col(featCols(i)).cast("double") - lit(mu(i))) / lit(sigma(i))).as(s"z$i"))
     val z = df.select(col("*") +: zCols: _*)
 
-    // init: deterministic Forgy — the k rows with the smallest md5(id)
-    // (a seeded uniform sample both engines order identically; the
-    // hash_split md5-of-id recipe). One distributed TakeOrdered, no global
-    // shuffle — this replaced a range-partition rank init whose
-    // checkpointed shuffle cost more than all the Lloyd's iterations.
     val zNames = featCols.indices.map(i => s"z$i")
-    val initRows = z
-      .withColumn("__h", md5(col(idCol).cast("string")))
-      .orderBy(col("__h"), col(idCol)).limit(k)
-      .select(zNames.map(col): _*)
-      .collect()                                               // ≤ k rows
-    var centers: Array[Array[Double]] = initRows.map { row =>
-      zNames.indices.map(i => row.getDouble(i)).toArray
-    }
-
     val work = z
 
-    // The Lloyd's loop runs as treeAggregate over ONE narrow primitive-array
-    // materialization — the MLlib shape. The DataFrame formulation (an agg
-    // job per iteration) measured ~0.6 s/iteration of pure driver
-    // planning/scheduling overhead at sf0.1; here an iteration is a ~30 ms
-    // map-side-combined pass. Per-cluster sums accumulate in BigInteger
-    // (exact and associative at any scale — partitioning cannot drift them),
-    // the argmin closure is op-for-op the KMeansAssign kernel, and the
-    // driver receives k×(1+d) values per iteration.
+    // ONE narrow primitive-array materialization feeds both the init rounds
+    // and the Lloyd's loop (the MLlib shape). The DataFrame formulation (an
+    // agg job per pass) measured ~0.6 s/pass of pure driver
+    // planning/scheduling overhead at sf0.1; here a pass is a ~30 ms
+    // map-side-combined treeAggregate.
     val nFi = nF
-    val ptsRdd = work.select(featCols.map(col) ++ zNames.map(col): _*).rdd
+    val ptsRdd = work
+      .select(col(idCol).cast("long").as("__id") +:
+        (featCols.map(col) ++ zNames.map(col)): _*).rdd
       .map { r =>
         val xs = new Array[Long](nFi)
         val zs = new Array[Double](nFi)
         var i = 0
-        while (i < nFi) { xs(i) = r.getLong(i); zs(i) = r.getDouble(nFi + i); i += 1 }
-        (xs, zs)
+        while (i < nFi) { xs(i) = r.getLong(i + 1); zs(i) = r.getDouble(nFi + i + 1); i += 1 }
+        (r.getLong(0), xs, zs)
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // init: deterministic farthest-point (maxmin). Seed = the row with the
+    // smallest md5(id) (the hash_split recipe; one distributed
+    // TakeOrdered); each further center is the point with the LARGEST
+    // min-distance to the centers so far, ties to the smallest id — a
+    // greedy spread both engines replay (pure Forgy measured IVF recall
+    // 0.67 vs ≥0.8 here: random seeds under-cover the space). Each round
+    // is one treeAggregate pass over the cached points.
+    val seedRow = z
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(1)
+      .select(zNames.map(col): _*)
+      .collect()                                               // 1 row
+    var centers: Array[Array[Double]] =
+      seedRow.map(row => zNames.indices.map(i => row.getDouble(i)).toArray)
+    while (centers.length < k) {
+      val ctrs = centers
+      // (bestDmin, bestId, bestZ): the farthest point so far
+      val far = ptsRdd.treeAggregate((-1.0, Long.MaxValue, null: Array[Double]))(
+        seqOp = { case (acc, (id, _, zs)) =>
+          var dmin = Double.PositiveInfinity
+          var j = 0
+          while (j < ctrs.length) {
+            val c = ctrs(j)
+            var d = 0.0
+            var i = 0
+            while (i < nFi) { val t = zs(i) - c(i); d += t * t; i += 1 }
+            if (d < dmin) dmin = d
+            j += 1
+          }
+          if (dmin > acc._1 || (dmin == acc._1 && id < acc._2)) (dmin, id, zs) else acc
+        },
+        combOp = { (a, b) =>
+          if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a
+        })
+      centers = centers :+ far._3
+    }
 
     val kEff = centers.length
     type Acc = (Array[Long], Array[Array[java.math.BigInteger]])
@@ -131,7 +175,7 @@ object DetKMeans {
     for (_ <- 1 to iters) {
       val ctrs = centers                       // capture this iteration's value
       val (ms, ss) = ptsRdd.treeAggregate(zeroAcc)(
-        seqOp = { case (acc, (xs, zs)) =>
+        seqOp = { case (acc, (_, xs, zs)) =>
           var best = 0
           var bestD = Double.PositiveInfinity
           var j = 0
@@ -191,39 +235,58 @@ object DetKMeans {
     * the same geometric blowup the portable-ln ladders hit ("the staging
     * lesson"); materialization makes the chain linear. */
   def oracleCtes(fCte: String, idCol: String, nFeats: Int,
-                 k: Int, iters: Int): String = {
+                 k: Int, iters: Int, standardize: Boolean = true): String = {
     val xs = (0 until nFeats).map(i => s"x$i")
     val b = new StringBuilder
     b ++= fCte ++ ",\n"
-    b ++= s"st AS MATERIALIZED (SELECT COUNT(*) AS n, " +
-      xs.map(x => s"SUM(CAST($x AS DECIMAL(38,0))) AS s_$x").mkString(", ") +
-      " FROM f),\n"
-    b ++= s"ctr AS MATERIALIZED (SELECT n, " + xs.map(x =>
-      s"CAST(CAST(s_$x AS HUGEINT) // n AS BIGINT) AS c_$x, " +
-      s"CAST(CAST(s_$x AS HUGEINT) % n AS DOUBLE) AS t_$x, " +
-      Exact.bigDecToDoubleSql(s"s_$x") + s" AS sd_$x").mkString(", ") +
-      " FROM st),\n"
-    b ++= s"sd AS MATERIALIZED (SELECT " + xs.map(x =>
-      s"SUM(CAST($x - c_$x AS DECIMAL(19,0)) * CAST($x - c_$x AS DECIMAL(19,0))) AS sd2_$x")
-      .mkString(", ") + " FROM f CROSS JOIN ctr),\n"
-    b ++= s"ms AS MATERIALIZED (SELECT n, CAST(n AS DOUBLE) AS nd, " + xs.map(x =>
-      s"sd_$x / CAST(n AS DOUBLE) AS mu_$x").mkString(", ") + ", " +
-      xs.map { x =>
-        val v = s"(${Exact.bigDecToDoubleSql(s"sd2_$x")} - (t_$x * t_$x) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
-        s"CASE WHEN n <= 1 OR $v <= 0.0 THEN 1.0 ELSE sqrt($v) END AS sig_$x"
-      }.mkString(", ") +
-      " FROM ctr CROSS JOIN sd),\n"
+    if (standardize) {
+      b ++= s"st AS MATERIALIZED (SELECT COUNT(*) AS n, " +
+        xs.map(x => s"SUM(CAST($x AS DECIMAL(38,0))) AS s_$x").mkString(", ") +
+        " FROM f),\n"
+      b ++= s"ctr AS MATERIALIZED (SELECT n, " + xs.map(x =>
+        s"CAST(CAST(s_$x AS HUGEINT) // n AS BIGINT) AS c_$x, " +
+        s"CAST(CAST(s_$x AS HUGEINT) % n AS DOUBLE) AS t_$x, " +
+        Exact.bigDecToDoubleSignedSql(s"s_$x") + s" AS sd_$x").mkString(", ") +
+        " FROM st),\n"
+      b ++= s"sd AS MATERIALIZED (SELECT " + xs.map(x =>
+        s"SUM(CAST($x - c_$x AS DECIMAL(19,0)) * CAST($x - c_$x AS DECIMAL(19,0))) AS sd2_$x")
+        .mkString(", ") + " FROM f CROSS JOIN ctr),\n"
+      b ++= s"ms AS MATERIALIZED (SELECT n, CAST(n AS DOUBLE) AS nd, " + xs.map(x =>
+        s"sd_$x / CAST(n AS DOUBLE) AS mu_$x").mkString(", ") + ", " +
+        xs.map { x =>
+          val v = s"(${Exact.bigDecToDoubleSql(s"sd2_$x")} - (t_$x * t_$x) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+          s"CASE WHEN n <= 1 OR $v <= 0.0 THEN 1.0 ELSE sqrt($v) END AS sig_$x"
+        }.mkString(", ") +
+        " FROM ctr CROSS JOIN sd),\n"
+    } else {
+      // raw-space mode: μ=0, σ=1 constants — (x − 0.0) / 1.0 is IEEE-exact
+      // x on both engines, so the z CTE and cluster updates stay shared
+      b ++= s"ms AS MATERIALIZED (SELECT " +
+        (xs.map(x => s"0.0 AS mu_$x") ++ xs.map(x => s"1.0 AS sig_$x")).mkString(", ") +
+        "),\n"
+    }
     b ++= s"z AS MATERIALIZED (SELECT f.*, " + xs.zipWithIndex.map { case (x, i) =>
       s"(CAST($x AS DOUBLE) - mu_$x) / sig_$x AS z$i" }.mkString(", ") +
       " FROM f CROSS JOIN ms),\n"
-    b ++= s"rk AS MATERIALIZED (SELECT z.*, row_number() OVER " +
-      s"(ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn FROM z),\n"
-    b ++= s"c0 AS MATERIALIZED (SELECT rn - 1 AS cluster, " +
-      (0 until nFeats).map(i => s"z$i AS g$i").mkString(", ") +
-      s" FROM rk WHERE rn <= $k),\n"
     val zAll = (0 until nFeats).map(i => s"z$i")
     val dist = (0 until nFeats).map(i => s"(z$i - g$i) * (z$i - g$i)")
       .reduce((a, x) => s"($a + $x)")
+    val gSel = (0 until nFeats).map(i => s"z$i AS g$i").mkString(", ")
+    // farthest-point init: seed at the md5-smallest row, then k−1 greedy
+    // maxmin rounds — ci{r} carries the first r centers
+    b ++= s"rk AS MATERIALIZED (SELECT z.*, row_number() OVER " +
+      s"(ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn FROM z),\n"
+    b ++= s"ci1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, $gSel FROM rk WHERE rn = 1),\n"
+    for (r <- 2 to k) {
+      val prev = s"ci${r - 1}"
+      b ++= s"md$r AS MATERIALIZED (SELECT $idCol, " + zAll.mkString(", ") +
+        s", MIN($dist) AS dmin FROM z CROSS JOIN $prev GROUP BY " +
+        (Seq(idCol) ++ zAll).mkString(", ") + "),\n"
+      b ++= s"ci$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL " +
+        s"SELECT CAST(${r - 1} AS BIGINT) AS cluster, $gSel " +
+        s"FROM (SELECT * FROM md$r ORDER BY dmin DESC, $idCol LIMIT 1)),\n"
+    }
+    b ++= s"c0 AS MATERIALIZED (SELECT * FROM ci$k),\n"
     def assignCte(name: String, from: String): String =
       s"$name AS MATERIALIZED (SELECT $idCol, " + (xs ++ zAll).mkString(", ") +
         s", (min({'d': $dist, 'j': cluster})).j AS cluster" +
@@ -236,7 +299,7 @@ object DetKMeans {
         s" FROM a$t GROUP BY 1),\n"
       b ++= s"c$t AS MATERIALIZED (SELECT p.cluster, " + xs.zipWithIndex.map { case (x, i) =>
         s"CASE WHEN s$t.m IS NULL THEN p.g$i ELSE " +
-          s"(${Exact.bigDecToDoubleSql(s"s$t.s_$x")} / CAST(s$t.m AS DOUBLE) - mu_$x) / sig_$x END AS g$i"
+          s"(${Exact.bigDecToDoubleSignedSql(s"s$t.s_$x")} / CAST(s$t.m AS DOUBLE) - mu_$x) / sig_$x END AS g$i"
       }.mkString(", ") +
         s" FROM c${t - 1} p LEFT JOIN s$t USING (cluster) CROSS JOIN ms),\n"
     }

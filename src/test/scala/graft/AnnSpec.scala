@@ -39,16 +39,28 @@ class AnnSpec extends AnyFunSuite {
     assert(r.length == 1 && math.abs(r(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
-  test("IVF top-k recall >= 0.8 vs brute force at nProbe=3/8 lists") {
+  test("IVF recall/coverage curve vs brute force (balanced lists)") {
+    // The DetKMeans quantizer produces BALANCED lists (55–72 of 500 at
+    // k=8; the MLlib fit it replaced left two singleton lists and three
+    // ~100+ giants, so its nProbe=3 "recall 0.8" was really 67% corpus
+    // coverage). With honest balance, recall is bought with nProbe:
+    // measured 0.63 @ 3/8 (37.5% coverage) and 0.83 @ 5/8 (62.5% — still
+    // BELOW the old fit's effective scan fraction, with higher recall).
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val k = 10
     val brute = Ann.bruteTopK(emb, queries, k).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val ivf = Ann.ivfTopK(emb, queries, k).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
-    val recall = (brute intersect ivf).size.toDouble / brute.size
-    assert(recall >= 0.8, s"recall $recall < 0.8 (|brute|=${brute.size}, |ivf|=${ivf.size})")
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Ann.ivfTopK(emb, queries, k, nProbe = nProbe).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    val r3 = recallAt(3)
+    assert(r3 >= 0.55, s"recall@3 $r3 < 0.55 (|brute|=${brute.size})")
+    val r5 = recallAt(5)
+    assert(r5 >= 0.8, s"recall@5 $r5 < 0.8 (|brute|=${brute.size})")
+    assert(r5 >= r3, "recall must not decrease with more probes")
   }
 
   test("filtered ANN only returns corpus vectors passing the predicate") {
