@@ -17,6 +17,7 @@ FACTS = {
     "lineitem":  (["l_orderkey"], None),
     "events":    (["event_id", "user_id"], None),
     "documents": (["doc_id"], None),
+    "embeddings": (["vec_id"], None),
 }
 
 def main(src, out, factor, only):
