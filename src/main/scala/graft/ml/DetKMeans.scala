@@ -169,12 +169,20 @@ object DetKMeans {
     }
 
     val kEff = centers.length
-    type Acc = (Array[Long], Array[Array[java.math.BigInteger]])
-    def zeroAcc: Acc =
-      (new Array[Long](kEff), Array.fill(kEff, nFi)(java.math.BigInteger.ZERO))
+    // Cluster sums accumulate in PLAIN LONGS with an overflow-flush carry:
+    // per-row |x| is < 2^53 (the exactness contract), so adding into a long
+    // and flushing to BigInteger once |partial| passes 2^61 is exact, and
+    // the sum's decomposition into flushed chunks is associative — the
+    // first cut allocated a BigInteger per row per feature (~600M objects
+    // for 15M rows × 4 features × 10 iterations at the 100× probe; GC made
+    // rep times GROW run-over-run). Flushes are ~never in practice.
+    val Flush = 1L << 61
+    type Acc = (Array[Long], Array[Array[Long]], Array[Array[java.math.BigInteger]])
+    def zeroAcc: Acc = (new Array[Long](kEff), Array.fill(kEff, nFi)(0L),
+      Array.fill(kEff, nFi)(java.math.BigInteger.ZERO))
     for (_ <- 1 to iters) {
       val ctrs = centers                       // capture this iteration's value
-      val (ms, ss) = ptsRdd.treeAggregate(zeroAcc)(
+      val (ms, sl, sc) = ptsRdd.treeAggregate(zeroAcc)(
         seqOp = { case (acc, (_, xs, zs)) =>
           var best = 0
           var bestD = Double.PositiveInfinity
@@ -188,9 +196,15 @@ object DetKMeans {
             j += 1
           }
           acc._1(best) += 1
+          val s = acc._2(best)
+          val carry = acc._3(best)
           var i = 0
           while (i < nFi) {
-            acc._2(best)(i) = acc._2(best)(i).add(java.math.BigInteger.valueOf(xs(i)))
+            s(i) += xs(i)
+            if (s(i) >= Flush || s(i) <= -Flush) {
+              carry(i) = carry(i).add(java.math.BigInteger.valueOf(s(i)))
+              s(i) = 0L
+            }
             i += 1
           }
           acc
@@ -200,7 +214,11 @@ object DetKMeans {
           while (j < kEff) {
             a._1(j) += b._1(j)
             var i = 0
-            while (i < nFi) { a._2(j)(i) = a._2(j)(i).add(b._2(j)(i)); i += 1 }
+            while (i < nFi) {
+              a._3(j)(i) = a._3(j)(i).add(b._3(j)(i))
+                .add(java.math.BigInteger.valueOf(b._2(j)(i)))
+              i += 1
+            }
             j += 1
           }
           a
@@ -210,7 +228,8 @@ object DetKMeans {
         else {
           val m = ms(j).toDouble
           featCols.indices.map { i =>
-            (Exact.bigDecToDoubleJvm(new java.math.BigDecimal(ss(j)(i))) / m
+            val total = sc(j)(i).add(java.math.BigInteger.valueOf(sl(j)(i)))
+            (Exact.bigDecToDoubleJvm(new java.math.BigDecimal(total)) / m
               - mu(i)) / sigma(i)
           }.toArray
         }

@@ -65,6 +65,33 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 != "keep"), "no non-keep decisions — parity check vacuous")
   }
 
+  test("crash between index commit and output commit replays to identical decisions") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
+    val indexDir = tmp("snd_idx3")
+    val outDir = tmp("snd_out3")
+    StreamingNearDup.buildCorpusIndex(corpus, indexDir)
+    val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
+      .select("doc_id", "text").limit(30)
+    val sink = StreamingNearDup.nearDupSink(indexDir, outDir)
+    sink(slice, 0L)
+    val committed = spark.read.parquet(s"$outDir/batch=0")
+      .orderBy("doc_id").collect().toSeq
+    // simulate the crash window: index marker exists, output marker lost —
+    // the replay must re-probe WITH the batch's own docs already settled in
+    // the index and still produce the same decisions (the scaladoc's
+    // candidate-filter argument, verified)
+    assert(new java.io.File(s"$indexDir/batch=0/_GRAFT_COMMITTED").exists())
+    assert(new java.io.File(s"$outDir/batch=0/_GRAFT_COMMITTED").delete())
+    sink(slice, 0L)
+    assert(new java.io.File(s"$outDir/batch=0/_GRAFT_COMMITTED").exists())
+    val replayed = spark.read.parquet(s"$outDir/batch=0")
+      .orderBy("doc_id").collect().toSeq
+    assert(replayed == committed,
+      "replay with the batch already in the index changed decisions")
+  }
+
   test("replayed batchId is skipped by the marker protocol") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
