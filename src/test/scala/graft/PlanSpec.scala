@@ -327,4 +327,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "feature join must stay a key join")
     assert(!plan.contains("SinglePartition"), "feature build collapsed to one partition")
   }
+
+  test("deterministic-KMeans consumers emit window-free, single-partition-free plans") {
+    // the fit runs as driver-bounded jobs; the RETURNED frames must be pure
+    // kernel projections over the (possibly re-computed) feature lineage —
+    // a Window or SinglePartition here would mean the scalable shape regressed
+    for (df <- Seq(graft.ml.Clustering.customerClusters(spark, dir),
+                   graft.ml.MlAnomaly.mlAnomaly(spark, dir))) {
+      val plan = formatted(df)
+      assert(plan.contains("kmeans_assign"), "assignment lost the codegen kernel")
+      assert(!plan.contains("Window"), "a window crept into a DetKMeans consumer")
+      assert(!plan.contains("SinglePartition"),
+        "a DetKMeans consumer collapsed to one partition")
+    }
+    spark.catalog.clearCache() // release mlAnomaly's documented scored cache
+  }
+
+  test("ann_ivf windows stay query-partitioned; probe join is key-based") {
+    val plan = formatted(graft.ann.Ann.annIvfTopK(spark, dir))
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      "an IVF window lost its query_id partitioning")
+    // centroid ranking is the only crossJoin and its build side is the
+    // constant-size (nLists-row) centroid table (count the detail headers —
+    // the formatted output also repeats each node in the tree section)
+    val crossJoins = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
+    assert(crossJoins <= 1, s"unexpected extra cross joins: $crossJoins")
+  }
 }
