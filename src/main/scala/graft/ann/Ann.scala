@@ -283,14 +283,16 @@ object Ann {
     * Round 10 replaced the MLlib KMeans quantizer with
     * [[graft.ml.DetKMeans]] over the q20-quantized embedding components
     * themselves: each component is already an exact long (round(x·2²⁰)),
-    * so the deterministic Lloyd's clusters the FULL vector space — the
-    * same geometry MLlib clustered, hence the same recall — while
-    * standardization, init, iterations, probe ranking, and re-score are
-    * all engine-replayable, which flips ann_ivf from rows-only to
-    * hash-exact; recall vs brute force stays AnnSpec's measured bound.
-    * (A first cut clustered an 8-d random-projection sketch instead —
-    * recall collapsed to 0.55 on the isotropic test embeddings, the
-    * classic projection-loses-high-intrinsic-dimension failure.)
+    * so the deterministic Lloyd's clusters the FULL vector space (on the
+    * 2^20 sphere — see withProj) while standardization, init, iterations,
+    * probe ranking, and re-score are all engine-replayable, which flips
+    * ann_ivf from rows-only to hash-exact; recall vs brute force is
+    * AnnSpec's measured recall/coverage curve (0.63 @ nProbe 3, 0.83 @ 5 —
+    * and the honest finding that the MLlib fit this replaced reached
+    * "0.8 @ 3" only through degenerate singleton+giant lists covering 67%
+    * of the corpus). A first cut clustered an 8-d random-projection sketch
+    * instead — recall collapsed to 0.55 on the isotropic test embeddings,
+    * the classic projection-loses-high-intrinsic-dimension failure.
     *
     * Spark shape: centroids are a k×IvfDims literal (constant-size at any
     * corpus scale); list assignment is one projection pass; the probe join
@@ -337,10 +339,11 @@ object Ann {
     // spherical features: each q20 component re-projected onto the 2^20
     // sphere (round(qe·2^20/||qe||) — exact-integer in, one portable
     // division + round out), so Euclidean Lloyd's clusters ANGULAR
-    // neighborhoods, the geometry cosine top-k actually probes. Clustering
-    // the raw q20 space measured recall 0.63 at nProbe 3/8 (balanced lists,
-    // wrong metric); the sphere recovers it. Vectors shorter than IvfDims
-    // zero-pad; the zero vector maps to the origin (both engines).
+    // neighborhoods — the metric cosine top-k actually probes; magnitude
+    // differences stop pulling list boundaries (on the near-unit test
+    // embeddings the raw and spherical fits measure alike; on real
+    // mixed-norm corpora only the sphere is correct). Vectors shorter than
+    // IvfDims zero-pad; the zero vector maps to the origin (both engines).
     def withProj(df: DataFrame, emb: String): DataFrame = {
       val qe = qeLong(col(emb)).as("__qe")
       val base = df.select(col("*"), qe)

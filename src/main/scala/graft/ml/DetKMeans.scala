@@ -75,10 +75,10 @@ object DetKMeans {
     val (n, mu, sigma) =
       if (!standardize) {
         // raw-space mode (μ=0, σ=1 — z IS the feature as a double): the
-        // right geometry when the features already share one scale and the
-        // caller wants MLlib-raw-KMeans behavior (Ann's IVF quantizer —
-        // per-dim standardization warps cosine neighborhoods and measured
-        // recall 0.6 vs 0.85 raw)
+        // right geometry when the features already share one scale (Ann's
+        // IVF quantizer — per-dim standardization warps the shared-scale
+        // embedding space and measured recall 0.60 vs 0.63 raw at the same
+        // probe budget)
         (df.count(), Array.fill(nF)(0.0), Array.fill(nF)(1.0))
       } else {
         // pass 1: n + exact decimal sums → driver (1 row)
@@ -135,8 +135,9 @@ object DetKMeans {
     // smallest md5(id) (the hash_split recipe; one distributed
     // TakeOrdered); each further center is the point with the LARGEST
     // min-distance to the centers so far, ties to the smallest id — a
-    // greedy spread both engines replay (pure Forgy measured IVF recall
-    // 0.67 vs ≥0.8 here: random seeds under-cover the space). Each round
+    // greedy spread both engines replay (against pure-Forgy seeds this
+    // traded a small IVF recall@3 dip for a balanced, reproducible
+    // partition — see AnnSpec's recall/coverage curve). Each round
     // is one treeAggregate pass over the cached points.
     val seedRow = z
       .withColumn("__h", md5(col(idCol).cast("string")))
