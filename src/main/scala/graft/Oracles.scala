@@ -1219,6 +1219,7 @@ object Oracles {
     "hash_split" -> graft.text.TrainPrep.hashSplitOracle,
     "class_balance" -> graft.text.TrainPrep.classBalanceOracle,
     "contamination_check" -> graft.text.TrainPrep.contaminationCheckOracle,
+    "semantic_contamination" -> graft.text.Decontamination.semanticContaminationOracle(),
     "repetition_filter" -> graft.text.TrainPrep.repetitionFilterOracle,
     "sequence_packing" -> graft.text.TrainPrep.sequencePackingOracle,
     "mixing_weights" -> graft.text.TrainPrep.mixingWeightsOracle,

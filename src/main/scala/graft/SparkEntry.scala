@@ -168,6 +168,7 @@ object SparkEntry {
     "hash_split"          -> ((s, d) => graft.text.TrainPrep.hashSplit(s, d)),
     "class_balance"       -> ((s, d) => graft.text.TrainPrep.classBalance(s, d)),
     "contamination_check" -> ((s, d) => graft.text.TrainPrep.contaminationCheck(s, d)),
+    "semantic_contamination" -> ((s, d) => graft.text.Decontamination.semanticContamination(s, d)),
     "repetition_filter"   -> ((s, d) => graft.text.TrainPrep.repetitionFilter(s, d)),
     "sequence_packing"    -> ((s, d) => graft.text.TrainPrep.sequencePacking(s, d)),
     "mixing_weights"      -> ((s, d) => graft.text.TrainPrep.mixingWeights(s, d)),

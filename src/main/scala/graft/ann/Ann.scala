@@ -50,7 +50,7 @@ object Ann {
     * oracle replay the identical bucketing at any scale (the md5 digit-fold
     * is the hashBucketSql recipe — SQL-expressible, unlike a JVM-seeded
     * Gaussian stream). Driver-side cost: ≤ tables·20·64 ≈ 30k md5 calls. */
-  private[ann] def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Long] = {
+  private[graft] def planes(tables: Int, bits: Int, dim: Int, seed: Long): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(tables * bits * dim) { i =>
       val t = i / (bits * dim); val b = (i / dim) % bits; val j = i % dim
@@ -62,7 +62,7 @@ object Ann {
 
   /** One fused codegen'd pass (graft.functions.SrpBuckets) computes every
     * table's bucket key; posexplode turns them into (tbl, bucket) rows. */
-  private def withBuckets(df: DataFrame, vecCol: String, pl: Array[Long],
+  private[graft] def withBuckets(df: DataFrame, vecCol: String, pl: Array[Long],
                           tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
     val fn = graft.functions.SrpBuckets.register(
       df.sparkSession, s"${tables}_${bits}_${dim}_$seed", pl, tables, bits, dim)
@@ -77,7 +77,7 @@ object Ann {
     * rule — min b in [3,20] with 2^b·64 ≥ n ( ⇔ ceil(log2(n/64)) clamped) —
     * so the DuckDB oracle derives the identical geometry from COUNT(*)
     * without a float log2 that could flip at exact powers of two. */
-  private[ann] def adaptiveBits(n: Long): Int =
+  private[graft] def adaptiveBits(n: Long): Int =
     (3 to 20).find(b => (1L << b) * 64 >= n).getOrElse(20)
 
   /** SRP-LSH cosine top-k: bucket-collision candidates (ids only through the

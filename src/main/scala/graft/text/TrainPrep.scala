@@ -34,12 +34,12 @@ object TrainPrep {
     * (not the text) keeps a document's split assignment fixed across
     * re-crawls that mutate its content — the property that keeps eval sets
     * honest over pipeline generations. */
-  private def hashBucket(id: Column, mod: Int): Column =
+  private[graft] def hashBucket(id: Column, mod: Int): Column =
     (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % mod)
 
   /** DuckDB twin of hashBucket (no base-16 conv builtin — digit-fold the
     * hex, the chunk_embeddings recipe). */
-  private def hashBucketSql(idExpr: String, mod: Int): String =
+  private[graft] def hashBucketSql(idExpr: String, mod: Int): String =
     s"""CAST(list_sum(list_transform(range(1, 5), j ->
        |    (strpos('$hexDigits', substring(md5(CAST($idExpr AS VARCHAR)), j, 1)) - 1)
        |      * (16.0 ** (4 - j)))) AS BIGINT) % $mod""".stripMargin
