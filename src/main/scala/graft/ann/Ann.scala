@@ -304,36 +304,14 @@ object Ann {
   /** q20-quantized embedding as exact longs. */
   private def qeLong(c: Column): Column = transform(quantize(c), x => x.cast("long"))
 
-  /** IVF index cache: (corpus plan digest, nLists, seed) → fitted
-    * quantizer model. An IVF index is built ONCE and probed by many
-    * queries — refitting per search would charge index-build cost to every
-    * lookup. Deterministic: the fit is seed-fixed, so a cached and a fresh
-    * model agree. Bounded: LRU over `MaxIvfModels` entries. */
-  private val MaxIvfModels = 4
-  private val ivfModels =
-    new java.util.LinkedHashMap[(String, Int, Long), graft.ml.DetKMeans.Model](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, Long), graft.ml.DetKMeans.Model]): Boolean =
-        size() > MaxIvfModels
-    }
-
-  private def cachedIvfModel(key: (String, Int, Long))(
-      fit: => graft.ml.DetKMeans.Model): graft.ml.DetKMeans.Model = {
-    // lock only the map get/put — a fit inside the monitor would serialize
-    // concurrent ivfTopK calls on DIFFERENT corpora behind one fit. Two
-    // threads racing the same cold key may both fit (deterministic ⇒
-    // identical models, so either result is correct); last put wins.
-    val hit = ivfModels.synchronized(ivfModels.get(key))
-    if (hit != null) hit
-    else { val m = fit; ivfModels.synchronized(ivfModels.put(key, m)); m }
-  }
-
-  /** Test hook: current IVF cache occupancy. */
-  private[graft] def ivfCacheSize: Int = ivfModels.synchronized(ivfModels.size())
+  /** Test hook: DetKMeans model-cache occupancy (the IVF quantizer caches
+    * through [[graft.ml.DetKMeans.fitCached]] — fit once, probe many). */
+  private[graft] def ivfCacheSize: Int = graft.ml.DetKMeans.cacheSize
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+              nLists: Int = 8, nProbe: Int = 3): DataFrame = {
+    // no seed parameter since r10: the deterministic fit consumes no
+    // randomness (md5-seeded maxmin init + fixed iterations)
     val spark = corpus.sparkSession
     val xs = (0 until IvfDims).map(i => s"x$i")
     // spherical features: each q20 component re-projected onto the 2^20
@@ -360,12 +338,9 @@ object Ann {
     }
     val feats = withProj(corpus.select(col("vec_id"), col("embedding")), "embedding")
       .persist()
-    val cacheKey = (corpus.queryExecution.analyzed.canonicalized.toString, nLists, seed)
-    val model = cachedIvfModel(cacheKey) {
-      graft.ml.DetKMeans.fit(feats, "vec_id", xs, nLists, IvfIters, standardize = false)._2
-    }
-    val lists = graft.ml.DetKMeans.assign(feats, xs, model)
-      .select(col("vec_id"), col("cluster").as("list_id"))
+    val (assigned, model) = graft.ml.DetKMeans.fitCached(
+      feats, "vec_id", xs, nLists, IvfIters, standardize = false)
+    val lists = assigned.select(col("vec_id"), col("cluster").as("list_id"))
     // the persist exists for the iterative fit; releasing here means the
     // one downstream list-assignment pass recomputes the cheap projection
     // instead of pinning corpus-sized blocks for the lazy frame's lifetime

@@ -43,7 +43,7 @@ object Clustering {
     // the fit scans the feature frame 3 + Iters times; persist the groupBy
     // (this single line cut the MLlib query ~4x at sf0.1 — same economics)
     val feats = customerFeatures(spark, dir).persist()
-    val (assigned, _) = DetKMeans.fit(
+    val (assigned, _) = DetKMeans.fitCached(
       feats, "customer_id", Seq("x0", "x1", "x2"), k, Iters)
     val out = assigned.select(
       col("customer_id"),

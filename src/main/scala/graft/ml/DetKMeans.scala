@@ -52,6 +52,42 @@ object DetKMeans {
     graft.functions.KMeansAssign.of(
       array(zCols: _*), typedLit(centers.map(_.toSeq).toSeq))
 
+  /** Model cache: (input-plan digest, feature config) → fitted [[Model]].
+    * A clustering model is fit ONCE and scored by many queries — refitting
+    * per call would charge index/model-build cost to every lookup (the Ann
+    * IVF-cache rationale, generalized to every DetKMeans consumer: the
+    * anomaly detector's ensemble view re-scores the same fit, segmentation
+    * dashboards re-read the same clusters). Safe because the fit is fully
+    * deterministic — a cached and a fresh model are identical, so cached
+    * scoring is oracle-indistinguishable from refitting. Bounded: LRU over
+    * [[MaxModels]] entries of k×d doubles each. */
+  private val MaxModels = 4
+  private val models =
+    new java.util.LinkedHashMap[(String, String, Int, Int, Boolean), Model](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int, Int, Boolean), Model]): Boolean =
+        size() > MaxModels
+    }
+
+  private[graft] def cacheSize: Int = models.synchronized(models.size())
+
+  /** [[fit]] through the model cache: a hit skips straight to [[assign]]
+    * (one projection); a miss fits and stores. Lock covers only the map
+    * get/put — concurrent cold fits of the same key produce identical
+    * models (determinism), last put wins. */
+  def fitCached(df: DataFrame, idCol: String, featCols: Seq[String],
+                k: Int, iters: Int, standardize: Boolean = true): (DataFrame, Model) = {
+    val key = (df.queryExecution.analyzed.canonicalized.toString,
+      idCol + "|" + featCols.mkString(","), k, iters, standardize)
+    val hit = models.synchronized(models.get(key))
+    if (hit != null) (assign(df, featCols, hit), hit)
+    else {
+      val (out, m) = fit(df, idCol, featCols, k, iters, standardize)
+      models.synchronized(models.put(key, m))
+      (out, m)
+    }
+  }
+
   /** Re-derive z-columns + `cluster` for any frame with the model's feature
     * columns — the scoring path for a cached [[Model]] (e.g. Ann's IVF
     * index cache skips the fit but still assigns inverted lists). */

@@ -81,7 +81,7 @@ object MlAnomaly {
   def mlAnomaly(spark: SparkSession, dir: String, k: Int = 8,
                 zThresh: Double = 2.0, minPts: Int = 5): DataFrame = {
     val feats = orderFeatures(spark, dir).persist()
-    val (assigned, model) = DetKMeans.fit(
+    val (assigned, model) = DetKMeans.fitCached(
       feats, "o_orderkey", FeatureCols, k, Iters)
 
     // distance to the ASSIGNED centroid: one array-literal center lookup +

@@ -57,6 +57,45 @@ object StreamingNearDup {
   private def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
     dfs.reduceOption(_.unionByName(_))
 
+  /** Fold every COMMITTED batch append into `corpus/` and delete the batch
+    * dirs — the offline maintenance step that keeps the per-batch dir count
+    * (and the probe's union width) bounded on a long-lived stream. Safe
+    * against a concurrently-arriving batch: only the dirs listed committed
+    * at entry are folded and removed; a batch that commits mid-compaction
+    * stays in place for the next pass. Must not run concurrently with a
+    * probe (stop the query or run between micro-batches — the standard
+    * compaction/ingest exclusion). Semantics: folded batch docs become
+    * SETTLED CORPUS — a later batch doc matching one now decides
+    * `drop_near_corpus` (any id) instead of `drop_near_batch` (smaller id
+    * only), which is exactly what "the nightly crawl settles into the
+    * corpus" means. Returns the number of batch dirs folded. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val committed = ExactlyOnce.committedBatches(spark, indexDir)
+    if (committed.isEmpty) return 0
+    val corpusB = spark.read.parquet(s"$indexDir/corpus/buckets")
+    val corpusSh = spark.read.parquet(s"$indexDir/corpus/shingles")
+    val allB = (corpusB +: committed.map(d => spark.read.parquet(s"$d/buckets")))
+      .reduce(_.unionByName(_))
+    val allSh = (corpusSh +: committed.map(d => spark.read.parquet(s"$d/shingles")))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("doc_id")          // a replayed append may duplicate
+    // write-then-swap: stage the merged index, then atomically rename over
+    // corpus/ — a crash mid-compaction leaves either the old corpus + batch
+    // dirs (restart folds again) or the new corpus with stale batch dirs
+    // (their docs are deduped on read by the probe's dropDuplicates)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = s"$indexDir/__corpus_staged"
+    allB.dropDuplicates("doc_id", "band", "bucket")
+      .write.mode("overwrite").parquet(s"$staged/buckets")
+    allSh.write.mode("overwrite").parquet(s"$staged/shingles")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/corpus"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$indexDir/corpus"))
+    committed.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    committed.size
+  }
+
   /** Decisions for one micro-batch (columns `doc_id`, `text`) probed against
     * the settled index: `corpus/` plus every COMMITTED earlier batch append
     * (the marker protocol makes half-written appends invisible). Returns

@@ -92,6 +92,37 @@ class StreamingNearDupSpec extends AnyFunSuite {
       "replay with the batch already in the index changed decisions")
   }
 
+  test("compaction folds batch appends into the corpus and upgrades matches") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
+    val indexDir = tmp("snd_idx4")
+    val outDir = tmp("snd_out4")
+    StreamingNearDup.buildCorpusIndex(corpus, indexDir)
+    val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sink = StreamingNearDup.nearDupSink(indexDir, outDir)
+    sink(slice.take(10).toSeq.toDF("doc_id", "text"), 0L)
+    sink(slice.slice(10, 20).toSeq.toDF("doc_id", "text"), 1L)
+    assert(StreamingNearDup.compactIndex(spark, indexDir) == 2)
+    assert(ExactlyOnce.committedBatches(spark, indexDir).isEmpty,
+      "batch dirs survived compaction")
+    // re-submit batch 0's TEXTS under fresh ids: each new doc is an exact
+    // twin of a folded (now settled) doc with a DIFFERENT id, so every doc
+    // with enough tokens to shingle must decide drop_near_corpus — the
+    // batch-side rule (smaller id only) no longer applies to folded docs
+    val fresh = slice.take(10).map { case (id, t) => (id + 10000000L, t) }
+    sink(fresh.toSeq.toDF("doc_id", "text"), 2L)
+    val d = spark.read.parquet(s"$outDir/batch=2")
+    assert(d.count() == 10)
+    assert(d.filter(col("decision") === "drop_near_batch").count() == 0,
+      "a folded doc still matched as batch-side")
+    val shingleable = fresh.count(_._2.trim.split("\\s+").length >= 3).toLong
+    assert(d.filter(col("decision") === "drop_near_corpus").count() == shingleable,
+      "not every shingleable twin settled as a corpus match")
+  }
+
   test("replayed batchId is skipped by the marker protocol") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
