@@ -204,6 +204,7 @@ object Oracles {
     "ann_lsh" -> graft.ann.Ann.annLshOracle,
     "ann_ivf" -> graft.ann.Ann.annIvfOracle(),
     "customer_clusters" -> graft.ml.Clustering.customerClustersOracle(),
+    "model_eval" -> graft.ml.ModelEval.modelEvalOracle,
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,
     "embed_neardup" -> graft.ann.Ann.embedNearDupsOracle,
     "faceted_search" -> graft.text.Search.facetedSearchOracle,

@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Supervised GBT training/eval report (ModelEval) — rows-only driver query
-  * (tree-ensemble bin boundaries are partition-order-dependent), so the
-  * invariants live here: split arithmetic, metric identities, bounds, and
-  * the fitted model actually learning the training set. */
+/** Supervised GBT training/eval report (ModelEval) — oracle-hash-checked
+  * since the DetGbt swap (round 10); these invariants stay pinned too:
+  * split arithmetic, metric identities, bounds, and the fitted model
+  * actually learning the training set. */
 class ModelEvalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -51,7 +51,7 @@ class ModelEvalSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("model"), r.getAs[String]("split")) -> r.getAs[Double]("r2")).toMap
     assert(m(("gbt", "train")) > 0.0, s"train r2 ${m(("gbt", "train"))}")
     assert(m(("gbt", "train")) >= m(("naive_lag1", "train")) - 1e-9,
-      "a 20-tree GBT fit on 7 lags should not lose to lag-1 persistence on its own training split")
+      "a 30-stump boosted fit on 7 lags should not lose to lag-1 persistence on its own training split")
   }
 
   test("predictions are finite on every row") {
