@@ -40,9 +40,16 @@ object DetGbt {
                    stumps: IndexedSeq[Stump], bins: Int, lr: Double)
 
   /** Round half-away-from-zero — DuckDB's and Spark SQL's `round`, as a
-    * JVM scalar for the residual closure. */
-  def roundHalfAway(r: Double): Long =
-    (if (r >= 0) math.floor(r + 0.5) else -math.floor(-r + 0.5)).toLong
+    * JVM scalar for the residual closure. NOT `floor(r + 0.5)`: that
+    * misrounds doubles just below .5 (0.49999999999999994 + 0.5 rounds to
+    * 1.0 in IEEE). `|r| − floor(|r|)` is exact below 2^52, so the
+    * comparison form is the true half-away rule. */
+  def roundHalfAway(r: Double): Long = {
+    val a = math.abs(r)
+    val f = math.floor(a)
+    val m = (if (a - f >= 0.5) f + 1.0 else f).toLong
+    if (r < 0) -m else m
+  }
 
   /** Fit over integral columns: `centsCol` label + `featCols` features
     * (longs), rows with `isTrain` participating in stats. */
