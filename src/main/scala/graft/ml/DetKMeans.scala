@@ -77,7 +77,18 @@ object DetKMeans {
     * models (determinism), last put wins. */
   def fitCached(df: DataFrame, idCol: String, featCols: Seq[String],
                 k: Int, iters: Int, standardize: Boolean = true): (DataFrame, Model) = {
-    val key = (df.queryExecution.analyzed.canonicalized.toString,
+    // key on a NON-truncating plan digest: the default toString clips wide
+    // plans at spark.sql.debug.maxToStringFields ("... N more fields"), so
+    // two different ~66-column projections (the IVF path) could collide on
+    // the clipped string and serve the wrong cached model. semanticHash
+    // plus the full-width treeString cannot clip. (Data rewritten in place
+    // under the same path still aliases — documented cache contract.)
+    val plan = df.queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash().toString + ":" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(plan.treeString(verbose = true, addSuffix = false,
+          maxFields = Int.MaxValue).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString,
       idCol + "|" + featCols.mkString(","), k, iters, standardize)
     val hit = models.synchronized(models.get(key))
     if (hit != null) (assign(df, featCols, hit), hit)
@@ -156,9 +167,12 @@ object DetKMeans {
     // planning/scheduling overhead at sf0.1; here a pass is a ~30 ms
     // map-side-combined treeAggregate.
     val nFi = nF
+    // features cast to long explicitly: the getLong below would otherwise
+    // ClassCastException on an IntegerType column, which the "integral
+    // columns" contract admits
     val ptsRdd = work
       .select(col(idCol).cast("long").as("__id") +:
-        (featCols.map(col) ++ zNames.map(col)): _*).rdd
+        (featCols.map(c => col(c).cast("long")) ++ zNames.map(col)): _*).rdd
       .map { r =>
         val xs = new Array[Long](nFi)
         val zs = new Array[Double](nFi)

@@ -57,6 +57,26 @@ object StreamingNearDup {
   private def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
     dfs.reduceOption(_.unionByName(_))
 
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Complete an interrupted [[compactIndex]] swap before any index read.
+    * The swap is corpus→__corpus_old, __corpus_staged→corpus, delete
+    * __corpus_old; the staged dir is only ever fully written before the
+    * first rename, so "corpus missing + staged present" always means the
+    * staged copy is the complete new index. Idempotent and cheap (two
+    * existence checks) — every probe/compaction entry point calls it. */
+  private def recoverCorpus(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, indexDir)
+    val corpus = new Path(s"$indexDir/corpus")
+    val staged = new Path(s"$indexDir/__corpus_staged")
+    val old = new Path(s"$indexDir/__corpus_old")
+    if (!fs.exists(corpus) && fs.exists(staged)) fs.rename(staged, corpus)
+    if (fs.exists(corpus) && fs.exists(old)) fs.delete(old, true)
+  }
+
   /** Fold every COMMITTED batch append into `corpus/` and delete the batch
     * dirs — the offline maintenance step that keeps the per-batch dir count
     * (and the probe's union width) bounded on a long-lived stream. Safe
@@ -70,6 +90,8 @@ object StreamingNearDup {
     * only), which is exactly what "the nightly crawl settles into the
     * corpus" means. Returns the number of batch dirs folded. */
   def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    recoverCorpus(spark, indexDir)
     val committed = ExactlyOnce.committedBatches(spark, indexDir)
     if (committed.isEmpty) return 0
     val corpusB = spark.read.parquet(s"$indexDir/corpus/buckets")
@@ -79,20 +101,23 @@ object StreamingNearDup {
     val allSh = (corpusSh +: committed.map(d => spark.read.parquet(s"$d/shingles")))
       .reduce(_.unionByName(_))
       .dropDuplicates("doc_id")          // a replayed append may duplicate
-    // write-then-swap: stage the merged index, then atomically rename over
-    // corpus/ — a crash mid-compaction leaves either the old corpus + batch
-    // dirs (restart folds again) or the new corpus with stale batch dirs
-    // (their docs are deduped on read by the probe's dropDuplicates)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // write-then-swap: stage the merged index fully, then swap via two
+    // renames (corpus→__corpus_old, staged→corpus, delete old). Every crash
+    // point is recoverable: before the first rename the old corpus is
+    // intact (stale staged is overwritten next pass); between the renames
+    // `recoverCorpus` completes the swap from the fully-written staged dir;
+    // after the second rename only the old-dir/batch-dir deletes remain,
+    // and stale batch dirs are deduped on read by the probe's
+    // corpus-membership-wins aggregation.
+    val fs = hadoopFs(spark, indexDir)
     val staged = s"$indexDir/__corpus_staged"
     allB.dropDuplicates("doc_id", "band", "bucket")
       .write.mode("overwrite").parquet(s"$staged/buckets")
     allSh.write.mode("overwrite").parquet(s"$staged/shingles")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/corpus"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged),
-      new org.apache.hadoop.fs.Path(s"$indexDir/corpus"))
-    committed.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    fs.rename(new Path(s"$indexDir/corpus"), new Path(s"$indexDir/__corpus_old"))
+    fs.rename(new Path(staged), new Path(s"$indexDir/corpus"))
+    fs.delete(new Path(s"$indexDir/__corpus_old"), true)
+    committed.foreach(d => fs.delete(new Path(d), true))
     committed.size
   }
 
@@ -103,6 +128,7 @@ object StreamingNearDup {
     * the signatures are computed once per batch. */
   private def probe(spark: SparkSession, batch: DataFrame, indexDir: String,
                     threshold: Double, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    recoverCorpus(spark, indexDir)
     val signed = MinHashLsh.withSignatures(MinHashLsh.shingleDocs(batch), numHashes)
       .localCheckpoint(false)
     val bb = IncrementalDedup.bandBuckets(signed, numHashes, bands)
@@ -121,7 +147,12 @@ object StreamingNearDup {
       .filter(col("other_id") =!= col("doc_id"))
       .filter(col("other_is_corpus") || col("other_id") < col("doc_id"))
       .select("doc_id", "other_id", "other_is_corpus")
-      .dropDuplicates("doc_id", "other_id")
+      // in the post-compaction crash window a folded doc can appear both as
+      // corpus and as a stale committed batch dir; corpus membership must
+      // deterministically win so the drop_near_corpus/drop_near_batch
+      // decision doesn't depend on which duplicate row survives
+      .groupBy("doc_id", "other_id")
+      .agg(max("other_is_corpus").as("other_is_corpus"))
     val corpusSh = spark.read.parquet(s"$indexDir/corpus/shingles")
     val earlierSh = unionAll(committed.map(d => spark.read.parquet(s"$d/shingles")))
     val allSh = (Seq(corpusSh) ++ earlierSh ++ Seq(signed.select("doc_id", "shingles")))
