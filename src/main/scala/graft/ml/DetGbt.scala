@@ -4,8 +4,8 @@ import graft.Exact
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Deterministic gradient-boosted trees (depth-1 histogram boosting) — the
-  * engine-replayable sibling of MLlib's GBTRegressor, built so the last
+/** Deterministic gradient-boosted trees (histogram boosting, depth 1 or 2) —
+  * the engine-replayable sibling of MLlib's GBTRegressor, built so the last
   * rows-only query (model_eval) could become oracle-exact.
   *
   * Why MLlib GBT resists replay: its split candidates come from
@@ -22,22 +22,38 @@ import org.apache.spark.sql.functions._
   *  - the best split maximizes the standard SSE-reduction surrogate
   *    s_l²/n_l + s_r²/n_r computed with one fixed IEEE sequence, ties to
   *    the smallest (feature, bin);
+  *  - at depth 2 each side of the chosen root split is split AGAIN,
+  *    independently, from a second per-(side, feature, bin) exact
+  *    histogram pass — same gain surrogate, same tie rule; a side with no
+  *    valid split (single occupied bin on every feature) falls back to its
+  *    depth-1 leaf value;
   *  - leaf deltas are (s/n)·lr in that order; the prediction accumulates
-  *    f0 + Σ stump terms left-associated, iteration order;
-  *  - a FIXED stump count (no early stop).
+  *    f0 + Σ tree terms left-associated, iteration order;
+  *  - a FIXED tree count (no early stop).
   *
-  * Boosted stumps are a real GBT (depth-1 trees, additive on the lag
-  * features); ModelEvalSpec keeps the learning-quality gate (train R²
-  * beats naive persistence). Scale shape: the stats pass is one
-  * map-side-combined treeAggregate over a cached primitive RDD per stump
-  * (the DetKMeans loop economics); driver state is T stumps + per-feature
-  * ranges — bounded by knobs.
+  * Depth-2 trees learn pairwise feature interactions (root on x_j, children
+  * on x_k) that depth-1 stumps — purely additive in single features —
+  * cannot; the reference's GBTRegressor (model_trainer.py) fits multi-level
+  * trees for exactly that reason. Scale shape: each tree is two
+  * map-side-combined treeAggregate passes (root histogram, then the
+  * conditioned side histograms) over a cached primitive RDD (the DetKMeans
+  * loop economics); driver state is T trees + per-feature ranges — bounded
+  * by knobs.
   */
 object DetGbt {
 
-  case class Stump(j: Int, b: Long, wl: Double, wr: Double)
+  /** A child split: feature, bin boundary, and its two leaf deltas. */
+  case class Split(j: Int, b: Long, wl: Double, wr: Double)
+
+  /** One boosted tree: root split (j, b); `lw`/`rw` are the depth-1 side
+    * leaf deltas (used directly at depth 1, and as the fallback when a side
+    * has no valid child split at depth 2); `left`/`right` are the depth-2
+    * child splits. */
+  case class Tree(j: Int, b: Long, lw: Double, rw: Double,
+                  left: Option[Split], right: Option[Split])
+
   case class Model(f0: Double, mins: Array[Long], maxs: Array[Long],
-                   stumps: IndexedSeq[Stump], bins: Int, lr: Double)
+                   trees: IndexedSeq[Tree], bins: Int, lr: Double)
 
   /** Round half-away-from-zero — DuckDB's and Spark SQL's `round`, as a
     * JVM scalar for the residual closure. NOT `floor(r + 0.5)`: that
@@ -51,11 +67,25 @@ object DetGbt {
     if (r < 0) -m else m
   }
 
+  /** The per-row additive term of one tree given the row's bin indices —
+    * the JVM twin of [[predictExpr]]'s per-tree CASE (and of the oracle's). */
+  private def treeTerm(t: Tree, bi: Array[Int]): Double =
+    if (bi(t.j) <= t.b) t.left match {
+      case Some(s) => if (bi(s.j) <= s.b) s.wl else s.wr
+      case None => t.lw
+    } else t.right match {
+      case Some(s) => if (bi(s.j) <= s.b) s.wl else s.wr
+      case None => t.rw
+    }
+
   /** Fit over integral columns: `centsCol` label + `featCols` features
-    * (longs), rows with `isTrain` participating in stats. */
+    * (longs), rows with `isTrain` participating in stats. `depth` 1 fits
+    * boosted stumps; 2 fits two-level trees (one extra conditioned
+    * histogram pass per round). */
   def fit(df: DataFrame, centsCol: String, featCols: Seq[String],
           isTrain: Column, bins: Int = 32, t: Int = 30,
-          lr: Double = 0.1): Model = {
+          lr: Double = 0.1, depth: Int = 1): Model = {
+    require(depth == 1 || depth == 2, s"DetGbt depth must be 1 or 2, got $depth")
     val nF = featCols.length
     val tr = df.filter(isTrain)
     val statAggs = Seq(Exact.countAll.as("n"),
@@ -87,20 +117,49 @@ object DetGbt {
         (cents, bi, r.getBoolean(nF + 1))
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var stumps = Vector.empty[Stump]
+    // best split from a (count, residual-sum) histogram laid out as
+    // cell = base + j*bins + b: strict > keeps the smallest (j, b) on gain
+    // ties — the oracle's ORDER BY gain DESC, j, b LIMIT 1
+    def bestSplit(cn: Array[Long], cs: Array[Long], base: Int): Option[Split] = {
+      var best: Split = null
+      var bestGain = Double.NegativeInfinity
+      var j = 0
+      while (j < nF) {
+        var nl = 0L; var sl = 0L
+        var nt = 0L; var st = 0L
+        var b = 0
+        while (b < bins) { nt += cn(base + j * bins + b); st += cs(base + j * bins + b); b += 1 }
+        b = 0
+        while (b < bins - 1) {
+          nl += cn(base + j * bins + b); sl += cs(base + j * bins + b)
+          val nr = nt - nl; val sr = st - sl
+          if (nl > 0 && nr > 0) {
+            val gain = (sl.toDouble * sl.toDouble) / nl.toDouble +
+              (sr.toDouble * sr.toDouble) / nr.toDouble
+            if (gain > bestGain) {
+              bestGain = gain
+              best = Split(j, b.toLong,
+                (sl.toDouble / nl.toDouble) * lr, (sr.toDouble / nr.toDouble) * lr)
+            }
+          }
+          b += 1
+        }
+        j += 1
+      }
+      if (best == null) None else Some(best)
+    }
+
+    var trees = Vector.empty[Tree]
     for (_ <- 1 to t) {
-      val sofar = stumps
+      val sofar = trees
       val cells = nF * bins
+      // pass 1: root-level residual histogram
       val (cn, cs) = ptsRdd.treeAggregate((new Array[Long](cells), new Array[Long](cells)))(
         seqOp = { case (acc, (cents, bi, train)) =>
           if (train) {
             var f = f0
             var s = 0
-            while (s < sofar.length) {
-              val st = sofar(s)
-              f += (if (bi(st.j) <= st.b) st.wl else st.wr)
-              s += 1
-            }
+            while (s < sofar.length) { f += treeTerm(sofar(s), bi); s += 1 }
             val rq = roundHalfAway(cents.toDouble - f)
             var j = 0
             while (j < nF) {
@@ -117,39 +176,47 @@ object DetGbt {
           while (i < cells) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
           a
         })
-      // best split on the driver: strict > keeps the smallest (j, b) on
-      // gain ties — the oracle's ORDER BY gain DESC, j, b LIMIT 1
-      var best: Stump = null
-      var bestGain = Double.NegativeInfinity
-      var j = 0
-      while (j < nF) {
-        var nl = 0L; var sl = 0L
-        var nt = 0L; var st = 0L
-        var b = 0
-        while (b < bins) { nt += cn(j * bins + b); st += cs(j * bins + b); b += 1 }
-        b = 0
-        while (b < bins - 1) {
-          nl += cn(j * bins + b); sl += cs(j * bins + b)
-          val nr = nt - nl; val sr = st - sl
-          if (nl > 0 && nr > 0) {
-            val gain = (sl.toDouble * sl.toDouble) / nl.toDouble +
-              (sr.toDouble * sr.toDouble) / nr.toDouble
-            if (gain > bestGain) {
-              bestGain = gain
-              best = Stump(j, b.toLong,
-                (sl.toDouble / nl.toDouble) * lr, (sr.toDouble / nr.toDouble) * lr)
-            }
-          }
-          b += 1
+      val root = bestSplit(cn, cs, 0).getOrElse(
+        throw new IllegalStateException(
+          "DetGbt: no valid split (every feature constant on the train split)"))
+      val tree =
+        if (depth == 1) Tree(root.j, root.b, root.wl, root.wr, None, None)
+        else {
+          // pass 2: the same residuals histogrammed per (side, feature, bin)
+          // under the chosen root — the exact stats each child split needs
+          val rj = root.j; val rb = root.b
+          val cells2 = 2 * nF * bins
+          val (cn2, cs2) = ptsRdd.treeAggregate((new Array[Long](cells2), new Array[Long](cells2)))(
+            seqOp = { case (acc, (cents, bi, train)) =>
+              if (train) {
+                var f = f0
+                var s = 0
+                while (s < sofar.length) { f += treeTerm(sofar(s), bi); s += 1 }
+                val rq = roundHalfAway(cents.toDouble - f)
+                val base = (if (bi(rj) <= rb) 0 else 1) * nF * bins
+                var j = 0
+                while (j < nF) {
+                  val c = base + j * bins + bi(j)
+                  acc._1(c) += 1
+                  acc._2(c) += rq
+                  j += 1
+                }
+              }
+              acc
+            },
+            combOp = { (a, b) =>
+              var i = 0
+              while (i < cells2) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
+              a
+            })
+          val left = bestSplit(cn2, cs2, 0)
+          val right = bestSplit(cn2, cs2, nF * bins)
+          Tree(root.j, root.b, root.wl, root.wr, left, right)
         }
-        j += 1
-      }
-      require(best != null,
-        "DetGbt: no valid split (every feature constant on the train split)")
-      stumps = stumps :+ best
+      trees = trees :+ tree
     }
     ptsRdd.unpersist(blocking = false)
-    Model(f0, mins, maxs, stumps, bins, lr)
+    Model(f0, mins, maxs, trees, bins, lr)
   }
 
   /** Bin index of a feature column under the model's train range — the
@@ -157,24 +224,36 @@ object DetGbt {
   private def binExpr(f: String, mn: Long, mx: Long, bins: Int): Column =
     expr(s"((least(greatest($f, ${mn}L), ${mx}L) - ${mn}L) * $bins) div ${mx - mn + 1}L")
 
-  /** Prediction (in cents, double): f0 + the stump terms left-associated in
+  /** Prediction (in cents, double): f0 + the tree terms left-associated in
     * iteration order — literal parameters, one codegen'd projection. */
-  def predictExpr(model: Model, featCols: Seq[String]): Column =
-    model.stumps.foldLeft(lit(model.f0)) { (acc, s) =>
-      acc + when(binExpr(featCols(s.j), model.mins(s.j), model.maxs(s.j),
-        model.bins) <= s.b, lit(s.wl)).otherwise(lit(s.wr))
+  def predictExpr(model: Model, featCols: Seq[String]): Column = {
+    def sideVal(child: Option[Split], fallback: Double): Column = child match {
+      case Some(s) =>
+        when(binExpr(featCols(s.j), model.mins(s.j), model.maxs(s.j),
+          model.bins) <= s.b, lit(s.wl)).otherwise(lit(s.wr))
+      case None => lit(fallback)
     }
+    model.trees.foldLeft(lit(model.f0)) { (acc, t) =>
+      acc + when(binExpr(featCols(t.j), model.mins(t.j), model.maxs(t.j),
+        model.bins) <= t.b, sideVal(t.left, t.lw))
+        .otherwise(sideVal(t.right, t.rw))
+    }
+  }
 
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB twin of [[fit]] + [[predictExpr]]: given a CTE
     * `f(..., cents BIGINT, x0..x{n-1} BIGINT, is_train BOOLEAN)`, emits the
-    * stats/bin CTEs and `t` unrolled stump rounds, ending in CTE `gfin` =
+    * stats/bin CTEs and `t` unrolled tree rounds, ending in CTE `gfin` =
     * f's columns ∪ gb0..gb{n-1} ∪ `pred` (cents, double). MATERIALIZED
     * throughout (the CTE-inlining staging lesson — each round reads its
-    * predecessor twice). */
+    * predecessor twice). At depth 2 each round adds the conditioned
+    * per-(side, feature, bin) histogram and the two child picks; a side
+    * whose pick is empty (LEFT JOIN null) falls back to the root side leaf
+    * — the JVM's exact rule. */
   def oracleCtes(fCte: String, nFeats: Int, bins: Int, t: Int,
-                 lr: Double): String = {
+                 lr: Double, depth: Int = 1): String = {
+    require(depth == 1 || depth == 2, s"DetGbt oracle depth must be 1 or 2, got $depth")
     val b = new StringBuilder
     b ++= fCte ++ ",\n"
     b ++= "gtr AS MATERIALIZED (SELECT * FROM f WHERE is_train),\n"
@@ -189,12 +268,16 @@ object DetGbt {
       s"((least(greatest(x$j, mn$j), mx$j) - mn$j) * $bins) // (mx$j - mn$j + 1) AS gb$j")
     b ++= "grows0 AS MATERIALIZED (SELECT f.*, " + binCols.mkString(", ") +
       ", CAST(f0 AS DOUBLE) AS pred FROM f CROSS JOIN gp),\n"
-    val binCase = "CASE jj.j " +
+    def binCase(alias: String) = s"CASE $alias.j " +
       (0 until nFeats).map(j => s"WHEN $j THEN gb$j").mkString(" ") + " END"
-    val spCase = "CASE sp.j " +
-      (0 until nFeats).map(j => s"WHEN $j THEN gb$j").mkString(" ") + " END"
+    val jjCase = binCase("jj")
+    val spCase = binCase("sp")
+    val gain = "(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE) " +
+      "+ (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)) / CAST(nt - nl AS DOUBLE)"
+    val ws = s"(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) * $lr AS wl, " +
+      s"(CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)) * $lr AS wr"
     for (i <- 1 to t) {
-      b ++= s"gs$i AS MATERIALIZED (SELECT jj.j AS j, $binCase AS bin, " +
+      b ++= s"gs$i AS MATERIALIZED (SELECT jj.j AS j, $jjCase AS bin, " +
         "COUNT(*) AS n, SUM(CAST(round(cents - pred) AS BIGINT)) AS s " +
         s"FROM grows${i - 1} CROSS JOIN range(0, $nFeats) jj(j) " +
         "WHERE is_train GROUP BY 1, 2),\n"
@@ -203,16 +286,42 @@ object DetGbt {
         "SUM(s) OVER (PARTITION BY j ORDER BY bin ROWS UNBOUNDED PRECEDING) AS sl, " +
         "SUM(n) OVER (PARTITION BY j) AS nt, SUM(s) OVER (PARTITION BY j) AS st " +
         s"FROM gs$i),\n"
-      b ++= s"gsp$i AS MATERIALIZED (SELECT j, b, " +
-        s"(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) * $lr AS wl, " +
-        s"(CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)) * $lr AS wr " +
+      b ++= s"gsp$i AS MATERIALIZED (SELECT j, b, $ws " +
         s"FROM gg$i WHERE nl > 0 AND nt - nl > 0 AND b < ${bins - 1} " +
-        "ORDER BY (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE) " +
-        "+ (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)) / CAST(nt - nl AS DOUBLE) DESC, " +
-        "j, b LIMIT 1),\n"
-      b ++= s"grows$i AS MATERIALIZED (SELECT r.* EXCLUDE (pred), " +
-        s"r.pred + CASE WHEN ($spCase) <= sp.b THEN sp.wl ELSE sp.wr END AS pred " +
-        s"FROM grows${i - 1} r CROSS JOIN gsp$i sp),\n"
+        s"ORDER BY $gain DESC, j, b LIMIT 1),\n"
+      if (depth == 1) {
+        b ++= s"grows$i AS MATERIALIZED (SELECT r.* EXCLUDE (pred), " +
+          s"r.pred + CASE WHEN ($spCase) <= sp.b THEN sp.wl ELSE sp.wr END AS pred " +
+          s"FROM grows${i - 1} r CROSS JOIN gsp$i sp),\n"
+      } else {
+        b ++= s"gc$i AS MATERIALIZED (SELECT " +
+          s"CASE WHEN ($spCase) <= sp.b THEN 0 ELSE 1 END AS side, " +
+          s"jj.j AS j, $jjCase AS bin, " +
+          "COUNT(*) AS n, SUM(CAST(round(cents - pred) AS BIGINT)) AS s " +
+          s"FROM grows${i - 1} CROSS JOIN gsp$i sp CROSS JOIN range(0, $nFeats) jj(j) " +
+          "WHERE is_train GROUP BY 1, 2, 3),\n"
+        b ++= s"ggc$i AS MATERIALIZED (SELECT side, j, bin AS b, " +
+          "SUM(n) OVER (PARTITION BY side, j ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl, " +
+          "SUM(s) OVER (PARTITION BY side, j ORDER BY bin ROWS UNBOUNDED PRECEDING) AS sl, " +
+          "SUM(n) OVER (PARTITION BY side, j) AS nt, SUM(s) OVER (PARTITION BY side, j) AS st " +
+          s"FROM gc$i),\n"
+        for ((cte, side) <- Seq((s"gl$i", 0), (s"gr$i", 1)))
+          b ++= s"$cte AS MATERIALIZED (SELECT j, b, $ws " +
+            s"FROM ggc$i WHERE side = $side AND nl > 0 AND nt - nl > 0 AND b < ${bins - 1} " +
+            s"ORDER BY $gain DESC, j, b LIMIT 1),\n"
+        val glCase = binCase("gl")
+        val grCase = binCase("gr")
+        b ++= s"grows$i AS MATERIALIZED (SELECT r.* EXCLUDE (pred), r.pred + " +
+          s"CASE WHEN ($spCase) <= sp.b THEN " +
+          s"(CASE WHEN gl.j IS NULL THEN sp.wl " +
+          s"WHEN ($glCase) <= gl.b THEN gl.wl ELSE gl.wr END) " +
+          "ELSE " +
+          s"(CASE WHEN gr.j IS NULL THEN sp.wr " +
+          s"WHEN ($grCase) <= gr.b THEN gr.wl ELSE gr.wr END) " +
+          "END AS pred " +
+          s"FROM grows${i - 1} r CROSS JOIN gsp$i sp " +
+          s"LEFT JOIN gl$i gl ON TRUE LEFT JOIN gr$i gr ON TRUE),\n"
+      }
     }
     b ++= s"gfin AS MATERIALIZED (SELECT * FROM grows$t)"
     b.toString

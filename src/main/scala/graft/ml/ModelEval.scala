@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * the split is the repo's deterministic md5-bucket recipe over the stable
   * (country, day) grain — NOT randomSplit, whose assignment depends on
   * partitioning — and the model is [[DetGbt]]: deterministic histogram
-  * boosting (depth-1 trees over equal-width bins of the exact cent
-  * features). A naive lag-1 persistence baseline is evaluated on the
+  * boosting (depth-2 trees over equal-width bins of the exact cent
+  * features, learning lag-pair interactions the round-10 stumps could
+  * not). A naive lag-1 persistence baseline is evaluated on the
   * identical splits so the report carries its own control — the
   * reference's trainer logs a baseline comparison the same way
   * (model_trainer.py's metrics dict).
@@ -29,13 +30,14 @@ import org.apache.spark.sql.functions._
   * (round half-away both engines), squared/absolute error sums are exact
   * decimal/long arithmetic, and R² uses the exact population variance of
   * the cent targets (the n·Σy²−(Σy)² form — all intermediates bounded
-  * within DECIMAL(38)). The determinism prices — cent-resolution errors,
-  * depth-1 trees — are documented; the learning-quality gate (train R²
-  * beats naive persistence) lives in ModelEvalSpec.
+  * within DECIMAL(38)). The determinism price — cent-resolution errors —
+  * is documented; the learning-quality gates (train R² beats naive
+  * persistence; depth 2 beats the depth-1 stump fit) live in
+  * ModelEvalSpec.
   *
   * Scale shape: the matrix grain is country×day (calendar-bounded at any
-  * corpus size); the fit is `Trees` map-side-combined treeAggregate passes
-  * over one cached primitive RDD; scoring is a literal-parameter
+  * corpus size); the fit is 2·`Trees` map-side-combined treeAggregate
+  * passes over one cached primitive RDD; scoring is a literal-parameter
   * projection; metrics are one partial-agg groupBy. Driver state: the
   * stump list + one stats row.
   */
@@ -45,13 +47,15 @@ object ModelEval {
   val Trees = 30
   val Bins = 32
   val Lr = 0.1
+  val Depth = 2
 
   private val LagCols = (1 to 7).map(k => s"lag_$k")
   private val XCols = (0 until 7).map(i => s"x$i")
 
   /** The supervised matrix + deterministic split + predictions from both
     * models (gbt = DetGbt, naive = lag-1 persistence). */
-  def scoredMatrix(spark: SparkSession, dir: String): DataFrame = {
+  def scoredMatrix(spark: SparkSession, dir: String,
+                   depth: Int = Depth): DataFrame = {
     val base = graft.operators.FeaturePipeline.laggedFeatures(spark, dir)
       // md5 split on the stable series grain: reproducible on any engine /
       // partitioning, the hash_split recipe (TrainPrep.scala:37)
@@ -64,7 +68,7 @@ object ModelEval {
       df.withColumn(s"x$i", round(col(l) * 100, 0).cast("long"))
     }.persist() // the fit makes Trees + 1 passes (the Clustering pattern)
     val model = DetGbt.fit(matrix, "cents", XCols,
-      col("split") === "train", Bins, Trees, Lr)
+      col("split") === "train", Bins, Trees, Lr, depth)
     val out = matrix
       .withColumn("prediction", DetGbt.predictExpr(model, XCols) / lit(100.0))
       .withColumn("naive", col("lag_1"))
@@ -143,7 +147,8 @@ object ModelEval {
          |    CASE WHEN $bucket < 80 THEN TRUE ELSE FALSE END AS is_train,
          |    CAST(round(target * 100) AS BIGINT) AS cents, $xCols
          |  FROM lagged WHERE lag_7 IS NOT NULL)""".stripMargin
-    "WITH " + DetGbt.oracleCtes(f, nFeats = 7, bins = Bins, t = Trees, lr = Lr) + ",\n" +
+    "WITH " + DetGbt.oracleCtes(f, nFeats = 7, bins = Bins, t = Trees, lr = Lr,
+      depth = Depth) + ",\n" +
       """sc AS MATERIALIZED (SELECT split, pred / 100.0 AS prediction, lag_1 AS naive, target FROM gfin),
         |e AS MATERIALIZED (SELECT split,
         |  CAST(round((prediction - target) * 100) AS BIGINT) AS eg,

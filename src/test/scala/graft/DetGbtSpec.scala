@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Deterministic histogram boosting: fit determinism, the closure/
-  * expression prediction parity the oracle rests on, and training-error
-  * monotonicity. */
+  * expression prediction parity the oracle rests on, training-error
+  * monotonicity, and the depth-2 interaction gain over stumps. */
 class DetGbtSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -23,30 +23,58 @@ class DetGbtSpec extends AnyFunSuite {
     }.toDF("id", "cents", "x0", "x1", "tr")
   }
 
-  test("fit is deterministic and predictions match the training closure") {
-    val df = toyDf.persist()
-    try {
-      val m1 = DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"), bins = 16, t = 12)
-      val m2 = DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"), bins = 16, t = 12)
-      assert(m1.stumps == m2.stumps && m1.f0 == m2.f0)
-      assert(m1.stumps.length == 12)
-      // the expression path must equal the fit's own residual closure:
-      // recompute f per row in JVM exactly as the fit does and compare
-      val rows = df.withColumn("p", DetGbt.predictExpr(m1, Seq("x0", "x1")))
-        .select("cents", "x0", "x1", "p").collect()
-      rows.foreach { r =>
-        val bi = Array(r.getLong(1), r.getLong(2)).zipWithIndex.map { case (x, j) =>
-          val xc = math.min(math.max(x, m1.mins(j)), m1.maxs(j))
-          (((xc - m1.mins(j)) * m1.bins) / (m1.maxs(j) - m1.mins(j) + 1)).toInt
-        }
-        var f = m1.f0
-        m1.stumps.foreach(s => f += (if (bi(s.j) <= s.b) s.wl else s.wr))
-        assert(f == r.getDouble(3), s"expression/closure prediction diverged at $r")
-      }
-    } finally df.unpersist()
+  /** XOR-shaped interaction: purely additive depth-1 stumps cannot express
+    * it, a single depth-2 tree can. */
+  private def xorDf = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 400).map { i =>
+      val x0 = rnd.nextInt(1000).toLong
+      val x1 = rnd.nextInt(1000).toLong
+      val y = (if ((x0 < 500) == (x1 < 500)) 10000L else 40000L) + rnd.nextInt(1000)
+      (i.toLong, y, x0, x1, true)
+    }.toDF("id", "cents", "x0", "x1", "tr")
   }
 
-  test("boosting reduces training error as stumps accumulate") {
+  /** Recompute the model's prediction for a row in JVM exactly as the fit's
+    * residual closure does. */
+  private def closurePred(m: DetGbt.Model, xs: Array[Long]): Double = {
+    val bi = xs.zipWithIndex.map { case (x, j) =>
+      val xc = math.min(math.max(x, m.mins(j)), m.maxs(j))
+      (((xc - m.mins(j)) * m.bins) / (m.maxs(j) - m.mins(j) + 1)).toInt
+    }
+    var f = m.f0
+    m.trees.foreach { t =>
+      f += (if (bi(t.j) <= t.b) t.left match {
+        case Some(s) => if (bi(s.j) <= s.b) s.wl else s.wr
+        case None => t.lw
+      } else t.right match {
+        case Some(s) => if (bi(s.j) <= s.b) s.wl else s.wr
+        case None => t.rw
+      })
+    }
+    f
+  }
+
+  for (depth <- Seq(1, 2))
+    test(s"depth-$depth fit is deterministic and predictions match the training closure") {
+      val df = toyDf.persist()
+      try {
+        val m1 = DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"), bins = 16, t = 12, depth = depth)
+        val m2 = DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"), bins = 16, t = 12, depth = depth)
+        assert(m1.trees == m2.trees && m1.f0 == m2.f0)
+        assert(m1.trees.length == 12)
+        if (depth == 1) assert(m1.trees.forall(t => t.left.isEmpty && t.right.isEmpty))
+        val rows = df.withColumn("p", DetGbt.predictExpr(m1, Seq("x0", "x1")))
+          .select("cents", "x0", "x1", "p").collect()
+        rows.foreach { r =>
+          val f = closurePred(m1, Array(r.getLong(1), r.getLong(2)))
+          assert(f == r.getDouble(3), s"expression/closure prediction diverged at $r")
+        }
+      } finally df.unpersist()
+    }
+
+  test("boosting reduces training error as trees accumulate") {
     val df = toyDf.persist()
     try {
       def trainMse(t: Int): Double = {
@@ -57,7 +85,30 @@ class DetGbtSpec extends AnyFunSuite {
       }
       val m2 = trainMse(2)
       val m12 = trainMse(12)
-      assert(m12 < m2, s"more stumps did not reduce train MSE: $m12 vs $m2")
+      assert(m12 < m2, s"more trees did not reduce train MSE: $m12 vs $m2")
+    } finally df.unpersist()
+  }
+
+  test("depth-2 learns the XOR interaction depth-1 cannot") {
+    val df = xorDf.persist()
+    try {
+      def trainMse(depth: Int): Double = {
+        // lr high enough that the interaction is learnable within t rounds:
+        // on XOR every single-feature ROOT split has ~zero gain (both sides
+        // share the mean), so each tree only cracks the quadrants its
+        // noise-chosen root happens to separate — convergence is paced by
+        // lr, not by expressiveness
+        val m = DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"),
+          bins = 16, t = 24, lr = 0.5, depth = depth)
+        df.withColumn("p", DetGbt.predictExpr(m, Seq("x0", "x1")))
+          .agg(avg(pow(col("p") - col("cents"), 2))).head.getDouble(0)
+      }
+      val mse1 = trainMse(1)
+      val mse2 = trainMse(2)
+      // the XOR signal has amplitude 30000 cents: stumps stay near the
+      // global mean (MSE ~ 2.25e8), depth-2 carves all four quadrants
+      assert(mse2 < mse1 / 5.0,
+        s"depth-2 did not crack the interaction: mse2=$mse2 mse1=$mse1")
     } finally df.unpersist()
   }
 }

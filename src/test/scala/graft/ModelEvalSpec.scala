@@ -51,7 +51,18 @@ class ModelEvalSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("model"), r.getAs[String]("split")) -> r.getAs[Double]("r2")).toMap
     assert(m(("gbt", "train")) > 0.0, s"train r2 ${m(("gbt", "train"))}")
     assert(m(("gbt", "train")) >= m(("naive_lag1", "train")) - 1e-9,
-      "a 30-stump boosted fit on 7 lags should not lose to lag-1 persistence on its own training split")
+      "a 30-tree boosted fit on 7 lags should not lose to lag-1 persistence on its own training split")
+  }
+
+  test("depth-2 trees fit the training set better than depth-1 stumps") {
+    def trainSse(depth: Int): Double =
+      graft.ml.ModelEval.scoredMatrix(spark, dir, depth = depth)
+        .filter(col("split") === "train")
+        .agg(sum(pow(col("prediction") - col("target"), 2))).head.getDouble(0)
+    val sse1 = trainSse(1)
+    val sse2 = trainSse(2)
+    assert(sse2 < sse1,
+      s"depth-2 should reduce train SSE over stumps: depth2=$sse2 depth1=$sse1")
   }
 
   test("predictions are finite on every row") {
