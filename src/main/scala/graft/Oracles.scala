@@ -1232,6 +1232,8 @@ object Oracles {
     "corpus_stats" -> graft.text.TrainPrep.corpusStatsOracle,
     "stratified_sample" -> graft.text.TrainPrep.stratifiedSampleOracle,
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
+    "hybrid_search_indexed" -> graft.text.HybridSearch.hybridSearchOracle,
+    "hybrid_search_probe" -> graft.text.HybridSearch.hybridSearchProbeOracle,
 
     "table_health" ->
       """WITH daily AS (

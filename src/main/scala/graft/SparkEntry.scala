@@ -180,7 +180,11 @@ object SparkEntry {
     "corpus_stats"        -> ((s, d) => graft.text.TrainPrep.corpusStats(s, d)),
     "stratified_sample"   -> ((s, d) => graft.text.TrainPrep.stratifiedSample(s, d)),
     // hybrid lexical+vector retrieval with RRF fusion (text/HybridSearch.scala)
-    "hybrid_search"       -> ((s, d) => graft.text.HybridSearch.hybridSearch(s, d))
+    "hybrid_search"       -> ((s, d) => graft.text.HybridSearch.hybridSearch(s, d)),
+    // the persisted-index scale paths: exact persisted-vector leg, and the
+    // SRP bucket-probed sublinear leg (text/HybridSearch.scala)
+    "hybrid_search_indexed" -> ((s, d) => graft.text.HybridSearch.hybridSearchPersisted(s, d)),
+    "hybrid_search_probe" -> ((s, d) => graft.text.HybridSearch.hybridSearchProbe(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

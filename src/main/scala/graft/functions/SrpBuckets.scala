@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * family in practice.
   */
 case class SrpBuckets(child: Expression, planes: Array[Long],
-                      tables: Int, bits: Int, dim: Int)
+                      tables: Int, bits: Int, dim: Int,
+                      q20In: Boolean = false)
     extends UnaryExpression {
 
   require(planes.length == tables * bits * dim, "planes must be tables*bits*dim flat")
@@ -46,12 +47,13 @@ case class SrpBuckets(child: Expression, planes: Array[Long],
   override def equals(other: Any): Boolean = other match {
     case s: SrpBuckets =>
       child == s.child && tables == s.tables && bits == s.bits && dim == s.dim &&
-        java.util.Arrays.equals(planes, s.planes)
+        q20In == s.q20In && java.util.Arrays.equals(planes, s.planes)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[SrpBuckets], child,
-      Int.box(tables), Int.box(bits), Int.box(dim), Int.box(java.util.Arrays.hashCode(planes)))
+      Int.box(tables), Int.box(bits), Int.box(dim), Boolean.box(q20In),
+      Int.box(java.util.Arrays.hashCode(planes)))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_buckets"
@@ -60,12 +62,17 @@ case class SrpBuckets(child: Expression, planes: Array[Long],
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = math.min(dim, arr.numElements())
-    // quantize once per vector, not once per (table, bit)
+    // quantize once per vector, not once per (table, bit); q20In inputs
+    // (array<long> already on the q20 grid — the hybrid index path) are
+    // taken verbatim
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val xv = arr.getFloat(i).toDouble * 1048576.0
-      q(i) = (if (xv >= 0) math.floor(xv + 0.5) else math.ceil(xv - 0.5)).toLong
+      if (q20In) q(i) = arr.getLong(i)
+      else {
+        val xv = arr.getFloat(i).toDouble * 1048576.0
+        q(i) = (if (xv >= 0) math.floor(xv + 0.5) else math.ceil(xv - 0.5)).toLong
+      }
       i += 1
     }
     val out = new Array[Int](tables)
@@ -101,13 +108,17 @@ case class SrpBuckets(child: Expression, planes: Array[Long],
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
       val bucket = ctx.freshName("bucket")
+      val fill =
+        if (q20In) s"$q[$i] = $v.getLong($i);"
+        else
+          s"""final double $xv = ((double) $v.getFloat($i)) * 1048576.0;
+             |  $q[$i] = (long) ($xv >= 0 ? java.lang.Math.floor($xv + 0.5)
+             |                            : java.lang.Math.ceil($xv - 0.5));""".stripMargin
       s"""
          |final int $n = java.lang.Math.min($dim, $v.numElements());
          |final long[] $q = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xv = ((double) $v.getFloat($i)) * 1048576.0;
-         |  $q[$i] = (long) ($xv >= 0 ? java.lang.Math.floor($xv + 0.5)
-         |                            : java.lang.Math.ceil($xv - 0.5));
+         |  $fill
          |}
          |final int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
@@ -136,15 +147,17 @@ object SrpBuckets {
     * closure (planes can't travel through SQL text), and returns the
     * function name to use in `expr(...)`. */
   def register(spark: SparkSession, tag: String, planes: Array[Long],
-               tables: Int, bits: Int, dim: Int): String = {
-    val name = s"srp_buckets_$tag"
+               tables: Int, bits: Int, dim: Int,
+               q20In: Boolean = false): String = {
+    val name = if (q20In) s"srp_buckets_q20_$tag" else s"srp_buckets_$tag"
     val fid = FunctionIdentifier(name)
     // the tag encodes (tables, bits, dim, seed) and planes derive from them,
     // so an existing registration is identical — skip the noisy re-register
     if (!spark.sessionState.functionRegistry.functionExists(fid))
       spark.sessionState.functionRegistry.registerFunction(
         fid, new ExpressionInfo(classOf[SrpBuckets].getName, name),
-        (children: Seq[Expression]) => SrpBuckets(children.head, planes, tables, bits, dim))
+        (children: Seq[Expression]) =>
+          SrpBuckets(children.head, planes, tables, bits, dim, q20In))
     name
   }
 }

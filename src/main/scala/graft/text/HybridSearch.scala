@@ -61,42 +61,186 @@ object HybridSearch {
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
   }
 
-  def hybridSearch(spark: SparkSession, dir: String, query: String = DefaultQuery,
-                   limit: Int = 20, candidates: Int = 200,
-                   dim: Int = Embeddings.Dim): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The lexical leg: integer term-occurrence score per document. */
+  private def kwScored(spark: SparkSession, dir: String, query: String): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").toSeq
-    val scored = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         // codegen'd count_in kernel (TextKernels.scala): one compiled loop
         // over a shared hash set instead of the interpreted per-token
         // k-term IN-list lambda — same null semantics (null tokens drop).
-        graft.functions.CountIn.of(spark, words(col("text")), terms).as("kw_score"),
-        aggregate(
-          zip_with(q20Vec(col("text"), dim), typedLit(q20Const(query, dim).toSeq),
-            (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("vec_score"))
-    // per-modality candidate lists: distributed TakeOrdered, then ranks over
-    // the ≤ `candidates`-row retained frame (bounded by the knob, not data)
-    def topList(scoreCol: String, rankCol: String) = {
+        graft.functions.CountIn.of(spark, words(col("text")), terms).as("kw_score"))
+  }
+
+  /** RRF fusion of the two scored legs: per-modality candidate lists via
+    * distributed TakeOrdered, ranks over the ≤ `candidates`-row retained
+    * frames (bounded by the knob, not the data), full-outer fuse. */
+  private def fuse(kw: DataFrame, vec: DataFrame,
+                   limit: Int, candidates: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def topList(df: DataFrame, scoreCol: String, rankCol: String) = {
       val ord = Seq(col(scoreCol).desc, col("doc_id").asc)
-      scored.select(col("doc_id"), col(scoreCol))
+      df.select(col("doc_id"), col(scoreCol))
         .orderBy(ord: _*).limit(candidates)
         .withColumn(rankCol, row_number().over(Window.orderBy(ord: _*)).cast("long"))
     }
-    val fused = topList("kw_score", "kw_rank")
-      .join(topList("vec_score", "vec_rank"), Seq("doc_id"), "full_outer")
+    topList(kw, "kw_score", "kw_rank")
+      .join(topList(vec, "vec_score", "vec_rank"), Seq("doc_id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0))
           + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
-    fused
       .select("doc_id", "kw_score", "vec_score", "kw_rank", "vec_rank", "rrf_score")
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
       .limit(limit)
   }
 
-  def hybridSearchOracle: String = {
+  def hybridSearch(spark: SparkSession, dir: String, query: String = DefaultQuery,
+                   limit: Int = 20, candidates: Int = 200,
+                   dim: Int = Embeddings.Dim): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          zip_with(q20Vec(col("text"), dim), typedLit(q20Const(query, dim).toSeq),
+            (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("vec_score"))
+    fuse(kwScored(spark, dir, query), scored, limit, candidates)
+  }
+
+  // ------------------------------------------------- persisted-index path
+
+  /** SRP tables for the hybrid vector-leg probe. Fewer than the ann_lsh
+    * top-k path's 12: the probe trades recall for probe width explicitly
+    * (the measured property lives in HybridIndexSpec) and its oracle
+    * replays the bucketing, so correctness never rides on recall. */
+  val IndexTables = 8
+  val IndexSeed = 42L
+  private val BkeyShift = 40
+
+  /** One-time hybrid index build under `indexDir`: `vecs` (doc_id, the
+    * exact q20 embedding as array<long>), `buckets` (bkey = tbl·2^40 +
+    * SRP bucket, doc_id), and `meta` (geometry row, written LAST as the
+    * build's commit marker). This is the amortization point the flat
+    * hybridSearch lacks: embedding the corpus — dim md5 hashes per doc —
+    * happens ONCE here instead of once per query, and the bucket table
+    * gives each query a sublinear candidate read. At 100 TB: sort/partition
+    * `buckets` by bkey so a probe's IN-filter prunes row groups (the write
+    * below sorts within partitions for exactly that min/max pruning).
+    */
+  def buildIndex(spark: SparkSession, dir: String, indexDir: String,
+                 dim: Int = Embeddings.Dim, tables: Int = IndexTables,
+                 seed: Long = IndexSeed): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val bits = graft.ann.Ann.adaptiveBits(docs.count())
+    val vecs = docs.select(col("doc_id"), q20Vec(col("text"), dim).as("qvec"))
+    vecs.write.mode("overwrite").parquet(s"$indexDir/vecs")
+    val pl = graft.ann.Ann.planes(tables, bits, dim, seed)
+    val fn = graft.functions.SrpBuckets.register(
+      spark, s"hyb_${tables}_${bits}_${dim}_$seed", pl, tables, bits, dim, q20In = true)
+    spark.read.parquet(s"$indexDir/vecs")
+      .withColumn("__buckets", expr(s"$fn(qvec)"))
+      .select(col("doc_id"), posexplode(col("__buckets")))
+      .select((col("pos").cast("long") * lit(1L << BkeyShift) +
+        col("col").cast("long")).as("bkey"), col("doc_id"))
+      .sortWithinPartitions("bkey")
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+    import spark.implicits._
+    Seq((tables, bits, dim, seed)).toDF("tables", "bits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** The query's bkeys under the index geometry — driver-side (tables·bits
+    * exact long dot products over the dim-length q20 query vector). Sign
+    * rule `s > 0` matches SrpBuckets and the oracle. */
+  private[graft] def queryBkeys(qv: Array[Long], tables: Int, bits: Int,
+                                dim: Int, seed: Long): Seq[Long] = {
+    val pl = graft.ann.Ann.planes(tables, bits, dim, seed)
+    val n = math.min(dim, qv.length)
+    (0 until tables).map { t =>
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var s = 0L
+        var j = 0
+        while (j < n) { s += qv(j) * pl(off + j); j += 1 }
+        if (s > 0) bucket |= (1L << b)
+        b += 1
+      }
+      t.toLong * (1L << BkeyShift) + bucket
+    }
+  }
+
+  /** Hybrid search against a prebuilt index. `probe = false` scores every
+    * persisted vector — bit-identical to [[hybridSearch]] (same q20 values,
+    * just not re-embedded per query) at ~1/dim the per-query cost.
+    * `probe = true` additionally restricts the vector leg to documents
+    * sharing ≥1 SRP bucket with the query — a pushed-down IN-filter on the
+    * sorted bucket table, so the per-query vector read is the collision
+    * set, not the corpus (sublinear; the LSH recall trade, measured in
+    * HybridIndexSpec, replayed exactly by the probe oracle). */
+  def hybridSearchIndexed(spark: SparkSession, dir: String, indexDir: String,
+                          query: String = DefaultQuery, limit: Int = 20,
+                          candidates: Int = 200, probe: Boolean = false): DataFrame = {
+    val meta = spark.read.parquet(s"$indexDir/meta").head
+    val (tables, bits, dim, seed) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    val restricted =
+      if (!probe) vecs
+      else {
+        val keys = queryBkeys(q20Const(query, dim), tables, bits, dim, seed)
+        val candIds = spark.read.parquet(s"$indexDir/buckets")
+          .filter(col("bkey").isin(keys: _*))
+          .select("doc_id").distinct()
+        vecs.join(candIds, "doc_id")
+      }
+    val scored = restricted.select(
+      col("doc_id"),
+      aggregate(
+        zip_with(col("qvec"), typedLit(q20Const(query, dim).toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("vec_score"))
+    fuse(kwScored(spark, dir, query), scored, limit, candidates)
+  }
+
+  /** Build-once glue for the driver queries: index under java.io.tmpdir
+    * keyed by (dir, geometry), built on first use (`meta` is the commit
+    * marker — a half-built index from a killed run rebuilds). */
+  private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|${Embeddings.Dim}|$IndexTables|$IndexSeed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_hybrid_idx_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) buildIndex(spark, dir, idx)
+    idx
+  }
+
+  /** Driver query: the persisted-vector path — oracle-identical to
+    * hybrid_search (same scores, precomputed). */
+  def hybridSearchPersisted(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchIndexed(spark, dir, ensureIndex(spark, dir))
+
+  /** Driver query: the SRP-probed path — its own oracle replays the
+    * bucket restriction. */
+  def hybridSearchProbe(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchIndexed(spark, dir, ensureIndex(spark, dir), probe = true)
+
+  def hybridSearchOracle: String = oracleSql(probe = false)
+
+  /** Oracle for the SRP-probed path: hybridSearchOracle plus a full replay
+    * of the index bucketing (md5-integer hyperplanes over the q20 doc/query
+    * vectors, adaptive bits from COUNT(documents), `s > 0` sign rule) with
+    * the vector candidate list restricted to bucket collisions — the
+    * embed_neardup implementation-parity contract: the pair of engines
+    * agree bit-for-bit at any scale, recall vs the flat form stays a
+    * measured spec property. */
+  def hybridSearchProbeOracle: String = oracleSql(probe = true)
+
+  private def oracleSql(probe: Boolean): String = {
     val terms = DefaultQuery.toLowerCase.split("\\s+").toSeq
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val dim = Embeddings.Dim
@@ -134,14 +278,15 @@ object HybridSearch {
        |), vs AS (
        |  SELECT doc_id, CAST(SUM(dq.q20 * qq.q20) AS BIGINT) AS vec_score
        |  FROM dq JOIN qq ON dq.i = qq.i GROUP BY 1
-       |), kt AS (
+       |)${if (probe) probeCtes(dim) else ""}, kt AS (
        |  SELECT doc_id, kw_score,
        |    CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS BIGINT) AS kw_rank
        |  FROM kw ORDER BY kw_score DESC, doc_id LIMIT 200
        |), vt AS (
        |  SELECT doc_id, vec_score,
        |    CAST(row_number() OVER (ORDER BY vec_score DESC, doc_id) AS BIGINT) AS vec_rank
-       |  FROM vs ORDER BY vec_score DESC, doc_id LIMIT 200
+       |  FROM ${if (probe) "vs JOIN cndh USING (doc_id)" else "vs"}
+       |  ORDER BY vec_score DESC, doc_id LIMIT 200
        |)
        |SELECT coalesce(kt.doc_id, vt.doc_id) AS doc_id, kw_score, vec_score,
        |  kw_rank, vec_rank,
@@ -150,4 +295,37 @@ object HybridSearch {
        |FROM kt FULL OUTER JOIN vt ON kt.doc_id = vt.doc_id
        |ORDER BY rrf_score DESC, coalesce(kt.doc_id, vt.doc_id) LIMIT 20""".stripMargin
   }
+
+  /** The bucket-replay CTE block: hyperplanes (the embedNearDupsOracle
+    * md5 digit-fold at the hybrid geometry), per-(doc|query, table) bucket
+    * keys from the EXACT q20 components already in `dq`/`qq`, and the
+    * collision candidate set `cndh`. */
+  private def probeCtes(dim: Int): String =
+    s""", nbh AS (
+       |  SELECT COALESCE((SELECT MIN(b) FROM range(3, 21) t(b)
+       |                   WHERE (1 << b) * 64 >= (SELECT COUNT(*) FROM documents)), 20) AS bits
+       |), plh AS (
+       |  SELECT t.range AS t, b.range AS b,
+       |    list_transform(range(0, $dim), j ->
+       |      CAST(list_sum(list_transform(range(1, 9), i ->
+       |        (strpos('0123456789abcdef',
+       |           substring(md5('srp|$IndexSeed|' || t.range || '|' || b.range || '|' || j), i, 1)) - 1)
+       |        * (16.0 ** (8 - i)))) AS BIGINT) - 2147483648) AS hv
+       |  FROM range(0, $IndexTables) t, range(0, 20) b, nbh
+       |  WHERE b.range < nbh.bits
+       |), dbs AS (
+       |  SELECT dq.doc_id, p.t, p.b, SUM(dq.q20 * p.hv[dq.i + 1]) AS s
+       |  FROM dq JOIN plh p ON TRUE GROUP BY 1, 2, 3
+       |), dbk AS (
+       |  SELECT doc_id, t, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       |  FROM dbs GROUP BY 1, 2
+       |), qbs AS (
+       |  SELECT p.t, p.b, SUM(qq.q20 * p.hv[qq.i + 1]) AS s
+       |  FROM qq JOIN plh p ON TRUE GROUP BY 1, 2
+       |), qbk AS (
+       |  SELECT t, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       |  FROM qbs GROUP BY 1
+       |), cndh AS (
+       |  SELECT DISTINCT d.doc_id FROM dbk d JOIN qbk q ON d.t = q.t AND d.bucket = q.bucket
+       |)""".stripMargin
 }
