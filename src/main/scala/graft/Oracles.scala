@@ -750,6 +750,7 @@ object Oracles {
     "vault_model" -> graft.operators.Vault.vaultModelOracle,
     "vault_integrity" -> graft.operators.Vault.vaultIntegrityOracle,
     "referential_integrity" -> graft.operators.Integrity.referentialIntegrityOracle,
+    "partition_advice" -> graft.operators.PartitionAdvisor.partitionAdviceOracle,
     "behavioral_analytics" -> graft.operators.Behavior.behavioralAnalyticsOracle,
 
     "distribution_profile" -> graft.operators.Stats.distributionProfileOracle,

@@ -123,6 +123,9 @@ object SparkEntry {
     "vault_model"      -> ((s, d) => Vault.vaultModel(s, d)),
     "vault_integrity"  -> ((s, d) => Vault.vaultIntegrity(s, d)),
     "referential_integrity" -> ((s, d) => Integrity.referentialIntegrity(s, d)),
+    // partitioning advisor: per-column profile + suitability ladder +
+    // strategy recommendation (operators/PartitionAdvisor.scala)
+    "partition_advice" -> ((s, d) => PartitionAdvisor.partitionAdvice(s, d)),
     "behavioral_analytics" -> ((s, d) => Behavior.behavioralAnalytics(s, d)),
 
     "distribution_profile" -> ((s, d) => Stats.distributionProfile(s, d)),
