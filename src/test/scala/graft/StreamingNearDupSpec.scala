@@ -123,6 +123,84 @@ class StreamingNearDupSpec extends AnyFunSuite {
       "not every shingleable twin settled as a corpus match")
   }
 
+  /** Recursive dir copy for crash-window simulation. */
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("compaction soak: mid-stream compaction + both crash windows keep decisions bit-identical") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
+    val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(slice.length >= 12, s"slice too small for a 6-batch soak: ${slice.length}")
+    val k = slice.length / 6
+    val chunks = (0 until 5).map(i => slice.slice(i * k, (i + 1) * k).toSeq)
+      .toVector :+ slice.drop(5 * k).toSeq
+    assert(chunks.length == 6 && chunks.forall(_.nonEmpty))
+
+    // ---- run B: stream with compaction after batch 2, crash sims at 3 and 4
+    val idxB = tmp("snd_soak_idx")
+    val outB = tmp("snd_soak_out")
+    StreamingNearDup.buildCorpusIndex(corpus, idxB)
+    val sinkB = StreamingNearDup.nearDupSink(idxB, outB)
+    (0 to 2).foreach(i => sinkB(chunks(i).toSeq.toDF("doc_id", "text"), i.toLong))
+    // stash batch=1's committed append before compaction deletes it
+    val stash = tmp("snd_soak_stash")
+    copyDir(s"$idxB/batch=1", s"$stash/batch=1")
+    assert(StreamingNearDup.compactIndex(spark, idxB) == 3)
+    // crash window 1 (mid-swap): corpus renamed away, staged fully present —
+    // the state between compactIndex's two renames. The next probe must
+    // complete the swap instead of failing on the missing corpus dir.
+    val fsB = new org.apache.hadoop.fs.Path(idxB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsB.rename(new org.apache.hadoop.fs.Path(s"$idxB/corpus"),
+      new org.apache.hadoop.fs.Path(s"$idxB/__corpus_staged")))
+    sinkB(chunks(3).toSeq.toDF("doc_id", "text"), 3L)
+    assert(fsB.exists(new org.apache.hadoop.fs.Path(s"$idxB/corpus")),
+      "recoverCorpus did not complete the interrupted swap")
+    // crash window 2 (post-swap, stale batch dir): batch=1's docs are now in
+    // the corpus AND back as a committed batch append — corpus membership
+    // must win candidate dedup, not arrival luck
+    copyDir(s"$stash/batch=1", s"$idxB/batch=1")
+    sinkB(chunks(4).toSeq.toDF("doc_id", "text"), 4L)
+    sinkB(chunks(5).toSeq.toDF("doc_id", "text"), 5L)
+
+    // ---- run C: the compaction-equivalence reference — batches 0..2 settle
+    // into the corpus from the START, then 3..5 stream against it
+    val idxC = tmp("snd_soak_idxc")
+    val outC = tmp("snd_soak_outc")
+    StreamingNearDup.buildCorpusIndex(
+      corpus.select("doc_id", "text")
+        .unionByName(chunks.take(3).flatten.toSeq.toDF("doc_id", "text")), idxC)
+    val sinkC = StreamingNearDup.nearDupSink(idxC, outC)
+    (3 to 5).foreach(i => sinkC(chunks(i).toSeq.toDF("doc_id", "text"), i.toLong))
+
+    def decisions(outDir: String, b: Int) =
+      spark.read.parquet(s"$outDir/batch=$b")
+        .select("doc_id", "decision", "keeper_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    (3 to 5).foreach { b =>
+      val db = decisions(outB, b)
+      val dc = decisions(outC, b)
+      assert(db == dc,
+        s"batch $b diverged from the folded-corpus reference: onlyB=${db -- dc} onlyC=${dc -- db}")
+    }
+    assert((3 to 5).exists(b => decisions(outB, b).exists(_._2 != "keep")),
+      "no non-keep decisions after compaction — soak check vacuous")
+  }
+
   test("replayed batchId is skipped by the marker protocol") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
