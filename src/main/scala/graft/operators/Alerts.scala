@@ -33,7 +33,8 @@ object Alerts {
     val monthly = o.groupBy(col("ym")).agg(decSum(col("o_totalprice")).as("rev"))
     val wSeq = Window.orderBy(col("ym")) // ~80-row aggregate frame
     val growth = monthly
-      .withColumn("prev_rev", lag(col("rev"), 1).over(wSeq))
+      .withColumn("prev_rev", RankOps.boundedFrame("business_alerts_monthly",
+        lag(col("rev"), 1).over(wSeq)))
       .filter(col("prev_rev").isNotNull)
       .select(col("ym"),
         lit("revenue_growth_rate").as("metric"),

@@ -47,7 +47,8 @@ object ExecKpis {
       (col("__p95").cast("double") / 100.0).as("p95_order_value"))
     // growth vs previous bucket: calendar-bounded window over the rollup
     val wb = Window.orderBy(col("bucket"))
-    kpis.withColumn("__prev", lag(col("total_revenue"), 1).over(wb))
+    kpis.withColumn("__prev", RankOps.boundedFrame("exec_kpis_buckets",
+      lag(col("total_revenue"), 1).over(wb)))
       .withColumn("revenue_growth_pct",
         when(col("__prev").isNull || col("__prev") === 0.0, lit(null).cast("double"))
           .otherwise((col("total_revenue") - col("__prev")) / col("__prev") * lit(100.0)))

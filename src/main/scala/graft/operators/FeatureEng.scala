@@ -31,10 +31,14 @@ object FeatureEng {
 
   /** Deterministic label encoding: codes follow the category sort order
     * (dense_rank over the DISTINCT values — a constant-size frame, so the
-    * single-partition window is bounded by cardinality, not data). */
+    * single-partition window is bounded by cardinality, not data). The
+    * guard enforces that premise: nothing in the signature stops a caller
+    * passing a KEY column (o_custkey would single-partition 150k×SF rows),
+    * so past 10k distinct values the plan raises instead of degrading. */
   def labelEncode(df: DataFrame, c: String, out: String): DataFrame = {
     val codes = df.select(col(c)).distinct()
-      .withColumn(out, dense_rank().over(Window.orderBy(col(c))).cast("long"))
+      .withColumn(out, RankOps.boundedFrame(s"label_encode($c)",
+        dense_rank().over(Window.orderBy(col(c))).cast("long"), maxRows = 10000L))
     df.join(broadcast(codes), Seq(c), "left")
   }
 

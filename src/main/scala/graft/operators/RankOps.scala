@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object RankOps {
 
+  /** Ceiling for frames that ride an UNPARTITIONED window because they are
+    * calendar/bucket-bounded (daily series, monthly rollups, KPI buckets):
+    * ~550 years of days — far above any real calendar frame, far below any
+    * data-proportional one. */
+  val MaxBoundedFrame = 200000L
+
+  /** Guard rail for unpartitioned-window expressions whose legality rests
+    * on the frame being calendar/bucket-bounded: wraps a CONSUMED window
+    * column so the plan raises at execution — distributed, no extra job —
+    * if the frame exceeds `maxRows` (i.e. someone fed a data-proportional
+    * frame to a bounded-frame operator). Within the bound the value is
+    * `inner` unchanged, so oracles are unaffected. Wrapping a consumed
+    * column (not adding a side column) is what keeps the optimizer's
+    * column pruning from silently deleting the check. */
+  def boundedFrame(what: String, inner: Column,
+                   maxRows: Long = MaxBoundedFrame): Column =
+    when(count(lit(1)).over(Window.partitionBy()) > maxRows,
+      raise_error(lit(s"bounded-frame guard '$what': unpartitioned window " +
+        s"frame exceeded $maxRows rows — the input is data-proportional, " +
+        "not calendar/bucket-bounded")))
+      .otherwise(inner)
+
   /** Adds `rankCol` = 1-based global row_number under `sortCols` ordering.
     * Returns (df, totalCount).
     *

@@ -36,7 +36,8 @@ object TimeSeries {
       .select(to_date(col("o_orderdate")).as("day"),
         round(col("o_totalprice"), 0).cast("long").as("dollars"))
       .groupBy("day").agg(sum("dollars").as("y"))
-    daily.withColumn("rn", row_number().over(Window.orderBy(col("day"))).cast("long"))
+    daily.withColumn("rn", RankOps.boundedFrame("time_series_daily",
+      row_number().over(Window.orderBy(col("day"))).cast("long")))
   }
 
   private def dec(c: Column): Column = c.cast("decimal(19,0)")

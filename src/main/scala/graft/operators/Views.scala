@@ -302,7 +302,8 @@ object Views {
     val w30 = wd.rowsBetween(-29, 0)
     val netD = col("net_cents").cast("double")
     val trended = daily
-      .withColumn("__prev", lag(col("net_cents"), 1).over(wd))
+      .withColumn("__prev", RankOps.boundedFrame("daily_sales_kpi",
+        lag(col("net_cents"), 1).over(wd)))
       .withColumn("__lw", lag(col("net_cents"), 7).over(wd))
       .withColumn("__s7", sum(col("net_cents")).over(w7))
       .withColumn("__c7", count(lit(1)).over(w7).cast("long"))

@@ -95,4 +95,36 @@ class RankOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("boundedFrame passes values through within the bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    val got = df.withColumn("rn", RankOps.boundedFrame("spec",
+      row_number().over(Window.orderBy(col("id"))).cast("long"), maxRows = 100L))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    (1 to 100).foreach(i => assert(got(i.toLong) == i.toLong))
+  }
+
+  test("boundedFrame raises when the frame is data-proportional") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 101).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    val e = intercept[Exception] {
+      df.withColumn("rn", RankOps.boundedFrame("spec",
+        row_number().over(Window.orderBy(col("id"))).cast("long"), maxRows = 100L))
+        .collect()
+    }
+    assert(e.getMessage.contains("bounded-frame guard 'spec'"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("labelEncode refuses a high-cardinality key column") {
+    import spark.implicits._
+    val keys = (1 to 10001).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val e = intercept[Exception] {
+      graft.operators.FeatureEng.labelEncode(keys, "k", "code").collect()
+    }
+    assert(e.getMessage.contains("label_encode(k)"), s"wrong failure: ${e.getMessage}")
+  }
 }
