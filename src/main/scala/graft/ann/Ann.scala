@@ -80,12 +80,37 @@ object Ann {
   private[graft] def adaptiveBits(n: Long): Int =
     (3 to 20).find(b => (1L << b) * 64 >= n).getOrElse(20)
 
+  /** LRU count cache for adaptive-bits sizing, keyed by the non-truncating
+    * plan digest ([[graft.PlanKey]]) — without it every auto-sized
+    * ANN/decontamination call pays one extra full count job over the
+    * corpus. Safe because the cached value only sizes bucket GEOMETRY
+    * (same count → same bits → same buckets); the PlanKey aliasing caveat
+    * (data rewritten in place under the same path) applies. */
+  private val CountCacheMax = 64
+  private val countCache =
+    new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > CountCacheMax
+    }
+
+  private[graft] def cachedCount(df: DataFrame): Long = {
+    val k = graft.PlanKey.digest(df)
+    val hit = countCache.synchronized(countCache.get(k))
+    if (hit != null) hit.longValue()
+    else {
+      val n = df.count()
+      countCache.synchronized(countCache.put(k, n))
+      n
+    }
+  }
+
   /** SRP-LSH cosine top-k: bucket-collision candidates (ids only through the
     * join — embeddings re-attached once for the exact re-score). `bits <= 0`
     * auto-sizes from the corpus row count (a metadata-only parquet count). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 12, bits: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val b = if (bits > 0) bits else adaptiveBits(corpus.count())
+    val b = if (bits > 0) bits else adaptiveBits(cachedCount(corpus))
     val pl = planes(tables, b, dim, seed)
     val c = withBuckets(corpus.select("vec_id", "embedding"), "embedding", pl, tables, b, dim, seed)
       .select("tbl", "bucket", "vec_id")
@@ -483,7 +508,7 @@ object Ann {
     // hyperplane/bucket geometry — and hence the candidate set — is the same
     // on both adaptive paths (a metadata-only parquet count)
     val kPairs = lshVectorPairs(spark, keepers, threshold, tables, bits,
-      countForBits = emb.count())
+      countForBits = cachedCount(emb))
     val mA = members.select(col("keeper").as("vec_a"), col("vec_id").as("a_id"))
     val mB = members.select(col("keeper").as("vec_b"), col("vec_id").as("b_id"))
     val cross = kPairs.join(mA, "vec_a").join(mB, "vec_b")
@@ -561,7 +586,7 @@ object Ann {
       threshold: Double, tables: Int, bits: Int,
       countForBits: Long = -1L): DataFrame = {
     val b0 = if (bits > 0) bits
-      else adaptiveBits(if (countForBits >= 0) countForBits else vectors.count())
+      else adaptiveBits(if (countForBits >= 0) countForBits else cachedCount(vectors))
     val pl = planes(tables, b0, 64, 42L)
     val buckets = withBuckets(vectors.select("vec_id", "embedding"), "embedding", pl, tables, b0, 64, 42L)
       .select("tbl", "bucket", "vec_id")

@@ -77,18 +77,11 @@ object DetKMeans {
     * models (determinism), last put wins. */
   def fitCached(df: DataFrame, idCol: String, featCols: Seq[String],
                 k: Int, iters: Int, standardize: Boolean = true): (DataFrame, Model) = {
-    // key on a NON-truncating plan digest: the default toString clips wide
-    // plans at spark.sql.debug.maxToStringFields ("... N more fields"), so
+    // key on a NON-truncating plan digest ([[graft.PlanKey]]): the default
+    // toString clips wide plans at spark.sql.debug.maxToStringFields, so
     // two different ~66-column projections (the IVF path) could collide on
-    // the clipped string and serve the wrong cached model. semanticHash
-    // plus the full-width treeString cannot clip. (Data rewritten in place
-    // under the same path still aliases — documented cache contract.)
-    val plan = df.queryExecution.analyzed.canonicalized
-    val key = (plan.semanticHash().toString + ":" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(plan.treeString(verbose = true, addSuffix = false,
-          maxFields = Int.MaxValue).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString,
+    // the clipped string and serve the wrong cached model.
+    val key = (graft.PlanKey.digest(df),
       idCol + "|" + featCols.mkString(","), k, iters, standardize)
     val hit = models.synchronized(models.get(key))
     if (hit != null) (assign(df, featCols, hit), hit)

@@ -41,7 +41,10 @@ object Decontamination {
         when(col("__bucket") < 80, "train")
           .when(col("__bucket") < 90, "val")
           .otherwise("test"))
-    val b = if (bits > 0) bits else Ann.adaptiveBits(emb.count())
+    // adaptive bits from the CACHED corpus count (Ann.cachedCount): sizing
+    // geometry is the only consumer, so the digest-LRU lookup replaces a
+    // full count job per call
+    val b = if (bits > 0) bits else Ann.adaptiveBits(Ann.cachedCount(emb))
     val pl = Ann.planes(tables, b, 64, 42L)
     val train = withSplit.filter(col("split") === "train")
     val eval = withSplit.filter(col("split") =!= "train")
