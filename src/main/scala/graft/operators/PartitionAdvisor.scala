@@ -70,9 +70,13 @@ object PartitionAdvisor {
 
   private def advise(df: DataFrame, candidates: Seq[(String, Column, Boolean)],
                      gran: DataFrame): DataFrame = {
-    val stacked = candidates.map { case (name, value, _) =>
-      df.select(lit(name).as("column_name"), value.as("val"))
-    }.reduce(_.unionByName(_))
+    // ONE scan: the stack() generator unpivots every candidate column per
+    // row — a union of per-column selects would re-scan the table once per
+    // column (6 scans of a 100 TB fact instead of 1)
+    val stacked = df.select(candidates.map(c => c._2.as(c._1)): _*)
+      .select(expr("stack(" + candidates.length + ", " +
+        candidates.map { case (name, _, _) => s"'$name', `$name`" }.mkString(", ") +
+        ") AS (column_name, val)"))
     val perValue = stacked.groupBy("column_name", "val").agg(graft.Exact.countAll.as("cnt"))
     val prof = perValue.groupBy("column_name").agg(
       sum(col("cnt")).as("n"),

@@ -343,6 +343,16 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release mlAnomaly's documented scored cache
   }
 
+  test("partition_advice profiles every column off ONE stacked scan") {
+    val plan = formatted(graft.operators.PartitionAdvisor.partitionAdvice(spark, dir))
+    // profiler scan + the (distinct-date) granularity scan — a per-column
+    // union would show one orders scan per candidate column
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 2, s"partition_advice reads orders $scans times, not once per pass")
+    assert(plan.contains("Generate"), "the stack() unpivot generator is gone")
+    assert(plan.contains("HashAggregate"), "profile counts should partial-aggregate")
+  }
+
   test("ann_ivf windows stay query-partitioned; probe join is key-based") {
     val plan = formatted(graft.ann.Ann.annIvfTopK(spark, dir))
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
