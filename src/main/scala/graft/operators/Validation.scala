@@ -78,6 +78,72 @@ object Validation {
   def validationReport(spark: SparkSession, dir: String): DataFrame =
     ruleReport(Tables.lineitem(spark, dir), lineitemRules.map(_._1))
 
+  /** Validation test-case synthesis (reference: smart_validator.py:458
+    * `generate_test_cases` — NOTE the reference's four `_generate_*_rules`
+    * helpers are called but never defined; the enclosing try/except
+    * swallows the AttributeError and returns [], so its synthesis is
+    * effectively the baseline profile at :1180 plus intent). This is the
+    * working version of that intent, Spark-first: ONE aggregate pass
+    * profiles every candidate column (count, nulls, distinct estimate via
+    * exact countDistinct, min/max, mean±3σ for numerics) and deterministic
+    * ladders emit [[Rule]]s:
+    *
+    *  - `<c>_not_null` when the observed null rate is ≤ `nullSlack` (a
+    *    column that is already ~always present should stay present);
+    *  - `<c>_in_range` for numerics: observed [min, max] widened by one
+    *    3σ margin — new data may drift, a 10× excursion is a bug;
+    *  - `<c>_in_set` for low-cardinality strings (≤ `maxCategories`
+    *    distinct): membership in the observed category set.
+    *
+    * Suggested rules are warnings (a human promotes them to errors), and
+    * the generation itself is an operator a user runs against a silver
+    * table to bootstrap a rule config — exactly the reference's use case,
+    * minus the undefined helpers. */
+  def suggestRules(df: DataFrame, numericCols: Seq[String],
+                   stringCols: Seq[String], nullSlack: Double = 0.01,
+                   maxCategories: Int = 50): Seq[Rule] = {
+    val aggs =
+      numericCols.flatMap { c =>
+        Seq(count(lit(1)).as(s"n_$c"), count(col(c)).as(s"nn_$c"),
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"),
+          avg(col(c).cast("double")).as(s"mean_$c"),
+          stddev_samp(col(c).cast("double")).as(s"sd_$c"))
+      } ++ stringCols.flatMap { c =>
+        Seq(count(lit(1)).as(s"n_$c"), count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"d_$c"))
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    def d(name: String) = r.getAs[Double](name)
+    def l(name: String) = r.getAs[Long](name)
+    val numeric = numericCols.flatMap { c =>
+      val (n, nn) = (l(s"n_$c"), l(s"nn_$c"))
+      if (nn == 0) Seq.empty
+      else {
+        val nullRate = (n - nn).toDouble / n.toDouble
+        val margin = if (r.isNullAt(r.fieldIndex(s"sd_$c"))) 0.0 else 3.0 * d(s"sd_$c")
+        val (lo, hi) = (d(s"min_$c") - margin, d(s"max_$c") + margin)
+        val notNull = if (nullRate <= nullSlack)
+          Seq(Rule(s"${c}_not_null", col(c).isNotNull, "warning")) else Seq.empty
+        notNull :+ Rule(s"${c}_in_range",
+          col(c).cast("double") >= lo && col(c).cast("double") <= hi, "warning")
+      }
+    }
+    val categorical = stringCols.flatMap { c =>
+      val (n, nn, dis) = (l(s"n_$c"), l(s"nn_$c"), l(s"d_$c"))
+      if (nn == 0 || dis > maxCategories) Seq.empty
+      else {
+        val cats = df.select(col(c)).where(col(c).isNotNull).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq // ≤ maxCategories rows
+        val nullRate = (n - nn).toDouble / n.toDouble
+        val notNull = if (nullRate <= nullSlack)
+          Seq(Rule(s"${c}_not_null", col(c).isNotNull, "warning")) else Seq.empty
+        notNull :+ Rule(s"${c}_in_set", col(c).isin(cats: _*), "warning")
+      }
+    }
+    numeric ++ categorical
+  }
+
   /** DuckDB oracle mirroring validationReport, generated from lineitemRules. */
   def validationReportOracle: String = {
     val aggSel = (Seq("COUNT(*) AS n_rows") ++ lineitemRules.map { case (r, sql) =>

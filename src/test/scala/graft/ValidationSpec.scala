@@ -54,4 +54,42 @@ class ValidationSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"))
     assert(plan.contains("GreaterThan(l_quantity,0.0)"))
   }
+
+  test("suggestRules: profile-derived rules pass on clean data, catch planted violations") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, 10.0, "A"), (2L, 12.5, "B"), (3L, 11.0, "A"),
+      (4L, 9.5, "C"), (5L, 10.5, "B"), (6L, 11.5, "A")
+    ).toDF("id", "amount", "cat")
+    val rules = graft.operators.Validation.suggestRules(
+      clean, numericCols = Seq("amount"), stringCols = Seq("cat"))
+    assert(rules.map(_.name).toSet ===
+      Set("amount_not_null", "amount_in_range", "cat_not_null", "cat_in_set"))
+    assert(rules.forall(_.severity == "warning"))
+    // clean data passes every suggested rule
+    val cleanReport = graft.operators.Validation.ruleReport(clean, rules)
+      .collect().map(r => r.getAs[String]("rule_name") -> r.getAs[Long]("n_fail")).toMap
+    assert(cleanReport.values.forall(_ == 0L), s"clean data flagged: $cleanReport")
+    // planted violations: out-of-range amount, unseen category, nulls
+    val dirty = clean.unionByName(Seq(
+      (7L, 1e9, "A"),                       // amount far past max+3σ
+      (8L, 10.0, "ZZZ")                     // category never observed
+    ).toDF("id", "amount", "cat"))
+      .unionByName(Seq((9L, Option.empty[Double], Option.empty[String]))
+        .toDF("id", "amount", "cat"))
+    val dirtyReport = graft.operators.Validation.ruleReport(dirty, rules)
+      .collect().map(r => r.getAs[String]("rule_name") -> r.getAs[Long]("n_fail")).toMap
+    assert(dirtyReport("amount_in_range") >= 1L, s"range rule missed: $dirtyReport")
+    assert(dirtyReport("cat_in_set") >= 1L, s"set rule missed: $dirtyReport")
+    assert(dirtyReport("amount_not_null") === 1L && dirtyReport("cat_not_null") === 1L)
+  }
+
+  test("suggestRules skips high-cardinality strings and all-null columns") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"key_$i", Option.empty[Double]))
+      .toDF("id", "k", "v")
+    val rules = graft.operators.Validation.suggestRules(
+      df, numericCols = Seq("v"), stringCols = Seq("k"), maxCategories = 50)
+    assert(rules.isEmpty, s"unexpected rules: ${rules.map(_.name)}")
+  }
 }
