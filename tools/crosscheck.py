@@ -13,11 +13,22 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, only=None):
+    import os
     con = duckdb.connect()
+    # the KMeans/GBT replay oracles materialize big CTE chains at 10x+
+    # corpora; uncapped DuckDB assumes ~80% of RAM per PROCESS and the OOM
+    # killer reaps it (observed at 130 GB RSS). Cap + spill to disk.
+    con.execute(f"SET memory_limit='{os.environ.get('CC_MEM', '40GB')}'")
+    con.execute(f"SET threads={os.environ.get('CC_THREADS', '16')}")
+    spill = os.environ.get('CC_SPILL', '/tmp/duckdb_spill')
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -55,4 +66,4 @@ def main(sfdir, outdir):
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
