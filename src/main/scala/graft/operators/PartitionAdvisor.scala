@@ -57,11 +57,13 @@ object PartitionAdvisor {
 
   /** Modal gap (days) between consecutive distinct values of `dateCol` —
     * 1-row frame. The unpartitioned window runs over DISTINCT dates:
-    * calendar-bounded (O(days)), not data-proportional. */
+    * calendar-bounded (O(days)), not data-proportional — and the
+    * boundedFrame guard raise_errors rather than rely on that reading. */
   private def temporalGranularity(df: DataFrame, dateCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dd = df.select(dateCol.as("d")).where(col("d").isNotNull).distinct()
-    val iv = dd.withColumn("iv", datediff(col("d"), lag(col("d"), 1).over(Window.orderBy(col("d")))))
+    val iv = dd.withColumn("iv", RankOps.boundedFrame("partition_advice_granularity",
+        datediff(col("d"), lag(col("d"), 1).over(Window.orderBy(col("d"))))))
       .where(col("iv").isNotNull)
     iv.groupBy("iv").count()
       .orderBy(col("count").desc, col("iv").asc).limit(1)

@@ -114,9 +114,19 @@ object StreamingNearDup {
     allB.dropDuplicates("doc_id", "band", "bucket")
       .write.mode("overwrite").parquet(s"$staged/buckets")
     allSh.write.mode("overwrite").parquet(s"$staged/shingles")
-    fs.rename(new Path(s"$indexDir/corpus"), new Path(s"$indexDir/__corpus_old"))
-    fs.rename(new Path(staged), new Path(s"$indexDir/corpus"))
-    fs.delete(new Path(s"$indexDir/__corpus_old"), true)
+    // Hadoop FileSystem.rename reports failure by returning FALSE, not by
+    // throwing (e.g. destination already exists after a race). Falling
+    // through to the batch-dir deletes after a failed staged→corpus rename
+    // would permanently lose the appends that were only merged into the
+    // never-promoted staged dir — so every step must prove it succeeded
+    // before the deletes run; on failure we abort and the next pass retries
+    // (recoverCorpus completes a half-finished swap from the staged dir).
+    require(fs.rename(new Path(s"$indexDir/corpus"), new Path(s"$indexDir/__corpus_old")),
+      s"compactIndex: rename corpus -> __corpus_old failed under $indexDir; aborting before any delete")
+    require(fs.rename(new Path(staged), new Path(s"$indexDir/corpus")),
+      s"compactIndex: rename __corpus_staged -> corpus failed under $indexDir; aborting before any delete")
+    require(fs.delete(new Path(s"$indexDir/__corpus_old"), true),
+      s"compactIndex: delete of __corpus_old failed under $indexDir; aborting before batch-dir deletes")
     committed.foreach(d => fs.delete(new Path(d), true))
     committed.size
   }

@@ -83,7 +83,11 @@ object HybridSearch {
       val ord = Seq(col(scoreCol).desc, col("doc_id").asc)
       df.select(col("doc_id"), col(scoreCol))
         .orderBy(ord: _*).limit(candidates)
-        .withColumn(rankCol, row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        // frame is ≤ `candidates` rows by the limit above; the guard makes
+        // that a raise_error instead of a reading of the code
+        .withColumn(rankCol, graft.operators.RankOps.boundedFrame(s"hybrid_$rankCol",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"),
+          maxRows = math.max(candidates.toLong, 1L)))
     }
     topList(kw, "kw_score", "kw_rank")
       .join(topList(vec, "vec_score", "vec_rank"), Seq("doc_id"), "full_outer")
@@ -146,8 +150,21 @@ object HybridSearch {
       .sortWithinPartitions("bkey")
       .write.mode("overwrite").parquet(s"$indexDir/buckets")
     import spark.implicits._
-    Seq((tables, bits, dim, seed)).toDF("tables", "bits", "dim", "seed")
+    val (nd, mx) = corpusFingerprint(spark, dir)
+    Seq((tables, bits, dim, seed, nd, mx))
+      .toDF("tables", "bits", "dim", "seed", "ndocs", "max_doc_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Cheap corpus fingerprint for index-staleness checks: (row count,
+    * max doc_id) off one doc_id-pruned scan. Not a content digest — a
+    * rewrite that preserves both values still aliases (same caveat as
+    * [[graft.PlanKey]]) — but it catches the realistic in-place-rewrite
+    * cases: rescaled or regrown data at the same path. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m")).head
+    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
   }
 
   /** The query's bkeys under the index geometry — driver-side (tables·bits
@@ -206,7 +223,14 @@ object HybridSearch {
 
   /** Build-once glue for the driver queries: index under java.io.tmpdir
     * keyed by (dir, geometry), built on first use (`meta` is the commit
-    * marker — a half-built index from a killed run rebuilds). */
+    * marker — a half-built index from a killed run rebuilds). The disk
+    * cache survives JVM restarts, so unlike the in-memory PlanKey caches a
+    * stale index could silently serve a corpus REGENERATED IN PLACE at the
+    * same path — meta therefore carries the build-time corpus fingerprint
+    * (count + max doc_id) and bits, and a mismatch with the live documents
+    * table (or a pre-fingerprint meta schema) forces a rebuild. A rewrite
+    * preserving count AND max doc_id still aliases — the PlanKey caveat,
+    * now documented at the durable layer too. */
   private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val key = md.digest(s"$dir|${Embeddings.Dim}|$IndexTables|$IndexSeed".getBytes("UTF-8"))
@@ -215,7 +239,16 @@ object HybridSearch {
       sys.props("java.io.tmpdir"), s"graft_hybrid_idx_$key").getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) buildIndex(spark, dir, idx)
+    val fresh = fs.exists(p) && {
+      val meta = spark.read.parquet(s"$idx/meta")
+      meta.columns.contains("ndocs") && {
+        val m = meta.head
+        val (nd, mx) = corpusFingerprint(spark, dir)
+        m.getAs[Long]("ndocs") == nd && m.getAs[Long]("max_doc_id") == mx &&
+          m.getAs[Int]("bits") == graft.ann.Ann.adaptiveBits(nd)
+      }
+    }
+    if (!fresh) buildIndex(spark, dir, idx)
     idx
   }
 

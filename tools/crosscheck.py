@@ -18,9 +18,13 @@ def main(sfdir, outdir, only=None):
     con = duckdb.connect()
     # the KMeans/GBT replay oracles materialize big CTE chains at 10x+
     # corpora; uncapped DuckDB assumes ~80% of RAM per PROCESS and the OOM
-    # killer reaps it (observed at 130 GB RSS). Cap + spill to disk.
+    # killer reaps it (observed at 130 GB RSS). memory_limit is ADVISORY for
+    # these materialized chains — DuckDB has been observed to blow past it —
+    # so THREAD COUNT is the effective memory lever: the default is 4, and
+    # the four heaviest ML-replay oracles at 10x need solo CC_THREADS=1-2
+    # runs (the BASELINE recipe). Spill to disk for the rest.
     con.execute(f"SET memory_limit='{os.environ.get('CC_MEM', '40GB')}'")
-    con.execute(f"SET threads={os.environ.get('CC_THREADS', '16')}")
+    con.execute(f"SET threads={os.environ.get('CC_THREADS', '4')}")
     spill = os.environ.get('CC_SPILL', '/tmp/duckdb_spill')
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
