@@ -779,6 +779,7 @@ object Oracles {
     "enriched_sales" -> graft.operators.Enrichment.enrichedSalesOracle,
 
     "validation_report" -> graft.operators.Validation.validationReportOracle,
+    "suggested_rules" -> graft.operators.Validation.suggestedRulesOracle(),
 
     // identical result by construction — bucketing is a physical layout choice
     "fact_join_shuffled" -> factJoinRollup,

@@ -49,6 +49,7 @@ object SparkEntry {
     "stationarity_check" -> ((s, d) => Stats.stationarityCheck(s, d)),
     "enriched_sales"   -> ((s, d) => Enrichment.enrichedSales(s, d)),
     "validation_report" -> ((s, d) => Validation.validationReport(s, d)),
+    "suggested_rules" -> ((s, d) => Validation.suggestedRules(s, d)),
     // transformations (reference: src/etl/transformations/)
     "scd2_customer"    -> ((s, d) => Scd2.scd2Customer(s, d)),
     "scd2_merge"       -> ((s, d) => Scd2.scd2Merge(s, d)),

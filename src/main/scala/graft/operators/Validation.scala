@@ -102,12 +102,14 @@ object Validation {
   def suggestRules(df: DataFrame, numericCols: Seq[String],
                    stringCols: Seq[String], nullSlack: Double = 0.01,
                    maxCategories: Int = 50): Seq[Rule] = {
+    require(numericCols.intersect(stringCols).isEmpty,
+      s"suggestRules: a column may be profiled as numeric or string, not both: " +
+        numericCols.intersect(stringCols).mkString(", "))
     val aggs =
       numericCols.flatMap { c =>
         Seq(count(lit(1)).as(s"n_$c"), count(col(c)).as(s"nn_$c"),
           min(col(c)).cast("double").as(s"min_$c"),
           max(col(c)).cast("double").as(s"max_$c"),
-          avg(col(c).cast("double")).as(s"mean_$c"),
           stddev_samp(col(c).cast("double")).as(s"sd_$c"))
       } ++ stringCols.flatMap { c =>
         Seq(count(lit(1)).as(s"n_$c"), count(col(c)).as(s"nn_$c"),
@@ -142,6 +144,127 @@ object Validation {
       }
     }
     numeric ++ categorical
+  }
+
+  /** Candidate columns for the suggested_rules driver query: every lineitem
+    * measure (cents-exact) plus the two flag strings. Generated oracle SQL
+    * shares these lists so the two engines can never drift. */
+  private val suggestNumeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val suggestString = Seq("l_returnflag", "l_linestatus")
+
+  /** Driver-query surface for [[suggestRules]]'s intent as a hash-checkable
+    * TABLE: one row per suggested rule — (rule_name, column_name, kind,
+    * lo, hi, members, severity), deterministically ordered by rule_name.
+    *
+    * Where [[suggestRules]] profiles with `stddev_samp` (a distributed
+    * double moment whose merge order is engine/partition-dependent), this
+    * emits the ±3σ range bounds from EXACT integer-cents moments (the
+    * corrMatrix recipe: cents as long, decimal(38,0) Σx², hi/lo-split
+    * conversion, one pinned IEEE closing expression) so the DuckDB oracle
+    * matches bit-for-bit at any scale. ONE aggregate pass computes every
+    * profile ingredient (counts, min/max, Σx, Σx², distinct counts and the
+    * ≤`maxCategories` category sets via sort_array(collect_set)); the rule
+    * rows explode from that single row — no second scan, no driver collect.
+    */
+  def suggestedRules(spark: SparkSession, dir: String, nullSlack: Double = 0.01,
+                     maxCategories: Int = 50): DataFrame = {
+    val df = Tables.lineitem(spark, dir)
+    def cents(c: String): Column = round(col(c) * 100, 0).cast("long")
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val aggs =
+      suggestNumeric.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"),
+          min(cents(c)).as(s"mn_$c"), max(cents(c)).as(s"mx_$c"),
+          sum(cents(c)).as(s"s_$c"),
+          sum(dec(cents(c)) * dec(cents(c))).as(s"s2_$c"))
+      } ++ suggestString.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"d_$c"),
+          array_join(sort_array(collect_set(col(c))), ",").as(s"set_$c"))
+      }
+    val prof = df.agg(countAll.as("n"), aggs: _*)
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def ruleRow(name: String, column: String, kind: String,
+                lo: Column, hi: Column, members: Column) = struct(
+      lit(name).as("rule_name"), lit(column).as("column_name"),
+      lit(kind).as("kind"), lo.as("lo"), hi.as("hi"),
+      members.as("members"), lit("warning").as("severity"))
+    def notNullRow(c: String) = {
+      val nullRate = (col("n") - col(s"nn_$c")).cast("double") / col("n").cast("double")
+      when(col(s"nn_$c") > 0 && nullRate <= nullSlack,
+        ruleRow(s"${c}_not_null", c, "not_null", nullD, nullD, nullS))
+    }
+    val rows =
+      suggestNumeric.flatMap { c =>
+        val nnD = col(s"nn_$c").cast("double")
+        // sample stddev in cents from the exact moments; the greatest(,0)
+        // absorbs the ~1-ulp negative the double subtraction can produce
+        // for a constant column (both engines run the identical guard)
+        val sdCents = sqrt(
+          greatest(nnD * graft.Exact.bigDecToDouble(col(s"s2_$c").cast("decimal(38,0)"))
+            - col(s"s_$c").cast("double") * col(s"s_$c").cast("double"), lit(0.0))
+            / (nnD * (nnD - lit(1.0))))
+        val margin = when(col(s"nn_$c") >= 2, sdCents / lit(100.0) * lit(3.0)).otherwise(lit(0.0))
+        Seq(notNullRow(c),
+          when(col(s"nn_$c") > 0,
+            ruleRow(s"${c}_in_range", c, "range",
+              col(s"mn_$c").cast("double") / lit(100.0) - margin,
+              col(s"mx_$c").cast("double") / lit(100.0) + margin, nullS)))
+      } ++ suggestString.flatMap { c =>
+        Seq(notNullRow(c),
+          when(col(s"nn_$c") > 0 && col(s"d_$c") <= maxCategories,
+            ruleRow(s"${c}_in_set", c, "set", nullD, nullD, col(s"set_$c"))))
+      }
+    prof.select(explode(array_compact(array(rows: _*))).as("r"))
+      .select(col("r.*"))
+      .orderBy("rule_name")
+  }
+
+  /** DuckDB oracle mirroring suggestedRules: same one-pass profile CTE,
+    * each rule a conditional SELECT branch (WHERE replaces array_compact),
+    * identical pinned IEEE arithmetic. */
+  def suggestedRulesOracle(nullSlack: Double = 0.01, maxCategories: Int = 50): String = {
+    import graft.Exact.bigDecToDoubleSql
+    val aggSel = (Seq("COUNT(*) AS n") ++
+      suggestNumeric.flatMap { c => Seq(
+        s"COUNT($c) AS nn_$c",
+        s"CAST(MIN(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS mn_$c",
+        s"CAST(MAX(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS mx_$c",
+        s"CAST(SUM(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS s_$c",
+        s"SUM(CAST(CAST(round($c * 100) AS BIGINT) AS DECIMAL(19,0)) * " +
+          s"CAST(CAST(round($c * 100) AS BIGINT) AS DECIMAL(19,0))) AS s2_$c")
+      } ++ suggestString.flatMap { c => Seq(
+        s"COUNT($c) AS nn_$c", s"COUNT(DISTINCT $c) AS d_$c",
+        s"array_to_string(list_sort(list(DISTINCT $c)), ',') AS set_$c")
+      }).mkString(",\n    ")
+    def notNullSql(c: String) =
+      s"""SELECT '${c}_not_null' AS rule_name, '$c' AS column_name,
+         |  'not_null' AS kind, CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+         |  CAST(NULL AS VARCHAR) AS members, 'warning' AS severity
+         |FROM a WHERE nn_$c > 0 AND CAST(n - nn_$c AS DOUBLE) / CAST(n AS DOUBLE) <= $nullSlack""".stripMargin
+    val branches = (
+      suggestNumeric.flatMap { c =>
+        val sd = s"sqrt(greatest(CAST(nn_$c AS DOUBLE) * ${bigDecToDoubleSql(s"s2_$c")}" +
+          s" - CAST(s_$c AS DOUBLE) * CAST(s_$c AS DOUBLE), 0.0)" +
+          s" / (CAST(nn_$c AS DOUBLE) * (CAST(nn_$c AS DOUBLE) - 1.0)))"
+        val margin = s"CASE WHEN nn_$c >= 2 THEN $sd / 100.0 * 3.0 ELSE 0.0 END"
+        Seq(notNullSql(c),
+          s"""SELECT '${c}_in_range', '$c', 'range',
+             |  CAST(mn_$c AS DOUBLE) / 100.0 - $margin,
+             |  CAST(mx_$c AS DOUBLE) / 100.0 + $margin,
+             |  CAST(NULL AS VARCHAR), 'warning'
+             |FROM a WHERE nn_$c > 0""".stripMargin)
+      } ++ suggestString.flatMap { c =>
+        Seq(notNullSql(c),
+          s"""SELECT '${c}_in_set', '$c', 'set', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  set_$c, 'warning'
+             |FROM a WHERE nn_$c > 0 AND d_$c <= $maxCategories""".stripMargin)
+      }).mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT
+       |    $aggSel
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY rule_name""".stripMargin
   }
 
   /** DuckDB oracle mirroring validationReport, generated from lineitemRules. */

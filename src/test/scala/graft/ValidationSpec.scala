@@ -92,4 +92,36 @@ class ValidationSpec extends AnyFunSuite {
       df, numericCols = Seq("v"), stringCols = Seq("k"), maxCategories = 50)
     assert(rules.isEmpty, s"unexpected rules: ${rules.map(_.name)}")
   }
+
+  test("suggestRules rejects a column profiled as both numeric and string") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Validation.suggestRules(
+        df, numericCols = Seq("v"), stringCols = Seq("v"))
+    }
+  }
+
+  test("suggestedRules driver query: rule table with exact-moment range bounds") {
+    val out = Validation.suggestedRules(spark, TestSpark.sfDir).collect()
+    // deterministically ordered, one row per emitted rule
+    assert(out.map(_.getAs[String]("rule_name")).toSeq ==
+      out.map(_.getAs[String]("rule_name")).toSeq.sorted)
+    val byName = out.map(r => r.getAs[String]("rule_name") -> r).toMap
+    // every candidate column yields not_null (testdata has no nulls) + its kind
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")) {
+      assert(byName.contains(s"${c}_not_null") && byName.contains(s"${c}_in_range"))
+      val r = byName(s"${c}_in_range")
+      assert(r.getAs[String]("kind") == "range")
+      assert(r.getAs[Double]("lo") < r.getAs[Double]("hi"))
+      assert(r.isNullAt(r.fieldIndex("members")))
+    }
+    for (c <- Seq("l_returnflag", "l_linestatus")) {
+      val r = byName(s"${c}_in_set")
+      assert(r.getAs[String]("kind") == "set")
+      val members = r.getAs[String]("members").split(",").toSeq
+      assert(members == members.sorted && members.nonEmpty)
+    }
+    // the ±3σ widening really widens: range bounds sit outside observed min/max
+    val q = byName("l_quantity_in_range")
+    assert(q.getAs[Double]("lo") < 1.0 && q.getAs[Double]("hi") > 50.0)
+  }
 }
