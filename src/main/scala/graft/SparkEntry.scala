@@ -204,6 +204,8 @@ object SparkEntry {
     * accuracy bounds are ApproxSpec's job. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sales_summary_approx"    -> ((s, d) => graft.operators.Approx.salesSummaryApprox(s, d)),
-    "product_analysis_approx" -> ((s, d) => graft.operators.Approx.productAnalysisApprox(s, d))
+    "product_analysis_approx" -> ((s, d) => graft.operators.Approx.productAnalysisApprox(s, d)),
+    "partition_advice_sampled" -> ((s, d) =>
+      graft.operators.PartitionAdvisor.partitionAdviceSampled(s, d))
   )
 }

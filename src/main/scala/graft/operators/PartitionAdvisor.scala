@@ -55,6 +55,76 @@ object PartitionAdvisor {
       temporalGranularity(orders, to_date(col("o_orderdate"))))
   }
 
+  /** Scale-mode twin of [[partitionAdvice]] — the ≥10× default (the
+    * `_approx`-twin precedent; BASELINE records the rule and both bench
+    * rows). The exact form's stacked (column, value) groupBy cannot
+    * partial-aggregate NEAR-UNIQUE columns (o_orderkey / o_custkey /
+    * o_totalprice: every key distinct ⇒ no map-side reduction), so at
+    * 100 TB it shuffles ~3× the fact table to produce a 6-row advisory.
+    * Here every data-proportional shuffle is removed:
+    *
+    *  - row count + null counts: exact, ONE 1-row partial-aggregated pass;
+    *  - distinct counts: `approx_count_distinct` HLL sketches in the same
+    *    pass (constant-size partials, ±~2.3% — the advisory ladder's
+    *    thresholds are order-of-magnitude bands);
+    *  - top-value frequency (skew): the stacked per-value groupBy runs on a
+    *    DETERMINISTIC md5-bucket row sample (the hash_split recipe:
+    *    md5(o_orderkey) hex-prefix mod `sampleMod` < `sampleKeep`, default
+    *    1%), so the only per-value shuffle is over the sampled fraction.
+    *    The top SHARE in the sample estimates the population top share; a
+    *    top value sampled fewer than `minSampledTop` times carries no skew
+    *    signal (its true share is ≲ minSampledTop·mod/keep/n — far below
+    *    the ladder's 1/distinct skew bands for any column that matters), so
+    *    skew defaults to 0 exactly as the exact profile reports for
+    *    near-unique columns;
+    *  - temporal granularity: exact (the distinct-date frame is
+    *    calendar-bounded already).
+    *
+    * Advice tolerates estimation error by construction — the output is a
+    * score ladder, not an audit — and the exact form remains the oracle
+    * surface. No cross-engine oracle here (HLL estimators differ between
+    * engines): bench-only, spec-pinned against the exact form's strategies.
+    */
+  def partitionAdviceSampled(spark: SparkSession, dir: String,
+                             sampleMod: Int = 100, sampleKeep: Int = 1,
+                             minSampledTop: Long = 5L): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val candidates = orderCandidates
+    // pass 1: exact n + per-column null counts, HLL distincts — one row out
+    // rsd 0.02: the ladder's only hard cardinality edges are order-of-
+    // magnitude bands (10/100/1k/10k); 2% keeps estimates well inside them
+    val aggs = candidates.flatMap { case (name, c, _) =>
+      Seq(count(c).as(s"nn_$name"), approx_count_distinct(c, 0.02).as(s"d_$name"))
+    }
+    val prof1 = orders.agg(graft.Exact.countAll.as("n"), aggs: _*)
+    // pass 2: per-value counts over the md5-bucket sample only
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+      .cast("long") % sampleMod
+    val sampled = stackCandidates(orders.filter(bucket < sampleKeep), candidates)
+      .groupBy("column_name", "val").agg(graft.Exact.countAll.as("cnt"))
+      .groupBy("column_name").agg(
+        max(when(col("val").isNotNull, col("cnt"))).as("sample_top"),
+        coalesce(sum(when(col("val").isNotNull, col("cnt"))), lit(0L)).as("sample_n"))
+    val rows = candidates.map { case (name, _, _) =>
+      struct(lit(name).as("column_name"), col("n").as("n"),
+        col(s"nn_$name").as("nn"), col(s"d_$name").as("distinct_count"))
+    }
+    val perCol = prof1.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    val nD = col("n").cast("double")
+    val topShare = col("sample_top").cast("double") / col("sample_n").cast("double")
+    val d1 = perCol.join(sampled, Seq("column_name"), "left") // 6-row join
+      .withColumn("is_temporal", temporalCase(candidates))
+      .withColumn("null_pct", (col("n") - col("nn")).cast("double") * lit(100.0) / nD)
+      .withColumn("cardinality_ratio", col("distinct_count").cast("double") / nD)
+      .withColumn("skew_excess",
+        when(col("sample_top").isNotNull && col("sample_top") >= minSampledTop,
+          topShare * col("distinct_count").cast("double") - lit(1.0))
+          .otherwise(lit(0.0)))
+      .select("column_name", "n", "distinct_count", "null_pct",
+        "cardinality_ratio", "skew_excess", "is_temporal")
+    scoreAdvice(d1, temporalGranularity(orders, to_date(col("o_orderdate"))))
+  }
+
   /** Modal gap (days) between consecutive distinct values of `dateCol` —
     * 1-row frame. The unpartitioned window runs over DISTINCT dates:
     * calendar-bounded (O(days)), not data-proportional — and the
@@ -70,31 +140,48 @@ object PartitionAdvisor {
       .select(col("iv").cast("long").as("modal_iv"))
   }
 
+  /** The stack() unpivot projection shared by the exact and sampled modes:
+    * one scan, every candidate column becomes a (column_name, val) row. */
+  private def stackCandidates(df: DataFrame,
+                              candidates: Seq[(String, Column, Boolean)]): DataFrame =
+    df.select(candidates.map(c => c._2.as(c._1)): _*)
+      .select(expr("stack(" + candidates.length + ", " +
+        candidates.map { case (name, _, _) => s"'$name', `$name`" }.mkString(", ") +
+        ") AS (column_name, val)"))
+
+  private def temporalCase(candidates: Seq[(String, Column, Boolean)]): Column =
+    candidates.foldLeft(lit(false)) { case (acc, (name, _, t)) =>
+      when(col("column_name") === name, lit(t)).otherwise(acc)
+    }
+
   private def advise(df: DataFrame, candidates: Seq[(String, Column, Boolean)],
                      gran: DataFrame): DataFrame = {
     // ONE scan: the stack() generator unpivots every candidate column per
     // row — a union of per-column selects would re-scan the table once per
     // column (6 scans of a 100 TB fact instead of 1)
-    val stacked = df.select(candidates.map(c => c._2.as(c._1)): _*)
-      .select(expr("stack(" + candidates.length + ", " +
-        candidates.map { case (name, _, _) => s"'$name', `$name`" }.mkString(", ") +
-        ") AS (column_name, val)"))
+    val stacked = stackCandidates(df, candidates)
     val perValue = stacked.groupBy("column_name", "val").agg(graft.Exact.countAll.as("cnt"))
     val prof = perValue.groupBy("column_name").agg(
       sum(col("cnt")).as("n"),
       sum(when(col("val").isNotNull, lit(1L)).otherwise(lit(0L))).as("distinct_count"),
       coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("null_count"),
       max(when(col("val").isNotNull, col("cnt"))).as("top_freq"))
-    val temporalCase = candidates.foldLeft(lit(false)) { case (acc, (name, _, t)) =>
-      when(col("column_name") === name, lit(t)).otherwise(acc)
-    }
     val nD = col("n").cast("double")
-    val advice = prof.crossJoin(gran)
-      .withColumn("is_temporal", temporalCase)
+    val d1 = prof
+      .withColumn("is_temporal", temporalCase(candidates))
       .withColumn("null_pct", col("null_count").cast("double") * lit(100.0) / nD)
       .withColumn("cardinality_ratio", col("distinct_count").cast("double") / nD)
       .withColumn("skew_excess",
         col("top_freq").cast("double") * col("distinct_count").cast("double") / nD - lit(1.0))
+    scoreAdvice(d1, gran)
+  }
+
+  /** The shared suitability/strategy ladder tail: takes a per-column frame
+    * carrying (column_name, n, distinct_count, null_pct, cardinality_ratio,
+    * skew_excess, is_temporal) — however those ingredients were computed —
+    * and emits the advisory. */
+  private def scoreAdvice(d1: DataFrame, gran: DataFrame): DataFrame = {
+    val advice = d1.crossJoin(gran)
       .withColumn("is_categorical",
         col("distinct_count") < 100 && col("cardinality_ratio") < 0.05)
       .withColumn("granularity",

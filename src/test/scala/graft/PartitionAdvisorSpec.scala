@@ -54,4 +54,28 @@ class PartitionAdvisorSpec extends AnyFunSuite {
       assert(!s.isNaN && s <= 5.0 && s >= -0.3, s"suitability $s out of range: $r")
     }
   }
+
+  test("sampled scale mode reproduces the exact mode's recommendations") {
+    // 10% deterministic sample at sf0.001 (~1500 orders → ~150 sampled rows)
+    val sampled = graft.operators.PartitionAdvisor
+      .partitionAdviceSampled(spark, dir, sampleMod = 100, sampleKeep = 10)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(sampled.keySet == advice.keySet)
+    for ((c, r) <- sampled) {
+      val e = advice(c)
+      // the advisory decisions must agree; the ingredients may differ by
+      // HLL/sampling error
+      assert(r.getAs[String]("strategy") === e.getAs[String]("strategy"), s"$c: $r vs $e")
+      assert(r.getAs[String]("granularity") === e.getAs[String]("granularity"), s"$c")
+      assert(r.getAs[Boolean]("is_temporal") === e.getAs[Boolean]("is_temporal"), s"$c")
+      assert(r.getAs[Long]("n") === e.getAs[Long]("n"), s"$c: exact row count differs")
+      assert(r.getAs[Double]("null_pct") === e.getAs[Double]("null_pct"), s"$c: exact null pct differs")
+      // HLL distinct estimate lands within its documented error band
+      val (de, ds) = (e.getAs[Long]("distinct_count"), r.getAs[Long]("distinct_count"))
+      assert(math.abs(ds - de) <= math.max(2L, (de * 0.1).toLong), s"$c: distinct $ds vs $de")
+    }
+    // near-unique columns report no skew in both modes (the minSampledTop
+    // guard: a value sampled < 5 times carries no skew signal)
+    assert(sampled("o_orderkey").getAs[Double]("skew_excess") === 0.0)
+  }
 }

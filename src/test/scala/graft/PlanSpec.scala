@@ -353,6 +353,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), "profile counts should partial-aggregate")
   }
 
+  test("partition_advice_sampled: sample predicate below the stack, HLL distincts, no per-value full shuffle") {
+    val plan = formatted(graft.operators.PartitionAdvisor
+      .partitionAdviceSampled(spark, dir))
+    // profile pass + sampled pass + granularity scan
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans <= 3, s"sampled advice reads orders $scans times")
+    assert(plan.contains("approx_count_distinct"),
+      "distinct counts must ride HLL sketches, not per-value shuffles")
+    // the md5-bucket sample filter must sit in the scanned subtree (above
+    // the scan, below the stack Generate) so the per-value groupBy only
+    // shuffles the sampled fraction
+    assert(plan.contains("conv(substring(md5("),
+      "the md5-bucket sample predicate is gone")
+    assert("""Condition : [^\n]*md5\([^\n]*o_orderkey""".r.findFirstIn(plan).isDefined,
+      "sample filter did not stay a scan-side Filter condition")
+  }
+
   test("ann_ivf windows stay query-partitioned; probe join is key-based") {
     val plan = formatted(graft.ann.Ann.annIvfTopK(spark, dir))
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
