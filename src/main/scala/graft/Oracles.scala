@@ -203,6 +203,10 @@ object Oracles {
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
     "ann_lsh" -> graft.ann.Ann.annLshOracle,
     "ann_ivf" -> graft.ann.Ann.annIvfOracle(),
+    // the persisted-index path scores the same lists/centroids the fit
+    // path derives (doubles round-trip parquet bit-exactly), so the same
+    // end-to-end replay oracle applies verbatim
+    "ann_ivf_indexed" -> graft.ann.Ann.annIvfOracle(),
     "customer_clusters" -> graft.ml.Clustering.customerClustersOracle(),
     "model_eval" -> graft.ml.ModelEval.modelEvalOracle,
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,

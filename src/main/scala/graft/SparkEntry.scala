@@ -107,6 +107,7 @@ object SparkEntry {
     "advanced_search"  -> ((s, d) => graft.text.Search.advancedSearch(s, d)),
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
     "ann_ivf"          -> ((s, d) => graft.ann.Ann.annIvfTopK(s, d)),
+    "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)

@@ -333,56 +333,43 @@ object Ann {
     * through [[graft.ml.DetKMeans.fitCached]] — fit once, probe many). */
   private[graft] def ivfCacheSize: Int = graft.ml.DetKMeans.cacheSize
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nProbe: Int = 3): DataFrame = {
-    // no seed parameter since r10: the deterministic fit consumes no
-    // randomness (md5-seeded maxmin init + fixed iterations)
-    val spark = corpus.sparkSession
-    val xs = (0 until IvfDims).map(i => s"x$i")
-    // spherical features: each q20 component re-projected onto the 2^20
-    // sphere (round(qe·2^20/||qe||) — exact-integer in, one portable
-    // division + round out), so Euclidean Lloyd's clusters ANGULAR
-    // neighborhoods — the metric cosine top-k actually probes; magnitude
-    // differences stop pulling list boundaries (on the near-unit test
-    // embeddings the raw and spherical fits measure alike; on real
-    // mixed-norm corpora only the sphere is correct). Vectors shorter than
-    // IvfDims zero-pad; the zero vector maps to the origin (both engines).
-    def withProj(df: DataFrame, emb: String): DataFrame = {
-      val qe = qeLong(col(emb)).as("__qe")
-      val base = df.select(col("*"), qe)
-      val nrm = aggregate(transform(col("__qe"), v => v * v), lit(0L), (a, v) => a + v)
-      val withN = base.withColumn("__nrm", nrm)
-      withN.select(col("*") +:
-        (0 until IvfDims).map { d =>
-          val q = coalesce(try_element_at(col("__qe"), lit(d + 1)), lit(0L))
-          when(col("__nrm") === 0L, lit(0L))
-            .otherwise(round(q.cast("double") * lit(1048576.0) /
-              sqrt(col("__nrm").cast("double")), 0).cast("long")).as(s"x$d")
-        }: _*)
-        .drop("__qe", "__nrm")
-    }
-    val feats = withProj(corpus.select(col("vec_id"), col("embedding")), "embedding")
-      .persist()
-    val (assigned, model) = graft.ml.DetKMeans.fitCached(
-      feats, "vec_id", xs, nLists, IvfIters, standardize = false)
-    val lists = assigned.select(col("vec_id"), col("cluster").as("list_id"))
-    // the persist exists for the iterative fit; releasing here means the
-    // one downstream list-assignment pass recomputes the cheap projection
-    // instead of pinning corpus-sized blocks for the lazy frame's lifetime
-    feats.unpersist()
-    // centroid table: constant-size (nLists × IvfDims) in z-space
-    val centroids = spark.createDataFrame(
-      model.centers.toIndexedSeq.zipWithIndex
-        .map { case (g, i) => (i.toLong, g.toSeq) })
-      .toDF("c_id", "g")
-    // query z-vectors from the model's standardization (works for query
-    // sets outside the corpus too), ranked against all nLists centroids
-    // (tiny broadcast crossJoin), keep nProbe
-    val q = withProj(queries.select(col("vec_id").as("query_id"),
+  /** Spherical features: each q20 component re-projected onto the 2^20
+    * sphere (round(qe·2^20/||qe||) — exact-integer in, one portable
+    * division + round out), so Euclidean Lloyd's clusters ANGULAR
+    * neighborhoods — the metric cosine top-k actually probes; magnitude
+    * differences stop pulling list boundaries (on the near-unit test
+    * embeddings the raw and spherical fits measure alike; on real
+    * mixed-norm corpora only the sphere is correct). Vectors shorter than
+    * IvfDims zero-pad; the zero vector maps to the origin (both engines). */
+  private def ivfProj(df: DataFrame, emb: String): DataFrame = {
+    val qe = qeLong(col(emb)).as("__qe")
+    val base = df.select(col("*"), qe)
+    val nrm = aggregate(transform(col("__qe"), v => v * v), lit(0L), (a, v) => a + v)
+    val withN = base.withColumn("__nrm", nrm)
+    withN.select(col("*") +:
+      (0 until IvfDims).map { d =>
+        val q = coalesce(try_element_at(col("__qe"), lit(d + 1)), lit(0L))
+        when(col("__nrm") === 0L, lit(0L))
+          .otherwise(round(q.cast("double") * lit(1048576.0) /
+            sqrt(col("__nrm").cast("double")), 0).cast("long")).as(s"x$d")
+      }: _*)
+      .drop("__qe", "__nrm")
+  }
+
+  /** The probe + exact-re-score tail shared by the fit-per-session and
+    * persisted-index IVF paths: rank every query's z-vector against the
+    * (broadcast, constant-size) centroid table, keep `nProbe` lists, score
+    * only corpus vectors in the probed lists. Bit-identical for the same
+    * (lists, centroids, mu, sigma) however those were obtained. */
+  private def ivfProbeScore(corpus: DataFrame, queries: DataFrame,
+                            lists: DataFrame, centroids: DataFrame,
+                            mu: Array[Double], sigma: Array[Double],
+                            k: Int, nProbe: Int): DataFrame = {
+    val q = ivfProj(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")), "q_emb")
     val qz = (0 until IvfDims).foldLeft(q) { (d, i) =>
       d.withColumn(s"qz$i",
-        (col(s"x$i").cast("double") - lit(model.mu(i))) / lit(model.sigma(i)))
+        (col(s"x$i").cast("double") - lit(mu(i))) / lit(sigma(i)))
     }
     val d2 = (0 until IvfDims).map { i =>
       (col(s"qz$i") - element_at(col("g"), i + 1)) *
@@ -406,11 +393,121 @@ object Ann {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nProbe: Int = 3): DataFrame = {
+    // no seed parameter since r10: the deterministic fit consumes no
+    // randomness (md5-seeded maxmin init + fixed iterations)
+    val spark = corpus.sparkSession
+    val xs = (0 until IvfDims).map(i => s"x$i")
+    val feats = ivfProj(corpus.select(col("vec_id"), col("embedding")), "embedding")
+      .persist()
+    val (assigned, model) = graft.ml.DetKMeans.fitCached(
+      feats, "vec_id", xs, nLists, IvfIters, standardize = false)
+    val lists = assigned.select(col("vec_id"), col("cluster").as("list_id"))
+    // the persist exists for the iterative fit; releasing here means the
+    // one downstream list-assignment pass recomputes the cheap projection
+    // instead of pinning corpus-sized blocks for the lazy frame's lifetime
+    feats.unpersist()
+    // centroid table: constant-size (nLists × IvfDims) in z-space
+    val centroids = spark.createDataFrame(
+      model.centers.toIndexedSeq.zipWithIndex
+        .map { case (g, i) => (i.toLong, g.toSeq) })
+      .toDF("c_id", "g")
+    ivfProbeScore(corpus, queries, lists, centroids, model.mu, model.sigma, k, nProbe)
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopK(emb, emb.filter(col("vec_id") < 10), k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ------------------------------------------------- persisted IVF index
+
+  /** One-time IVF index build under `indexDir`: `lists` (vec_id, list_id,
+    * sorted within partitions for rowgroup pruning on the probe join),
+    * `centroids` (c_id, z-space center), `model` (mu/sigma arrays) and
+    * `meta` (geometry + corpus fingerprint, written LAST as the commit
+    * marker — a half-built index from a killed run rebuilds). The
+    * 3+iters-scan Lloyd's fit happens ONCE here: warm sessions and
+    * restarted executors read constant-size centroids/model plus the
+    * (vec_id, list_id) table instead of refitting — the in-memory
+    * DetKMeans LRU only helps within one JVM. Doubles round-trip parquet
+    * bit-exactly, so the indexed probe is bit-identical to the fit path. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+                    nLists: Int = 8): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val xs = (0 until IvfDims).map(i => s"x$i")
+    val feats = ivfProj(emb.select(col("vec_id"), col("embedding")), "embedding")
+      .persist()
+    val (assigned, model) = graft.ml.DetKMeans.fitCached(
+      feats, "vec_id", xs, nLists, IvfIters, standardize = false)
+    assigned.select(col("vec_id"), col("cluster").as("list_id"))
+      .sortWithinPartitions("list_id")
+      .write.mode("overwrite").parquet(s"$indexDir/lists")
+    feats.unpersist()
+    import spark.implicits._
+    model.centers.toIndexedSeq.zipWithIndex
+      .map { case (g, i) => (i.toLong, g.toSeq) }
+      .toDF("c_id", "g")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Seq((model.mu.toSeq, model.sigma.toSeq)).toDF("mu", "sigma")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
+    val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
+    Seq((nLists, IvfDims, IvfIters, fp.getLong(0),
+      if (fp.isNullAt(1)) -1L else fp.getLong(1)))
+      .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** IVF top-k against a prebuilt index: same probe + exact-re-score tail
+    * as [[ivfTopK]], quantizer artifacts read from `indexDir` — no fit. */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
+                     k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val lists = spark.read.parquet(s"$indexDir/lists")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val m = spark.read.parquet(s"$indexDir/model").head
+    val mu = m.getSeq[Double](m.fieldIndex("mu")).toArray
+    val sigma = m.getSeq[Double](m.fieldIndex("sigma")).toArray
+    ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
+      mu, sigma, k, nProbe)
+  }
+
+  /** Build-once glue keyed by (dir, geometry) under java.io.tmpdir — the
+    * hybrid-index recipe including its staleness rule: meta carries the
+    * build-time corpus fingerprint (count + max vec_id), and a mismatch
+    * with the live embeddings table (or a pre-fingerprint meta) rebuilds.
+    * A rewrite preserving both values still aliases (the PlanKey caveat). */
+  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String,
+                                    nLists: Int = 8): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$IvfDims|$IvfIters|$nLists".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_idx_$key").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(p) && {
+      val meta = spark.read.parquet(s"$idx/meta")
+      meta.columns.contains("nvecs") && {
+        val m = meta.head
+        val fp = Tables.embeddings(spark, dir)
+          .agg(count(lit(1)), max(col("vec_id"))).head
+        m.getAs[Long]("nvecs") == fp.getLong(0) &&
+          m.getAs[Long]("max_vec_id") ==
+            (if (fp.isNullAt(1)) -1L else fp.getLong(1))
+      }
+    }
+    if (!fresh) buildIvfIndex(spark, dir, idx, nLists)
+    idx
+  }
+
+  /** Driver query: the persisted-index IVF path — oracle-identical to
+    * ann_ivf (same lists, same centroids, precomputed). */
+  def annIvfIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ivfTopKIndexed(spark, dir, ensureIvfIndex(spark, dir), k)
+      .orderBy(col("query_id"), col("rank"))
 
   /** DuckDB oracle replaying annIvfTopK end-to-end: the q20 component
     * features (zero-padded past the vector length), the DetKMeans CTE

@@ -93,4 +93,29 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.ivfCacheSize <= 4,
       s"IVF cache grew to ${Ann.ivfCacheSize} entries — eviction not working")
   }
+
+  test("persisted IVF index: warm path is bit-identical to the fit path") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    Ann.buildIvfIndex(spark, dir, idx)
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSet
+    val fit = key(Ann.annIvfTopK(spark, dir).collect())
+    val warm = key(Ann.ivfTopKIndexed(spark, dir, idx)
+      .orderBy(col("query_id"), col("rank")).collect())
+    assert(fit == warm, s"indexed IVF diverged: ${fit.diff(warm).take(3)} vs ${warm.diff(fit).take(3)}")
+  }
+
+  test("ensureIvfIndex rebuilds when the corpus fingerprint mismatches") {
+    val idx = Ann.ensureIvfIndex(spark, dir)
+    // simulate an in-place corpus rewrite: doctor the persisted fingerprint
+    import spark.implicits._
+    Seq((8, Ann.IvfDims, Ann.IvfIters, -999L, -999L))
+      .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
+    val idx2 = Ann.ensureIvfIndex(spark, dir)
+    assert(idx2 == idx)
+    val m = spark.read.parquet(s"$idx2/meta").head
+    assert(m.getAs[Long]("nvecs") > 0L, "stale meta served instead of a rebuild")
+  }
 }
