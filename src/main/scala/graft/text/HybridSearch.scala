@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.Tables
+import graft.streaming.ExactlyOnce
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,8 +123,8 @@ object HybridSearch {
   val IndexSeed = 42L
   private val BkeyShift = 40
 
-  /** One-time hybrid index build under `indexDir`: `vecs` (doc_id, the
-    * exact q20 embedding as array<long>), `buckets` (bkey = tbl·2^40 +
+  /** One-time hybrid index build under `indexDir/corpus`: `vecs` (doc_id,
+    * the exact q20 embedding as array<long>), `buckets` (bkey = tbl·2^40 +
     * SRP bucket, doc_id), and `meta` (geometry row, written LAST as the
     * build's commit marker). This is the amortization point the flat
     * hybridSearch lacks: embedding the corpus — dim md5 hashes per doc —
@@ -131,29 +132,40 @@ object HybridSearch {
     * gives each query a sublinear candidate read. At 100 TB: sort/partition
     * `buckets` by bkey so a probe's IN-filter prunes row groups (the write
     * below sorts within partitions for exactly that min/max pruning).
-    */
+    * Everything lives under ONE `corpus/` dir so compaction can swap the
+    * whole index with a single atomic rename (the StreamingNearDup
+    * protocol); new documents append under `appends/batch=<id>/` via
+    * [[appendToIndex]] without touching the settled corpus. */
   def buildIndex(spark: SparkSession, dir: String, indexDir: String,
                  dim: Int = Embeddings.Dim, tables: Int = IndexTables,
                  seed: Long = IndexSeed): Unit = {
     val docs = Tables.documents(spark, dir)
     val bits = graft.ann.Ann.adaptiveBits(docs.count())
     val vecs = docs.select(col("doc_id"), q20Vec(col("text"), dim).as("qvec"))
-    vecs.write.mode("overwrite").parquet(s"$indexDir/vecs")
+    vecs.write.mode("overwrite").parquet(s"$indexDir/corpus/vecs")
+    writeBuckets(spark, spark.read.parquet(s"$indexDir/corpus/vecs"),
+      s"$indexDir/corpus/buckets", tables, bits, dim, seed)
+    import spark.implicits._
+    val (nd, mx) = corpusFingerprint(spark, dir)
+    Seq((tables, bits, dim, seed, nd, mx))
+      .toDF("tables", "bits", "dim", "seed", "ndocs", "max_doc_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/corpus/meta")
+  }
+
+  /** SRP bucket table for a vecs frame under the index geometry — shared by
+    * the builder, the appender, and compaction. */
+  private def writeBuckets(spark: SparkSession, vecs: DataFrame, out: String,
+                           tables: Int, bits: Int, dim: Int, seed: Long): Unit = {
     val pl = graft.ann.Ann.planes(tables, bits, dim, seed)
     val fn = graft.functions.SrpBuckets.register(
       spark, s"hyb_${tables}_${bits}_${dim}_$seed", pl, tables, bits, dim, q20In = true)
-    spark.read.parquet(s"$indexDir/vecs")
+    vecs
       .withColumn("__buckets", expr(s"$fn(qvec)"))
       .select(col("doc_id"), posexplode(col("__buckets")))
       .select((col("pos").cast("long") * lit(1L << BkeyShift) +
         col("col").cast("long")).as("bkey"), col("doc_id"))
       .sortWithinPartitions("bkey")
-      .write.mode("overwrite").parquet(s"$indexDir/buckets")
-    import spark.implicits._
-    val (nd, mx) = corpusFingerprint(spark, dir)
-    Seq((tables, bits, dim, seed, nd, mx))
-      .toDF("tables", "bits", "dim", "seed", "ndocs", "max_doc_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .write.mode("overwrite").parquet(out)
   }
 
   /** Cheap corpus fingerprint for index-staleness checks: (row count,
@@ -200,15 +212,33 @@ object HybridSearch {
   def hybridSearchIndexed(spark: SparkSession, dir: String, indexDir: String,
                           query: String = DefaultQuery, limit: Int = 20,
                           candidates: Int = 200, probe: Boolean = false): DataFrame = {
-    val meta = spark.read.parquet(s"$indexDir/meta").head
+    recoverCorpus(spark, indexDir)
+    val meta = spark.read.parquet(s"$indexDir/corpus/meta").head
     val (tables, bits, dim, seed) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
-    val vecs = spark.read.parquet(s"$indexDir/vecs")
+    val committed = ExactlyOnce.committedBatches(spark, s"$indexDir/appends")
+    def withAppends(part: String, base: DataFrame): DataFrame = {
+      val all = (base +: committed.map(d => spark.read.parquet(s"$d/$part")))
+        .reduce(_.unionByName(_))
+      // a compaction crash between the corpus swap and the batch-dir
+      // deletes leaves folded dirs listed committed — doc_ids then appear
+      // in both the corpus and a batch dir with IDENTICAL qvecs, so the
+      // dedupe collapses them back to the rebuilt answer (self-healing;
+      // the next compaction pass re-folds and deletes). Zero cost on the
+      // compacted fast path: committed empty skips the union entirely.
+      if (part == "vecs") all.dropDuplicates("doc_id") else all
+    }
+    val vecs =
+      if (committed.isEmpty) spark.read.parquet(s"$indexDir/corpus/vecs")
+      else withAppends("vecs", spark.read.parquet(s"$indexDir/corpus/vecs"))
     val restricted =
       if (!probe) vecs
       else {
         val keys = queryBkeys(q20Const(query, dim), tables, bits, dim, seed)
-        val candIds = spark.read.parquet(s"$indexDir/buckets")
+        val bucketBase = spark.read.parquet(s"$indexDir/corpus/buckets")
+        val buckets =
+          if (committed.isEmpty) bucketBase else withAppends("buckets", bucketBase)
+        val candIds = buckets
           .filter(col("bkey").isin(keys: _*))
           .select("doc_id").distinct()
         vecs.join(candIds, "doc_id")
@@ -219,6 +249,96 @@ object HybridSearch {
         zip_with(col("qvec"), typedLit(q20Const(query, dim).toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).as("vec_score"))
     fuse(kwScored(spark, dir, query), scored, limit, candidates)
+  }
+
+  // ------------------------------------------- incremental append + compaction
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Complete an interrupted [[compactIndex]] swap before any index read —
+    * the StreamingNearDup recovery rule: the staged dir is only ever fully
+    * written before the first rename, so "corpus missing + staged present"
+    * always means the staged copy is the complete new index. Idempotent,
+    * two existence checks. */
+  private def recoverCorpus(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, indexDir)
+    val corpus = new Path(s"$indexDir/corpus")
+    val staged = new Path(s"$indexDir/__corpus_staged")
+    val old = new Path(s"$indexDir/__corpus_old")
+    if (!fs.exists(corpus) && fs.exists(staged)) fs.rename(staged, corpus)
+    if (fs.exists(corpus) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Append a batch of NEW documents (`doc_id`, `text`) to the index under
+    * the batchId marker protocol: embed + bucket them with the INDEX's
+    * geometry (bits stay fixed from build time — re-bitting a grown corpus
+    * is a rebuild decision, not an append), stage both parts under
+    * `appends/batch=<id>/`, then commit the marker. A replayed batchId sees
+    * its marker and skips; a crash before the marker leaves the dirs
+    * invisible to readers. Returns true iff this call appended.
+    *
+    * The appended docs are NOT in the base `dir` documents table, so this
+    * surface is for externally-managed index dirs (the driver-query tmpdir
+    * glue never appends — [[ensureIndex]]'s fingerprint check governs it). */
+  def appendToIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String,
+                    batchId: Long): Boolean = {
+    recoverCorpus(spark, indexDir)
+    val appDir = s"$indexDir/appends"
+    if (ExactlyOnce.isCommitted(spark, appDir, batchId)) return false
+    val meta = spark.read.parquet(s"$indexDir/corpus/meta").head
+    val (tables, bits, dim, seed) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
+    val batchDir = s"$appDir/batch=$batchId"
+    newDocs.select(col("doc_id"), q20Vec(col("text"), dim).as("qvec"))
+      .write.mode("overwrite").parquet(s"$batchDir/vecs")
+    writeBuckets(spark, spark.read.parquet(s"$batchDir/vecs"),
+      s"$batchDir/buckets", tables, bits, dim, seed)
+    ExactlyOnce.commit(spark, appDir, batchId)
+    true
+  }
+
+  /** Fold every COMMITTED append into `corpus/` and delete the batch dirs —
+    * the offline maintenance step bounding the probe's union width on a
+    * long-lived index. Must not run concurrently with queries or appends
+    * (the standard compaction/ingest exclusion). Write-then-swap with the
+    * [[graft.streaming.StreamingNearDup]] crash protocol: stage the merged
+    * index fully, swap via two VERIFIED renames, delete old + batch dirs
+    * only after both renames and the old-dir delete prove they succeeded.
+    * Every crash point recovers: before the first rename the old corpus is
+    * intact; between the renames [[recoverCorpus]] completes the swap;
+    * after the swap, surviving batch dirs are deduped on read until the
+    * next pass deletes them. Returns the number of batch dirs folded. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    recoverCorpus(spark, indexDir)
+    val committed = ExactlyOnce.committedBatches(spark, s"$indexDir/appends")
+    if (committed.isEmpty) return 0
+    val allVecs = (spark.read.parquet(s"$indexDir/corpus/vecs") +:
+      committed.map(d => spark.read.parquet(s"$d/vecs")))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("doc_id")          // a surviving folded dir may duplicate
+    val allBuckets = (spark.read.parquet(s"$indexDir/corpus/buckets") +:
+      committed.map(d => spark.read.parquet(s"$d/buckets")))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("bkey", "doc_id")
+    val staged = s"$indexDir/__corpus_staged"
+    allVecs.write.mode("overwrite").parquet(s"$staged/vecs")
+    allBuckets.sortWithinPartitions("bkey")
+      .write.mode("overwrite").parquet(s"$staged/buckets")
+    spark.read.parquet(s"$indexDir/corpus/meta")
+      .write.mode("overwrite").parquet(s"$staged/meta")
+    val fs = hadoopFs(spark, indexDir)
+    require(fs.rename(new Path(s"$indexDir/corpus"), new Path(s"$indexDir/__corpus_old")),
+      s"compactIndex: rename corpus -> __corpus_old failed under $indexDir; aborting before any delete")
+    require(fs.rename(new Path(staged), new Path(s"$indexDir/corpus")),
+      s"compactIndex: rename __corpus_staged -> corpus failed under $indexDir; aborting before any delete")
+    require(fs.delete(new Path(s"$indexDir/__corpus_old"), true),
+      s"compactIndex: delete of __corpus_old failed under $indexDir; aborting before batch-dir deletes")
+    committed.foreach(d => fs.delete(new Path(d), true))
+    committed.size
   }
 
   /** Build-once glue for the driver queries: index under java.io.tmpdir
@@ -237,10 +357,11 @@ object HybridSearch {
       .map("%02x".format(_)).mkString
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_hybrid_idx_$key").getAbsolutePath
-    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    recoverCorpus(spark, idx)
+    val p = new org.apache.hadoop.fs.Path(s"$idx/corpus/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = fs.exists(p) && {
-      val meta = spark.read.parquet(s"$idx/meta")
+      val meta = spark.read.parquet(s"$idx/corpus/meta")
       meta.columns.contains("ndocs") && {
         val m = meta.head
         val (nd, mx) = corpusFingerprint(spark, dir)

@@ -28,11 +28,11 @@ class HybridIndexSpec extends AnyFunSuite {
   }
 
   test("probe restricts the vector leg to bucket collisions (sublinear candidates)") {
-    val meta = spark.read.parquet(s"$indexDir/meta").head
+    val meta = spark.read.parquet(s"$indexDir/corpus/meta").head
     val keys = HybridSearch.queryBkeys(
       graft.text.HybridSearch.q20Const(HybridSearch.DefaultQuery, meta.getInt(2)),
       meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
-    val candN = spark.read.parquet(s"$indexDir/buckets")
+    val candN = spark.read.parquet(s"$indexDir/corpus/buckets")
       .filter(col("bkey").isin(keys: _*)).select("doc_id").distinct().count()
     val corpusN = Tables.documents(spark, dir).count()
     assert(candN > 0, "probe found no candidates at all")
@@ -72,9 +72,68 @@ class HybridIndexSpec extends AnyFunSuite {
     HybridSearch.buildIndex(spark, dir, half)
     val fs = new org.apache.hadoop.fs.Path(half)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$half/meta"), true)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$half/meta")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$half/corpus/meta"), true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$half/corpus/meta")))
     HybridSearch.buildIndex(spark, dir, half) // overwrite-idempotent
-    assert(spark.read.parquet(s"$half/meta").count() === 1)
+    assert(spark.read.parquet(s"$half/corpus/meta").count() === 1)
+  }
+
+  /** Recursive dir copy for crash-window simulation. */
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("incremental append + mid-stream compaction + both crash windows stay bit-identical to a full rebuild") {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // base corpus = 4/5 of the documents table, written as its own table dir
+    val docs = Tables.documents(spark, dir)
+    val baseDir = java.nio.file.Files.createTempDirectory("hybrid_base").toString
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    // base count (400) and full count (500) share adaptiveBits = 3, so the
+    // appended index and a full rebuild have identical geometry
+    val idx = java.nio.file.Files.createTempDirectory("hybrid_inc").toString
+    HybridSearch.buildIndex(spark, baseDir, idx)
+    val batch0 = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val batch1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text")
+    assert(HybridSearch.appendToIndex(spark, batch0, idx, 0L))
+    assert(!HybridSearch.appendToIndex(spark, batch0, idx, 0L),
+      "a replayed batchId must skip via its commit marker")
+    assert(HybridSearch.compactIndex(spark, idx) === 1)
+    // crash window 1 (mid-swap): corpus renamed away, staged fully present —
+    // the next read must complete the swap instead of failing
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/corpus"),
+      new org.apache.hadoop.fs.Path(s"$idx/__corpus_staged")))
+    assert(HybridSearch.hybridSearchIndexed(spark, dir, idx).count() === 20)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/corpus")),
+      "recoverCorpus did not complete the interrupted swap")
+    assert(HybridSearch.appendToIndex(spark, batch1, idx, 1L))
+    // crash window 2 (post-swap, stale batch dir): compaction folded
+    // batch=1 but "crashed" before deleting it — readers must dedupe
+    val stash = java.nio.file.Files.createTempDirectory("hybrid_stash").toString
+    copyDir(s"$idx/appends/batch=1", s"$stash/batch=1")
+    assert(HybridSearch.compactIndex(spark, idx) === 1)
+    copyDir(s"$stash/batch=1", s"$idx/appends/batch=1")
+    // reference: a from-scratch rebuild over the full documents table
+    val rebuilt = java.nio.file.Files.createTempDirectory("hybrid_rebuilt").toString
+    HybridSearch.buildIndex(spark, dir, rebuilt)
+    for (probe <- Seq(false, true)) {
+      val inc = rows(HybridSearch.hybridSearchIndexed(spark, dir, idx, probe = probe))
+      val ref = rows(HybridSearch.hybridSearchIndexed(spark, dir, rebuilt, probe = probe))
+      assert(inc === ref, s"probe=$probe: appended+compacted index diverged from the rebuild")
+    }
+    // the next compaction self-heals the stale dir (dedupe inside the fold)
+    assert(HybridSearch.compactIndex(spark, idx) === 1)
+    val afterHeal = rows(HybridSearch.hybridSearchIndexed(spark, dir, idx, probe = true))
+    assert(afterHeal === rows(HybridSearch.hybridSearchIndexed(spark, dir, rebuilt, probe = true)))
   }
 }
