@@ -171,4 +171,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == out, "stream and batch keep decisions diverge")
     } finally q.stop()
   }
+
+  test("late-data contract: window aggregation judges lateness against the WINDOW, not the row ts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedAgg(input.toDF(), watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("late_win_test").outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()        // watermark -> 09:55
+      input.addData(Ev(2, ts("2024-01-01 10:45:00"), "click", 2.0))
+      q.processAllAvailable()        // watermark -> 10:35
+      // out-of-order row BELOW the watermark (10:02 < 10:35) whose window
+      // [10:00, 11:00) is still OPEN (end 11:00 > watermark): the documented
+      // contract includes it — aggregation state lives until the watermark
+      // passes the window END, so only window-expired rows drop
+      input.addData(Ev(3, ts("2024-01-01 10:02:00"), "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Ev(4, ts("2024-01-01 14:00:00"), "click", 1.0))
+      q.processAllAvailable()        // watermark -> 13:50: 10:00 window closes + emits
+      // beyond-watermark row for the CLOSED window: dropped silently — the
+      // emitted result must not change and no second row may appear
+      input.addData(Ev(5, ts("2024-01-01 10:50:00"), "click", 100.0))
+      input.addData(Ev(6, ts("2024-01-01 14:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows10 = spark.table("late_win_test").collect()
+        .filter(r => r.getAs[java.sql.Timestamp]("window_start").toString == "2024-01-01 10:00:00.0"
+          && r.getAs[String]("event_type") == "click")
+        .map(r => (r.getAs[Long]("events_count"), r.getAs[Double]("total_value"))).toSeq
+      assert(rows10 == Seq((3L, 7.0)),
+        s"10:00 click window must emit once with the in-threshold late row " +
+          s"(3 events, 7.0) and without the expired one (100.0): $rows10")
+    } finally q.stop()
+  }
+
+  test("late-data contract: dedupStream drops below-watermark rows even for unseen keys") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(input.toDF(), Seq("user_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_dedup_test").outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts("2024-01-01 10:00:00"), "click", 1.0))
+      q.processAllAvailable()        // watermark -> 09:50
+      input.addData(Ev(2, ts("2024-01-01 11:00:00"), "click", 1.0))
+      q.processAllAvailable()        // watermark -> 10:50
+      // unseen key BUT ts below the watermark: dropDuplicatesWithinWatermark
+      // discards it outright (per-key state cannot be kept consistent for
+      // rows the watermark already passed) — the boundary a window agg
+      // would still accept
+      input.addData(Ev(3, ts("2024-01-01 10:30:00"), "click", 1.0),
+        Ev(4, ts("2024-01-01 11:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // replay of user 2 inside the watermark horizon dedups as usual
+      input.addData(Ev(2, ts("2024-01-01 11:06:00"), "click", 9.0))
+      q.processAllAvailable()
+      val users = spark.table("late_dedup_test").collect()
+        .map(_.getAs[Long]("user_id")).toSeq.sorted
+      assert(users == Seq(1L, 2L, 4L),
+        s"expected late user 3 dropped and user 2's replay deduped: $users")
+    } finally q.stop()
+  }
 }
