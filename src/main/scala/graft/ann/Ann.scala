@@ -436,6 +436,7 @@ object Ann {
     * bit-exactly, so the indexed probe is bit-identical to the fit path. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     nLists: Int = 8): Unit = {
+    ivfModelMemo.remove(indexDir) // a rebuild replaces mu/sigma in place
     val emb = Tables.embeddings(spark, dir)
     val xs = (0 until IvfDims).map(i => s"x$i")
     val feats = ivfProj(emb.select(col("vec_id"), col("embedding")), "embedding")
@@ -467,18 +468,47 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     val lists = spark.read.parquet(s"$indexDir/lists")
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val m = spark.read.parquet(s"$indexDir/model").head
-    val mu = m.getSeq[Double](m.fieldIndex("mu")).toArray
-    val sigma = m.getSeq[Double](m.fieldIndex("sigma")).toArray
+    // the standardization vector is a 1-row driver-side artifact; reading
+    // it is a (tiny) Spark job per call — memoize per index dir. Stale
+    // entries are impossible while the dir is memo-validated: buildIvfIndex
+    // overwrites model before meta, and ensureMemo is keyed on the same dir.
+    if (ivfModelMemo.size > MemoBound) ivfModelMemo.clear()
+    val (mu, sigma) = ivfModelMemo.computeIfAbsent(indexDir, { d =>
+      val m = spark.read.parquet(s"$d/model").head
+      (m.getSeq[Double](m.fieldIndex("mu")).toArray,
+        m.getSeq[Double](m.fieldIndex("sigma")).toArray)
+    })
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
       mu, sigma, k, nProbe)
+  }
+
+  private val ivfModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
+  /** Index dirs whose on-disk fingerprint this JVM already validated.
+    * The staleness check exists to protect ACROSS JVM restarts (a durable
+    * index must not silently serve data regenerated at the same path while
+    * the process that built it is long gone); re-proving it on every call
+    * would charge each query a corpus-count scan. First use per JVM
+    * validates, later uses trust — an in-place rewrite AFTER that first
+    * call aliases until [[resetEnsureMemo]] (the PlanKey caveat, stated
+    * here at the durable layer too). */
+  /** Flush-at-bound (not LRU): entries are a few hundred bytes, the bound
+    * exists only so thousands of distinct corpora can't accumulate; a
+    * flush re-validates on next touch, which is always safe. */
+  private val MemoBound = 256
+  private val ensureMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def resetEnsureMemo(): Unit = {
+    ensureMemo.clear(); ivfModelMemo.clear()
   }
 
   /** Build-once glue keyed by (dir, geometry) under java.io.tmpdir — the
     * hybrid-index recipe including its staleness rule: meta carries the
     * build-time corpus fingerprint (count + max vec_id), and a mismatch
     * with the live embeddings table (or a pre-fingerprint meta) rebuilds.
-    * A rewrite preserving both values still aliases (the PlanKey caveat). */
+    * A rewrite preserving both values still aliases (the PlanKey caveat).
+    * The check runs once per JVM per index dir ([[ensureMemo]]). */
   private[graft] def ensureIvfIndex(spark: SparkSession, dir: String,
                                     nLists: Int = 8): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -486,6 +516,7 @@ object Ann {
       .map("%02x".format(_)).mkString
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivf_idx_$key").getAbsolutePath
+    if (ensureMemo.contains(idx)) return idx
     val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = fs.exists(p) && {
@@ -500,6 +531,8 @@ object Ann {
       }
     }
     if (!fresh) buildIvfIndex(spark, dir, idx, nLists)
+    if (ensureMemo.size > MemoBound) ensureMemo.clear()
+    ensureMemo.add(idx)
     idx
   }
 

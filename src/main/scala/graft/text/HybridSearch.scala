@@ -136,9 +136,13 @@ object HybridSearch {
     * whole index with a single atomic rename (the StreamingNearDup
     * protocol); new documents append under `appends/batch=<id>/` via
     * [[appendToIndex]] without touching the settled corpus. */
+  private val geometryMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Long)]()
+
   def buildIndex(spark: SparkSession, dir: String, indexDir: String,
                  dim: Int = Embeddings.Dim, tables: Int = IndexTables,
                  seed: Long = IndexSeed): Unit = {
+    geometryMemo.remove(indexDir) // a rebuild may change adaptive bits
     val docs = Tables.documents(spark, dir)
     val bits = graft.ann.Ann.adaptiveBits(docs.count())
     val vecs = docs.select(col("doc_id"), q20Vec(col("text"), dim).as("qvec"))
@@ -213,9 +217,13 @@ object HybridSearch {
                           query: String = DefaultQuery, limit: Int = 20,
                           candidates: Int = 200, probe: Boolean = false): DataFrame = {
     recoverCorpus(spark, indexDir)
-    val meta = spark.read.parquet(s"$indexDir/corpus/meta").head
-    val (tables, bits, dim, seed) =
+    // geometry is fixed at build time (appends/compaction reuse it), so the
+    // 1-row meta read is memoized per index dir; buildIndex invalidates.
+    if (geometryMemo.size > MemoBound) geometryMemo.clear()
+    val (tables, bits, dim, seed) = geometryMemo.computeIfAbsent(indexDir, { d =>
+      val meta = spark.read.parquet(s"$d/corpus/meta").head
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
+    })
     val committed = ExactlyOnce.committedBatches(spark, s"$indexDir/appends")
     def withAppends(part: String, base: DataFrame): DataFrame = {
       val all = (base +: committed.map(d => spark.read.parquet(s"$d/$part")))
@@ -351,12 +359,29 @@ object HybridSearch {
     * table (or a pre-fingerprint meta schema) forces a rebuild. A rewrite
     * preserving count AND max doc_id still aliases — the PlanKey caveat,
     * now documented at the durable layer too. */
+  /** Index dirs whose on-disk fingerprint this JVM already validated —
+    * the staleness check protects ACROSS JVM restarts; charging every
+    * query a corpus-count scan to re-prove it is the wrong trade. First
+    * use per JVM validates, later uses trust; an in-place corpus rewrite
+    * AFTER that first call aliases until [[resetEnsureMemo]] (the PlanKey
+    * caveat, stated at the durable layer too). */
+  /** Flush-at-bound (not LRU): entries are tiny, the bound exists only so
+    * thousands of distinct corpora can't accumulate; a flush re-validates
+    * on next touch, which is always safe. */
+  private val MemoBound = 256
+  private val ensureMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def resetEnsureMemo(): Unit = {
+    ensureMemo.clear(); geometryMemo.clear()
+  }
+
   private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val key = md.digest(s"$dir|${Embeddings.Dim}|$IndexTables|$IndexSeed".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_hybrid_idx_$key").getAbsolutePath
+    if (ensureMemo.contains(idx)) return idx
     recoverCorpus(spark, idx)
     val p = new org.apache.hadoop.fs.Path(s"$idx/corpus/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -370,6 +395,8 @@ object HybridSearch {
       }
     }
     if (!fresh) buildIndex(spark, dir, idx)
+    if (ensureMemo.size > MemoBound) ensureMemo.clear()
+    ensureMemo.add(idx)
     idx
   }
 

@@ -113,6 +113,9 @@ class AnnSpec extends AnyFunSuite {
     Seq((8, Ann.IvfDims, Ann.IvfIters, -999L, -999L))
       .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
+    // the staleness check runs once per JVM (ensureMemo); a rewrite is
+    // only detectable from a fresh process — simulate that restart
+    Ann.resetEnsureMemo()
     val idx2 = Ann.ensureIvfIndex(spark, dir)
     assert(idx2 == idx)
     val m = spark.read.parquet(s"$idx2/meta").head
