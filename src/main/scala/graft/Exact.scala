@@ -51,11 +51,20 @@ object Exact {
   }
 
   /** DuckDB twin of [[bigDecToDouble]] over a DECIMAL(38,0) column expr.
-    * Callers should bind `vExpr` to a named column (it is referenced 3×). */
+    * Callers should bind `vExpr` to a named column (it is referenced 2×).
+    *
+    * The split MUST run in HUGEINT integer division: DuckDB evaluates
+    * DECIMAL/DECIMAL division through DOUBLE, so the previous
+    * `(v - v%b)/b` form rounded `hi` at 53 bits — exact only while
+    * v < 2^115 ≈ 4.2e34. The 100× gate caught normality_check's Σ(d²)²
+    * crossing that bound (hi at 56 bits → kurtosis off by 2 ulps). With
+    * `//` both extracts are exact and the rounding sequence is the
+    * canonical one for any |v| < 2^125 (hi must fit BIGINT), which covers
+    * the full DECIMAL(38,0) range up to ~4.2e37. */
   def bigDecToDoubleSql(vExpr: String): String = {
-    val b = s"CAST($SplitB AS DECIMAL(38,0))"
-    s"((CAST(CAST(($vExpr - ($vExpr % $b)) / $b AS BIGINT) AS DOUBLE) * ${SplitB.toDouble})" +
-      s" + CAST(CAST($vExpr % $b AS BIGINT) AS DOUBLE))"
+    val b = s"CAST($SplitB AS HUGEINT)"
+    s"((CAST(CAST(CAST($vExpr AS HUGEINT) // $b AS BIGINT) AS DOUBLE) * ${SplitB.toDouble})" +
+      s" + CAST(CAST(CAST($vExpr AS HUGEINT) % $b AS BIGINT) AS DOUBLE))"
   }
 
   /** Driver-side JVM twin of [[bigDecToDouble]]/[[bigDecToDoubleSql]] for

@@ -18,6 +18,13 @@ class DetKMeansSpec extends AnyFunSuite {
       BigDecimal(2).pow(63), BigDecimal(2).pow(63) + 12345,
       BigDecimal(2).pow(90) + 987654321L,
       BigDecimal("99999999999999999999999999999"),
+      // past 2^115 the split's hi no longer fits 53 bits — the regime where
+      // the 100x gate caught DuckDB's decimal-division rounding (the SQL
+      // twin now splits in HUGEINT; these pin the Spark/JVM pair there)
+      BigDecimal(2).pow(115) + 3,
+      BigDecimal(2).pow(118) + 12345,
+      BigDecimal(2).pow(124) + 999,
+      -BigDecimal(2).pow(120) - 424242,
       -BigDecimal(2).pow(63) - 777)
     val df = cases.map(_.toString).toDF("s")
       .select(col("s").cast("decimal(38,0)").as("v"))
