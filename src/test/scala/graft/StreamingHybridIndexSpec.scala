@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.{ExactlyOnce, StreamingHybridIndex}
+import graft.text.HybridSearch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming wiring for hybrid-index ingest: an unbounded document
+  * stream drains into `appendToIndex` through the foreachBatch sink, with
+  * in-sink compaction, and the resulting index answers bit-identically to
+  * a from-scratch rebuild over the union corpus. */
+class StreamingHybridIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getAs[Long]("kw_score"),
+      r.getAs[Long]("vec_score"), r.getAs[Double]("rrf_score"))).toSeq
+
+  test("streamed appends + in-sink compaction match a full rebuild, exactly once") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // base corpus = 4/5 of the table (same adaptiveBits as the full table —
+    // the append-geometry precondition the HybridIndexSpec soak documents)
+    val baseDir = tmp("shi_base")
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    val idx = tmp("shi_idx")
+    HybridSearch.buildIndex(spark, baseDir, idx)
+
+    val slice = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(slice.length >= 4, s"stream slice too small: ${slice.length}")
+    val (first, second) = slice.splitAt(slice.length / 2)
+
+    // compactEvery = 2: batch 0 stays an append, batch 1 triggers a fold
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingHybridIndex.indexSink(idx, compactEvery = 2))
+      .option("checkpointLocation", tmp("shi_ckpt"))
+      .start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the fold consumed both committed batches
+    assert(ExactlyOnce.committedBatches(spark, s"$idx/appends").isEmpty,
+      "in-sink compaction left committed append dirs behind")
+
+    // the in-sink-compaction crash window: batch 1's fold ran (its marker
+    // dir is gone) but the stream "crashed" before the checkpoint advanced,
+    // so foreachBatch redelivers batch 1. The re-append lands a dir whose
+    // docs are already in the folded corpus — exactly the surviving-folded-
+    // dir scenario the reader-side dedupe self-heals — so ANSWERS must not
+    // change (and the next fold collapses the duplicate rows for good).
+    val before = rows(HybridSearch.hybridSearchIndexed(spark, dir, idx))
+    // replay WITHOUT the in-sink fold so the assertions below exercise the
+    // un-healed duplicate-append state (reader-side dedupe on live queries)
+    StreamingHybridIndex.indexSink(idx)(
+      second.toSeq.toDF("doc_id", "text"), 1L)
+    assert(rows(HybridSearch.hybridSearchIndexed(spark, dir, idx)) === before,
+      "post-compaction replay changed query answers")
+
+    // bit-parity with a from-scratch rebuild over the full documents table
+    val rebuilt = tmp("shi_rebuilt")
+    HybridSearch.buildIndex(spark, dir, rebuilt)
+    for (probe <- Seq(false, true)) {
+      val inc = rows(HybridSearch.hybridSearchIndexed(spark, dir, idx, probe = probe))
+      val ref = rows(HybridSearch.hybridSearchIndexed(spark, dir, rebuilt, probe = probe))
+      assert(inc === ref, s"probe=$probe: streamed index diverged from the rebuild")
+    }
+  }
+}
