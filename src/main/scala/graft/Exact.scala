@@ -22,8 +22,10 @@ object Exact {
   /** Exact decimal sum (keep as decimal for further exact arithmetic). */
   def decSum(c: Column): Column = sum(c.cast(Dec))
 
-  /** Exact decimal sum emitted as a double column. */
-  def decSumDbl(c: Column): Column = decSum(c).cast("double")
+  /** Exact decimal sum emitted as a double column — through the
+    * engine-portable [[dec6ToDouble]] sequence (a plain decimal→double
+    * cast is not portable past a 9e9 sum; see there). */
+  def decSumDbl(c: Column): Column = dec6ToDouble(decSum(c))
 
   /** long-typed count(*) — matches DuckDB COUNT(*) BIGINT. */
   def countAll: Column = count(lit(1))
@@ -101,5 +103,64 @@ object Exact {
   def bigDecToDoubleSignedSql(vExpr: String): String = {
     val a = s"abs(CAST($vExpr AS DECIMAL(38,0)))"
     s"(CASE WHEN $vExpr < 0 THEN -${bigDecToDoubleSql(a)} ELSE ${bigDecToDoubleSql(a)} END)"
+  }
+
+  /** Engine-portable scale-6 DECIMAL → DOUBLE for aggregate sums.
+    *
+    * A plain `SUM(decimal).cast("double")` is NOT portable once the sum's
+    * unscaled value passes 2^53 (≈ a 9e9 money sum at scale 6): Spark
+    * rounds the BigDecimal once (correctly-rounded true value) while DuckDB
+    * computes `double(unscaled) / double(10^scale)` — two roundings. The
+    * 100× gate caught enriched_sales' continent-grain revenue (2.4e11)
+    * differing in the last ulp exactly this way. Fixed-cardinality group
+    * sums (returnflag, continent, priority, month…) are data-proportional,
+    * so ANY of them crosses the bound at sufficient scale.
+    *
+    * This runs the agreed sequence on both engines instead: the integer
+    * part (extracted exactly via `% 1`, which both engines compute exactly
+    * on decimals) goes through the [[bigDecToDouble]] 2^62 split; the
+    * scale-6 fraction converts in one correctly-rounded cast on both
+    * engines (its unscaled part < 10^6 < 2^53); one closing IEEE add.
+    * Verified bit-equal to the JVM replica over 4000 randomized DuckDB
+    * probes up to 2^121 unscaled. The sequence equals the plain
+    * correctly-rounded cast whenever the integer part is 0 or ≥ 2·5^6
+    * (≈31k): the fraction's 5^6 denominator then sits ≥ one inner-rounding
+    * error away from every tie of the closing add. Between those bounds
+    * (tiny sums only) it may differ from the plain cast by 1 ulp — still
+    * identical on BOTH engines, which is the property the gate needs;
+    * measured at sf0.01, every money-sum query was byte-identical
+    * pre/post switch and only sub-31k events-window sums moved 1 ulp. */
+  def dec6ToDouble(c: Column): Column = {
+    val v = c.cast("decimal(38,6)")
+    val a = abs(v)
+    val fr = a % lit(1)
+    val ip = (a - fr).cast("decimal(38,0)")
+    val conv = bigDecToDouble(ip) + fr.cast("double")
+    when(v < 0, -conv).otherwise(conv)
+  }
+
+  /** DuckDB twin of [[dec6ToDouble]]. Callers should bind `vExpr` to a
+    * named column (it is referenced several times; post-agg frames only). */
+  def dec6ToDoubleSql(vExpr: String): String = {
+    val a = s"abs(CAST($vExpr AS DECIMAL(38,6)))"
+    val fr = s"($a % CAST(1 AS DECIMAL(38,6)))"
+    val ip = s"CAST($a - $fr AS DECIMAL(38,0))"
+    val conv = s"(${bigDecToDoubleSql(ip)} + CAST($fr AS DOUBLE))"
+    s"(CASE WHEN $vExpr < 0 THEN -$conv ELSE $conv END)"
+  }
+
+  /** Driver-side JVM twin of [[dec6ToDouble]] (same role as
+    * [[bigDecToDoubleJvm]]: the identical rounding sequence for values
+    * collected to the driver, and the spec anchor for the Column form). */
+  def dec6ToDoubleJvm(v: java.math.BigDecimal): Double = {
+    val neg = v.signum() < 0
+    val a = v.abs
+    val fr = a.remainder(java.math.BigDecimal.ONE)
+    val ip = a.subtract(fr).toBigIntegerExact
+    val b = java.math.BigInteger.valueOf(SplitB)
+    val qr = ip.divideAndRemainder(b)
+    val conv = qr(0).longValueExact().toDouble * SplitB.toDouble +
+      qr(1).longValueExact().toDouble + fr.doubleValue()
+    if (neg) -conv else conv
   }
 }

@@ -22,6 +22,11 @@ object Oracles {
       |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
   private val revDec = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+  private val qtyDec = "SUM(CAST(l_quantity AS DECIMAL(18,6)))"
+  private val priceDec = "SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+  private val valDec = "SUM(CAST(value AS DECIMAL(18,6)))"
+  /** engine-portable decimal-sum -> double (see Exact.dec6ToDoubleSql) */
+  private def d6(e: String) = graft.Exact.dec6ToDoubleSql(e)
 
   /** RFM oracle — reused verbatim by rfm_segment_rollup (nested WITH). */
   private val rfmSql =
@@ -30,8 +35,8 @@ object Oracles {
          |    MIN(CAST(o_orderdate AS DATE)) AS first_purchase,
          |    MAX(CAST(o_orderdate AS DATE)) AS last_purchase,
          |    COUNT(*) AS transaction_count,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |    ${d6(priceDec)} AS total_spent,
+         |    ${d6(priceDec)} / COUNT(*) AS avg_order_value
          |  $ordersJoin
          |  GROUP BY 1, 2
          |), s AS (
@@ -116,9 +121,9 @@ object Oracles {
       |            WHERE bit_count(xor(sa, sb)) <= 3)""".stripMargin
 
   private val factJoinRollup =
-    """SELECT o_orderpriority,
+    s"""SELECT o_orderpriority,
       |  COUNT(*) AS n_lines,
-      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  ${d6(revDec)} AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
@@ -350,12 +355,12 @@ object Oracles {
          |FROM h""".stripMargin,
 
     "basket_features" ->
-      """SELECT l_orderkey,
+      s"""SELECT l_orderkey,
         |  COUNT(*) AS basket_size,
         |  COUNT(DISTINCT l_partkey) AS basket_diversity,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS basket_total_quantity,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS basket_total_value,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS basket_avg_price,
+        |  ${d6(qtyDec)} AS basket_total_quantity,
+        |  ${d6(revDec)} AS basket_total_value,
+        |  ${d6("SUM(CAST(l_extendedprice AS DECIMAL(18,6)))")} / COUNT(*) AS basket_avg_price,
         |  CASE WHEN COUNT(*) <= 1 THEN 'Single'
         |       WHEN COUNT(*) <= 3 THEN 'Small'
         |       WHEN COUNT(*) <= 10 THEN 'Medium'
@@ -373,8 +378,8 @@ object Oracles {
          |    MIN(od) AS first_order, MAX(od) AS last_order,
          |    CAST(date_diff('day', MIN(od), MAX(od)) AS BIGINT) AS tenure_days,
          |    CAST(date_diff('day', MIN(od), MAX(od)) AS DOUBLE) / COUNT(*) AS avg_days_between_orders,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |    ${d6(priceDec)} AS total_spend,
+         |    ${d6(priceDec)} / COUNT(*) AS avg_order_value
          |  FROM o GROUP BY 1, 2
          |), m AS (
          |  SELECT customer_id AS m_cust, dow AS preferred_dow, COUNT(*) AS preferred_dow_orders
@@ -386,7 +391,7 @@ object Oracles {
          |FROM base JOIN m ON customer_id = m_cust""".stripMargin,
 
     "seasonality" ->
-      """WITH monthly AS (
+      s"""WITH monthly AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
         |    CAST(month(o_orderdate) AS BIGINT) AS order_month,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
@@ -394,9 +399,9 @@ object Oracles {
         |  FROM orders GROUP BY 1, 2
         |)
         |SELECT order_year, order_month, monthly_orders,
-        |  CAST(rev AS DOUBLE) AS monthly_revenue,
-        |  CAST(SUM(rev) OVER (PARTITION BY order_year) AS DOUBLE) AS year_revenue,
-        |  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY order_year) AS DOUBLE) AS revenue_share_of_year,
+        |  ${d6("rev")} AS monthly_revenue,
+        |  ${d6("(SUM(rev) OVER (PARTITION BY order_year))")} AS year_revenue,
+        |  ${d6("rev")} / ${d6("(SUM(rev) OVER (PARTITION BY order_year))")} AS revenue_share_of_year,
         |  (order_month - 1) / 12.0 AS month_angle_turns,
         |  order_month >= 10 AS is_q4
         |FROM monthly""".stripMargin,
@@ -585,25 +590,25 @@ object Oracles {
          |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
          |  COUNT(*) AS total_lines,
          |  COUNT(DISTINCT l_orderkey) AS total_orders,
-         |  CAST($revDec AS DOUBLE) AS total_revenue,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_quantity,
+         |  ${d6(revDec)} AS total_revenue,
+         |  ${d6(qtyDec)} AS total_quantity,
          |  COUNT(DISTINCT o_custkey) AS unique_customers,
          |  COUNT(DISTINCT l_partkey) AS unique_products,
-         |  CAST($revDec AS DOUBLE) / COUNT(*) AS avg_line_value,
-         |  CAST($revDec AS DOUBLE) / COUNT(DISTINCT o_custkey) AS revenue_per_customer
+         |  ${d6(revDec)} / COUNT(*) AS avg_line_value,
+         |  ${d6(revDec)} / COUNT(DISTINCT o_custkey) AS revenue_per_customer
          |$salesJoin
          |GROUP BY 1, 2, 3""".stripMargin,
 
     "product_analysis" ->
       s"""SELECT p_partkey, p_name, p_brand, n_name AS country,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_quantity,
+         |  ${d6(qtyDec)} AS total_quantity,
          |  COUNT(*) AS transaction_count,
          |  COUNT(DISTINCT o_custkey) AS unique_customers,
-         |  CAST($revDec AS DOUBLE) AS total_revenue,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_extended_price,
-         |  CAST($revDec AS DOUBLE) / COUNT(*) AS revenue_per_transaction,
+         |  ${d6(revDec)} AS total_revenue,
+         |  ${d6("SUM(CAST(l_extendedprice AS DECIMAL(18,6)))")} / COUNT(*) AS avg_extended_price,
+         |  ${d6(revDec)} / COUNT(*) AS revenue_per_transaction,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY n_name
-         |    ORDER BY CAST($revDec AS DOUBLE) DESC, p_partkey) AS BIGINT) AS revenue_rank_in_country
+         |    ORDER BY ${d6(revDec)} DESC, p_partkey) AS BIGINT) AS revenue_rank_in_country
          |$salesJoin
          |JOIN part ON l_partkey = p_partkey
          |GROUP BY 1, 2, 3, 4""".stripMargin,
@@ -636,8 +641,8 @@ object Oracles {
          |  FROM ranked GROUP BY 1, 2
          |)
          |SELECT customer_segment, customer_count,
-         |  CAST(rev AS DOUBLE) AS segment_revenue,
-         |  CAST(rev AS DOUBLE) / CAST(customer_count AS DOUBLE) AS avg_customer_value,
+         |  ${d6("rev")} AS segment_revenue,
+         |  ${d6("rev")} / CAST(customer_count AS DOUBLE) AS avg_customer_value,
          |  CAST(txn AS DOUBLE) / CAST(customer_count AS DOUBLE) AS avg_transactions,
          |  CAST(s3 AS DOUBLE) / (3.0 * CAST(customer_count AS DOUBLE)) AS avg_value_score,
          |  active_180d, active_365d, median_customer_value
@@ -646,17 +651,17 @@ object Oracles {
     "daily_metrics" ->
       s"""WITH d AS (
          |  SELECT CAST(o_orderdate AS DATE) AS order_date, n_name AS country,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS daily_revenue,
+         |    ${d6(priceDec)} AS daily_revenue,
          |    COUNT(*) AS daily_transactions,
          |    COUNT(DISTINCT o_custkey) AS unique_customers,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value
+         |    ${d6(priceDec)} / COUNT(*) AS avg_order_value
          |  $ordersJoin
          |  GROUP BY 1, 2
          |)
          |SELECT *,
-         |  CAST(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER w AS DOUBLE) AS revenue_7d_sum,
+         |  ${d6("(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER w)")} AS revenue_7d_sum,
          |  CAST(COUNT(*) OVER w AS BIGINT) AS window_days,
-         |  CAST(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |  ${d6("(SUM(CAST(daily_revenue AS DECIMAL(18,6))) OVER w)")}
          |    / CAST(COUNT(*) OVER w AS BIGINT) AS revenue_7d_avg,
          |  dayname(order_date) AS day_of_week,
          |  isodow(order_date) IN (6, 7) AS is_weekend
@@ -664,9 +669,9 @@ object Oracles {
          |WINDOW w AS (PARTITION BY country ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "rollup_sales" ->
-      """SELECT r_name AS region, n_name AS country,
+      s"""SELECT r_name AS region, n_name AS country,
         |  COUNT(*) AS orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  ${d6(priceDec)} AS revenue,
         |  CAST(GROUPING(r_name) AS BIGINT) AS is_region_total,
         |  CAST(GROUPING(n_name) AS BIGINT) AS is_country_total
         |FROM orders
@@ -676,7 +681,7 @@ object Oracles {
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
 
     "cohort_analysis" ->
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT o_custkey AS fp_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_purchase_date
         |  FROM orders GROUP BY 1
         |)
@@ -684,7 +689,7 @@ object Oracles {
         |  CAST((year(CAST(o_orderdate AS DATE)) - year(first_purchase_date)) * 12
         |    + (month(CAST(o_orderdate AS DATE)) - month(first_purchase_date)) AS BIGINT) AS period_number,
         |  COUNT(DISTINCT o_custkey) AS customers,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  ${d6(priceDec)} AS revenue,
         |  COUNT(*) AS orders
         |FROM orders JOIN f ON o_custkey = fp_custkey
         |GROUP BY 1, 2""".stripMargin,
@@ -712,7 +717,7 @@ object Oracles {
         |  ORDER BY l_shipdate DESC, l_linenumber DESC) = 1""".stripMargin,
 
     "dq_profile" ->
-      """SELECT COUNT(*) AS total_records,
+      s"""SELECT COUNT(*) AS total_records,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderkey,
         |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_custkey,
         |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderstatus,
@@ -723,7 +728,7 @@ object Oracles {
         |  COUNT(DISTINCT o_orderstatus) AS distinct_statuses,
         |  MIN(o_totalprice) AS min_totalprice,
         |  MAX(o_totalprice) AS max_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_totalprice,
+        |  ${d6(priceDec)} / COUNT(*) AS avg_totalprice,
         |  CAST((COUNT(o_orderkey) + COUNT(o_custkey) + COUNT(o_orderstatus) + COUNT(o_totalprice)
         |    + COUNT(o_orderdate) + COUNT(o_orderpriority)) AS DOUBLE) / (COUNT(*) * 6) AS completeness
         |FROM orders""".stripMargin,
@@ -910,7 +915,7 @@ object Oracles {
         "urgent" -> "1-URGENT", "high" -> "2-HIGH", "medium" -> "3-MEDIUM",
         "not_specified" -> "4-NOT SPECIFIED", "low" -> "5-LOW")
       val cols = cases.map { case (a, p) =>
-        s"""COALESCE(CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS ${a}_revenue"""
+        s"""COALESCE(${d6(s"SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,6)) END)")}, 0.0) AS ${a}_revenue"""
       }.mkString(",\n  ")
       s"""SELECT n_name AS country,
          |  $cols,
@@ -956,17 +961,17 @@ object Oracles {
         |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
 
     "events_windowed" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type,
         |  COUNT(*) AS events_count,
         |  COUNT(DISTINCT user_id) AS unique_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+        |  ${d6(valDec)} AS total_value,
+        |  ${d6(valDec)} / COUNT(*) AS avg_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
     "events_sessions" ->
-      """WITH x AS (
+      s"""WITH x AS (
         |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
         |      OR date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
         |  FROM events
@@ -982,7 +987,7 @@ object Oracles {
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_seconds,
         |  COUNT(*) AS n_events,
         |  COUNT(DISTINCT event_type) AS distinct_event_types,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  ${d6(valDec)} AS total_value
         |FROM s
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1161,7 +1166,7 @@ object Oracles {
          |  $ordersJoin
          |), g AS (
          |  SELECT country AS g_country,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    ${d6(priceDec)} / CAST(COUNT(*) AS DOUBLE)
          |      AS country_mean_totalprice,
          |    MAX(o_totalprice) AS country_max_totalprice,
          |    COUNT(*) AS country_orders
@@ -1242,7 +1247,7 @@ object Oracles {
     "hybrid_search_probe" -> graft.text.HybridSearch.hybridSearchProbeOracle,
 
     "table_health" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
         |  FROM orders GROUP BY 1
@@ -1281,12 +1286,12 @@ object Oracles {
         |FROM rc
         |UNION ALL
         |SELECT 'orders', 'revenue_anomaly',
-        |  CAST(last_rev AS DOUBLE),
-        |  CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE),
-        |  abs(CAST(last_rev AS DOUBLE) - CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE))
-        |    / (CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE)) * 100,
-        |  abs(CAST(last_rev AS DOUBLE) - CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE))
-        |    / (CAST(hist_rev AS DOUBLE) / CAST(hist_days AS DOUBLE)) * 100 <= 30
+        |  ${d6("last_rev")},
+        |  ${d6("hist_rev")} / CAST(hist_days AS DOUBLE),
+        |  abs(${d6("last_rev")} - ${d6("hist_rev")} / CAST(hist_days AS DOUBLE))
+        |    / (${d6("hist_rev")} / CAST(hist_days AS DOUBLE)) * 100,
+        |  abs(${d6("last_rev")} - ${d6("hist_rev")} / CAST(hist_days AS DOUBLE))
+        |    / (${d6("hist_rev")} / CAST(hist_days AS DOUBLE)) * 100 <= 30
         |FROM rc
         |UNION ALL
         |SELECT 'orders', 'temporal_consistency',
@@ -1315,7 +1320,7 @@ object Oracles {
         |FROM fr""".stripMargin,
 
     "retention_policy" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
         |), a AS (SELECT MAX(d) AS ref_d FROM o),
         |b AS (
@@ -1327,7 +1332,7 @@ object Oracles {
         |  FROM o, a
         |), t AS (
         |  SELECT retention_band, COUNT(*) AS row_count,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |    ${d6(priceDec)} AS revenue,
         |    MIN(d) AS oldest_date, MAX(d) AS newest_date,
         |    MIN(age_days) AS min_age_days, MAX(age_days) AS max_age_days
         |  FROM b GROUP BY 1
@@ -1341,7 +1346,7 @@ object Oracles {
     "lagged_features" ->
       s"""WITH daily AS (
          |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS target
+         |    ${d6(priceDec)} AS target
          |  $ordersJoin
          |  GROUP BY 1, 2
          |), lagged AS (
@@ -1380,7 +1385,7 @@ object Oracles {
          |  ON s.o_orderkey = ml.o_orderkey""".stripMargin,
 
     "business_alerts" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT o_custkey, o_totalprice,
         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym
         |  FROM orders
@@ -1389,8 +1394,8 @@ object Oracles {
         |  FROM o GROUP BY 1
         |), growth AS (
         |  SELECT ym, 'revenue_growth_rate' AS metric,
-        |    (CAST(rev AS DOUBLE) - CAST(LAG(rev, 1) OVER (ORDER BY ym) AS DOUBLE))
-        |      / CAST(LAG(rev, 1) OVER (ORDER BY ym) AS DOUBLE) AS value
+        |    (${d6("rev")} - ${d6("(LAG(rev, 1) OVER (ORDER BY ym))")})
+        |      / ${d6("(LAG(rev, 1) OVER (ORDER BY ym))")} AS value
         |  FROM monthly
         |  QUALIFY LAG(rev, 1) OVER (ORDER BY ym) IS NOT NULL
         |), g2 AS (

@@ -132,7 +132,7 @@ object ModelEval {
     val f =
       s"""daily AS (
          |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS day,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS target
+         |    ${graft.Exact.dec6ToDoubleSql("SUM(CAST(o_totalprice AS DECIMAL(18,6)))")} AS target
          |  FROM orders
          |  JOIN customer ON o_custkey = c_custkey
          |  JOIN nation ON c_nationkey = n_nationkey

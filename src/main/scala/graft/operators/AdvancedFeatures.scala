@@ -25,7 +25,7 @@ object AdvancedFeatures {
         decSumDbl(col("l_quantity")).as("basket_total_quantity"),
         decSum(col("l_extendedprice")).as("__ext"),
         decSumDbl(revenue).as("basket_total_value"))
-      .withColumn("basket_avg_price", col("__ext").cast("double") / col("basket_size"))
+      .withColumn("basket_avg_price", dec6ToDouble(col("__ext")) / col("basket_size"))
       .drop("__ext")
       .withColumn("basket_size_category",
         when(col("basket_size") <= 1, "Single")
@@ -50,8 +50,8 @@ object AdvancedFeatures {
         decSum(col("o_totalprice")).as("__spend"))
       .withColumn("tenure_days", datediff(col("last_order"), col("first_order")).cast("long"))
       .withColumn("avg_days_between_orders", col("tenure_days").cast("double") / col("orders_count"))
-      .withColumn("total_spend", col("__spend").cast("double"))
-      .withColumn("avg_order_value", col("__spend").cast("double") / col("orders_count"))
+      .withColumn("total_spend", dec6ToDouble(col("__spend")))
+      .withColumn("avg_order_value", dec6ToDouble(col("__spend")) / col("orders_count"))
       .drop("__spend")
     // modal order day-of-week: two-level aggregate + partitioned rank
     // (the reference's driver-side pandas .mode() has no distributed analog)
@@ -77,10 +77,10 @@ object AdvancedFeatures {
     val wYear = Window.partitionBy(col("order_year"))
     monthly
       .withColumn("__year_rev", sum(col("__rev")).over(wYear))
-      .withColumn("monthly_revenue", col("__rev").cast("double"))
-      .withColumn("year_revenue", col("__year_rev").cast("double"))
+      .withColumn("monthly_revenue", dec6ToDouble(col("__rev")))
+      .withColumn("year_revenue", dec6ToDouble(col("__year_rev")))
       .withColumn("revenue_share_of_year",
-        col("__rev").cast("double") / col("__year_rev").cast("double"))
+        dec6ToDouble(col("__rev")) / dec6ToDouble(col("__year_rev")))
       .withColumn("month_angle_turns", (col("order_month") - 1) / lit(12.0))
       .withColumn("is_q4", col("order_month") >= 10)
       .drop("__rev", "__year_rev")

@@ -38,8 +38,8 @@ object Alerts {
       .filter(col("prev_rev").isNotNull)
       .select(col("ym"),
         lit("revenue_growth_rate").as("metric"),
-        ((col("rev").cast("double") - col("prev_rev").cast("double"))
-          / col("prev_rev").cast("double")).as("value"))
+        ((Exact.dec6ToDouble(col("rev")) - Exact.dec6ToDouble(col("prev_rev")))
+          / Exact.dec6ToDouble(col("prev_rev"))).as("value"))
       .withColumn("severity",
         when(col("value") <= -0.20, "emergency")
           .when(col("value") <= -0.10, "critical")

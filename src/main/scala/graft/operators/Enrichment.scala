@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Exact.countAll
+import graft.Exact.{countAll, dec6ToDouble}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,8 +80,9 @@ object Enrichment {
       .agg(
         countAll.cast("long").as("n_lines"),
         countDistinct(col("country")).as("n_countries"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
-          .cast("double").as("revenue"))
+        dec6ToDouble(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+        ).as("revenue"))
   }
 
   /** DuckDB oracle mirroring enrichedSales, generated from the same rules. */
@@ -117,7 +118,7 @@ object Enrichment {
        |SELECT continent, econ_class, product_category, product_category_group,
        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
        |  CAST(COUNT(DISTINCT country) AS BIGINT) AS n_countries,
-       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |  ${graft.Exact.dec6ToDoubleSql("SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))")} AS revenue
        |FROM enr2
        |GROUP BY 1, 2, 3, 4""".stripMargin
   }

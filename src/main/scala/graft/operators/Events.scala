@@ -29,8 +29,8 @@ object Events {
         countAll.as("events_count"),
         countDistinct(col("user_id")).as("unique_users"),
         decSum(col("value")).as("__v"))
-      .withColumn("total_value", col("__v").cast("double"))
-      .withColumn("avg_value", col("__v").cast("double") / col("events_count"))
+      .withColumn("total_value", dec6ToDouble(col("__v")))
+      .withColumn("avg_value", dec6ToDouble(col("__v")) / col("events_count"))
       .drop("__v")
   }
 

@@ -57,8 +57,8 @@ object Experiment {
     // metric 2: mean event value — Welch z from exact sums (sample variances)
     val mc = d("s_c") / 100.0 / d("n_c")
     val mt = d("s_t") / 100.0 / d("n_t")
-    val vc = (d("q_c") - (d("s_c") * d("s_c")) / d("n_c")) / (d("n_c") - lit(1.0)) / lit(10000.0)
-    val vt = (d("q_t") - (d("s_t") * d("s_t")) / d("n_t")) / (d("n_t") - lit(1.0)) / lit(10000.0)
+    val vc = (graft.Exact.bigDecToDouble(col("q_c")) - (d("s_c") * d("s_c")) / d("n_c")) / (d("n_c") - lit(1.0)) / lit(10000.0)
+    val vt = (graft.Exact.bigDecToDouble(col("q_t")) - (d("s_t") * d("s_t")) / d("n_t")) / (d("n_t") - lit(1.0)) / lit(10000.0)
     val zMean = (mt - mc) / sqrt(vc / d("n_c") + vt / d("n_t"))
 
     def metric(name: String, cv: Column, tv: Column, z: Column): Column = {
@@ -87,7 +87,7 @@ object Experiment {
   }
 
   def abTestResultsOracle: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT (user_id % 2 = 1) AS treated,
       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
       |    CAST(round(value * 100) AS BIGINT) AS cents
@@ -110,9 +110,9 @@ object Experiment {
       |    (CAST(conv_c AS DOUBLE) + CAST(conv_t AS DOUBLE)) / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS pp,
       |    CAST(s_c AS DOUBLE) / 100.0 / CAST(n_c AS DOUBLE) AS mc,
       |    CAST(s_t AS DOUBLE) / 100.0 / CAST(n_t AS DOUBLE) AS mt,
-      |    (CAST(q_c AS DOUBLE) - (CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)) / CAST(n_c AS DOUBLE))
+      |    (${graft.Exact.bigDecToDoubleSql("q_c")} - (CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)) / CAST(n_c AS DOUBLE))
       |      / (CAST(n_c AS DOUBLE) - 1.0) / 10000.0 AS vc,
-      |    (CAST(q_t AS DOUBLE) - (CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)) / CAST(n_t AS DOUBLE))
+      |    (${graft.Exact.bigDecToDoubleSql("q_t")} - (CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)) / CAST(n_t AS DOUBLE))
       |      / (CAST(n_t AS DOUBLE) - 1.0) / 10000.0 AS vt
       |  FROM a
       |), z AS (

@@ -22,7 +22,7 @@ object FeatureEng {
   /** Mean-impute nulls in a numeric column: exact-decimal global mean,
     * broadcast, coalesce. */
   def imputeMean(df: DataFrame, c: String): DataFrame = {
-    val m = df.agg((sum(col(c).cast("decimal(18,6)")).cast("double") /
+    val m = df.agg((graft.Exact.dec6ToDouble(sum(col(c).cast("decimal(18,6)"))) /
       count(col(c)).cast("double")).as(s"__mean_$c"))
     df.crossJoin(broadcast(m))
       .withColumn(c, coalesce(col(c), col(s"__mean_$c")))
@@ -87,7 +87,7 @@ object FeatureEng {
        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acctbal
        |  FROM customer
        |), m AS (
-       |  SELECT CAST(SUM(CAST(acctbal AS DECIMAL(18,6))) AS DOUBLE)
+       |  SELECT ${graft.Exact.dec6ToDoubleSql("SUM(CAST(acctbal AS DECIMAL(18,6)))")}
        |         / CAST(COUNT(acctbal) AS DOUBLE) AS mean_b FROM base
        |), imp AS (
        |  SELECT c_custkey, c_mktsegment, coalesce(acctbal, mean_b) AS acctbal

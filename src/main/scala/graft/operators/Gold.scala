@@ -35,9 +35,9 @@ object Gold {
         decSumDbl(col("l_quantity")).as("total_quantity"),
         countDistinct(col("o_custkey")).as("unique_customers"),
         countDistinct(col("l_partkey")).as("unique_products"))
-      .withColumn("total_revenue", col("__rev").cast("double"))
-      .withColumn("avg_line_value", col("__rev").cast("double") / col("total_lines"))
-      .withColumn("revenue_per_customer", col("__rev").cast("double") / col("unique_customers"))
+      .withColumn("total_revenue", dec6ToDouble(col("__rev")))
+      .withColumn("avg_line_value", dec6ToDouble(col("__rev")) / col("total_lines"))
+      .withColumn("revenue_per_customer", dec6ToDouble(col("__rev")) / col("unique_customers"))
       .drop("__rev")
   }
 
@@ -58,9 +58,9 @@ object Gold {
         decSumDbl(col("l_quantity")).as("total_quantity"),
         countAll.as("transaction_count"),
         countDistinct(col("o_custkey")).as("unique_customers"))
-      .withColumn("total_revenue", col("__rev").cast("double"))
-      .withColumn("avg_extended_price", col("__ext").cast("double") / col("transaction_count"))
-      .withColumn("revenue_per_transaction", col("__rev").cast("double") / col("transaction_count"))
+      .withColumn("total_revenue", dec6ToDouble(col("__rev")))
+      .withColumn("avg_extended_price", dec6ToDouble(col("__ext")) / col("transaction_count"))
+      .withColumn("revenue_per_transaction", dec6ToDouble(col("__rev")) / col("transaction_count"))
       .drop("__rev", "__ext")
     RankOps.withGroupedRank(agg, "revenue_rank_in_country", Seq("country"),
       Seq(col("total_revenue").desc, col("p_partkey").asc))
@@ -79,8 +79,8 @@ object Gold {
         min(to_date(col("o_orderdate"))).as("first_purchase"),
         countAll.as("transaction_count"),
         decSum(col("o_totalprice")).as("__spent"))
-      .withColumn("total_spent", col("__spent").cast("double"))
-      .withColumn("avg_order_value", col("__spent").cast("double") / col("transaction_count"))
+      .withColumn("total_spent", dec6ToDouble(col("__spent")))
+      .withColumn("avg_order_value", dec6ToDouble(col("__spent")) / col("transaction_count"))
       .withColumn("customer_lifetime_days",
         datediff(col("last_purchase"), col("first_purchase")).cast("long"))
       .drop("__spent")
@@ -129,14 +129,14 @@ object Gold {
         decSum(col("o_totalprice")).as("__rev"),
         countAll.as("daily_transactions"),
         countDistinct(col("o_custkey")).as("unique_customers"))
-      .withColumn("daily_revenue", col("__rev").cast("double"))
-      .withColumn("avg_order_value", col("__rev").cast("double") / col("daily_transactions"))
+      .withColumn("daily_revenue", dec6ToDouble(col("__rev")))
+      .withColumn("avg_order_value", dec6ToDouble(col("__rev")) / col("daily_transactions"))
       .drop("__rev")
     val w7 = Window.partitionBy(col("country")).orderBy(col("order_date"))
       .rowsBetween(-6, 0)
     daily
       .withColumn("revenue_7d_sum",
-        sum(col("daily_revenue").cast(Exact.Dec)).over(w7).cast("double"))
+        dec6ToDouble(sum(col("daily_revenue").cast(Exact.Dec)).over(w7)))
       .withColumn("window_days", count(lit(1)).over(w7).cast("long"))
       .withColumn("revenue_7d_avg", col("revenue_7d_sum") / col("window_days"))
       .withColumn("day_of_week", date_format(col("order_date"), "EEEE"))

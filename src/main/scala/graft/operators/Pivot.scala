@@ -21,7 +21,7 @@ object Pivot {
       .pivot("o_orderpriority", priorities)
       .agg(decSum(col("o_totalprice")))
     val renamed = priorities.zip(aliases).foldLeft(pivoted) { case (df, (p, a)) =>
-      df.withColumn(s"${a}_revenue", coalesce(col(s"`$p`").cast("double"), lit(0.0)))
+      df.withColumn(s"${a}_revenue", coalesce(dec6ToDouble(col(s"`$p`")), lit(0.0)))
         .drop(p)
     }
     renamed.withColumn("total_revenue",

@@ -32,7 +32,7 @@ object Quality {
       decSum(col("o_totalprice")).as("__sum"),
       nonNullTotal.cast("long").as("__nonnull"))
     o.agg(countAll.as("total_records"), aggs: _*)
-      .withColumn("avg_totalprice", col("__sum").cast("double") / col("total_records"))
+      .withColumn("avg_totalprice", Exact.dec6ToDouble(col("__sum")) / col("total_records"))
       .withColumn("completeness",
         col("__nonnull").cast("double") / (col("total_records") * lit(cols.length)))
       .drop("__sum", "__nonnull")

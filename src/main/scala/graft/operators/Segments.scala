@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Exact.countAll
+import graft.Exact.{countAll, dec6ToDouble}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -153,8 +153,8 @@ object Segments {
         min(when(col("rn") === expr("(n + 1) div 2"), col("total_spent"))).as("median_customer_value"))
     agg.select(
       col("customer_segment"), col("customer_count"),
-      col("__rev").cast("double").as("segment_revenue"),
-      (col("__rev").cast("double") / col("customer_count").cast("double")).as("avg_customer_value"),
+      dec6ToDouble(col("__rev")).as("segment_revenue"),
+      (dec6ToDouble(col("__rev")) / col("customer_count").cast("double")).as("avg_customer_value"),
       (col("__txn").cast("double") / col("customer_count").cast("double")).as("avg_transactions"),
       (col("__s3").cast("double") / (lit(3.0) * col("customer_count").cast("double"))).as("avg_value_score"),
       col("active_180d"), col("active_365d"), col("median_customer_value"))

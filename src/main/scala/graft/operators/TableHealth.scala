@@ -54,9 +54,9 @@ object TableHealth {
       countAll.as("present_days"))
 
     val avgCnt = col("hist_cnt").cast("double") / col("hist_days").cast("double")
-    val avgRev = col("hist_rev").cast("double") / col("hist_days").cast("double")
+    val avgRev = Exact.dec6ToDouble(col("hist_rev")) / col("hist_days").cast("double")
     val cntVar = abs(col("last_cnt").cast("double") - avgCnt) / avgCnt * 100
-    val revVar = abs(col("last_rev").cast("double") - avgRev) / avgRev * 100
+    val revVar = abs(Exact.dec6ToDouble(col("last_rev")) - avgRev) / avgRev * 100
     val missing = (col("span_days") - col("present_days")).cast("double")
     val completeness = col("present_days").cast("double") / col("span_days").cast("double") * 100
 
@@ -64,7 +64,7 @@ object TableHealth {
       rowCounts.select(checkRow("orders", "row_count_anomaly",
         col("last_cnt"), avgCnt, cntVar, cntVar <= 50): _*)
       .unionAll(rowCounts.select(checkRow("orders", "revenue_anomaly",
-        col("last_rev"), avgRev, revVar, revVar <= 30): _*))
+        Exact.dec6ToDouble(col("last_rev")), avgRev, revVar, revVar <= 30): _*))
       .unionAll(rowCounts.select(checkRow("orders", "temporal_consistency",
         missing, col("span_days"), completeness, missing === 0): _*))
 

@@ -103,6 +103,7 @@ object Bucketed {
     joined.groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
-          .cast("double").as("revenue"))
+        graft.Exact.dec6ToDouble(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+        ).as("revenue"))
 }
