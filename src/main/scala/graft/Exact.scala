@@ -130,13 +130,27 @@ object Exact {
     * identical on BOTH engines, which is the property the gate needs;
     * measured at sf0.01, every money-sum query was byte-identical
     * pre/post switch and only sub-31k events-window sums moved 1 ulp. */
-  def dec6ToDouble(c: Column): Column = {
-    val v = c.cast("decimal(38,6)")
-    val a = abs(v)
-    val fr = a % lit(1)
-    val ip = (a - fr).cast("decimal(38,0)")
-    val conv = bigDecToDouble(ip) + fr.cast("double")
-    when(v < 0, -conv).otherwise(conv)
+  def dec6ToDouble(c: Column): Column = graft.functions.Dec6ToDouble.of(c)
+
+  /** The per-row kernel behind [[graft.functions.Dec6ToDouble]] (called
+    * from generated code): rescale to 6 (exact for every caller — inputs
+    * are scale ≤ 6), then the agreed sequence. The ≤62-bit-unscaled fast
+    * path is pure long/double arithmetic and bit-identical to the split:
+    * micros < 2^62 ⇒ ip < 2^42, so the 2^62 split degenerates to one
+    * exact integer cast, and `(double) frMicros / 1e6` is the same single
+    * correctly-rounded operation as the decimal fraction cast. */
+  def dec6Portable(bd0: java.math.BigDecimal): Double = {
+    var bd = bd0
+    if (bd.scale != 6) bd = bd.setScale(6, java.math.RoundingMode.HALF_UP)
+    val neg = bd.signum < 0
+    val a = if (neg) bd.negate else bd
+    val u = a.unscaledValue
+    val r =
+      if (u.bitLength <= 62) {
+        val m = u.longValue
+        (m / 1000000L).toDouble + (m % 1000000L).toDouble / 1000000.0
+      } else dec6ToDoubleJvm(a)
+    if (neg) -r else r
   }
 
   /** DuckDB twin of [[dec6ToDouble]]. Callers should bind `vExpr` to a
