@@ -44,7 +44,10 @@ object Exact {
     * pieces fit BIGINT exactly, hi·2^62 is an exact power-of-two multiply,
     * and the single closing add is one correctly-rounded IEEE op — the same
     * three-step sequence the oracle runs, so the doubles stay bit-identical.
-    * Headroom: hi < 2^53 ⇔ v < 2^115, beyond any 38-digit decimal sum. */
+    * Domain: |v| < 2^125 (hi must fit BIGINT) — matches the SQL twin
+    * [[bigDecToDoubleSql]]. DECIMAL(38,0) tops out at ~10^38 ≈ 2^126, so
+    * values in (2^125, 10^38) fail LOUDLY (the `.cast("long")` overflows
+    * under ANSI / longValueExact throws) rather than rounding silently. */
   def bigDecToDouble(c: Column): Column = {
     val b = lit(BigDecimal(SplitB)).cast("decimal(38,0)")
     val lo = c % b

@@ -354,6 +354,60 @@ object Oracles {
          |  content_digest
          |FROM h""".stripMargin,
 
+    // Signal-level twin of multimodal_features: the Spark side genuinely
+    // walks the BMP header / WAV RIFF chunks and reads raw pixels / PCM16
+    // samples; the oracle replays the SAME bytes from the text column —
+    // hex(encode(text)) exploded per sample (audio) or per pixel byte
+    // (image) via closed-form synthesis parameters. All stats are exact
+    // integer sums; the emitted doubles are single-rounding quotients
+    // (plus one sqrt for RMS), so they hash bit-identically.
+    "multimodal_signal" -> {
+      // hex-nibble value of the 1-based char at `pos` in column h
+      def hv(pos: String) = s"(strpos('0123456789ABCDEF', substr(h, $pos, 1)) - 1)"
+      // byte k (0-based) of the blob = two hex chars at 2k+1, 2k+2
+      def byteAt(k: String) = s"(${hv(s"($k)*2 + 1")} * 16 + ${hv(s"($k)*2 + 2")})"
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
+         |    hex(encode(text)) AS h,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 < 2
+         |), asamp AS ( -- LE int16 samples: byte 2i low, byte 2i+1 high
+         |  SELECT doc_id,
+         |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+         |  FROM (
+         |    SELECT doc_id, ${byteAt("2*i")} + 256 * ${byteAt("2*i + 1")} AS u
+         |    FROM (SELECT doc_id, h, unnest(range(0, d.n // 2)) AS i
+         |          FROM d WHERE d.m = 1))
+         |), aagg AS (
+         |  SELECT doc_id, COUNT(*) AS cnt, MAX(ABS(s)) AS peak,
+         |    SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS clip,
+         |    SUM(CAST(s AS BIGINT) * s) AS ss
+         |  FROM asamp GROUP BY 1
+         |), ibyte AS ( -- BGR bytes over whole 12-byte rows (width 4, no pad)
+         |  SELECT doc_id, CAST(i % 3 AS INT) AS ch, ${byteAt("i")} AS b
+         |  FROM (SELECT doc_id, h, unnest(range(0, 12 * (d.n // 12))) AS i
+         |        FROM d WHERE d.m = 0)
+         |), iagg AS (
+         |  SELECT doc_id, COUNT(*) // 3 AS np,
+         |    SUM(CASE WHEN ch = 0 THEN b END) AS sb,
+         |    SUM(CASE WHEN ch = 1 THEN b END) AS sg,
+         |    SUM(CASE WHEN ch = 2 THEN b END) AS sr
+         |  FROM ibyte GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  CASE d.m WHEN 0 THEN 'image' ELSE 'audio' END AS media_type,
+         |  CAST(CASE d.m WHEN 0 THEN 4 * (d.n // 12) ELSE d.n // 2 END AS BIGINT) AS n_units,
+         |  CAST(a.peak AS BIGINT) AS peak_abs,
+         |  CAST(a.clip AS BIGINT) AS clip_count,
+         |  sqrt(CAST(a.ss AS DOUBLE) / CAST(a.cnt AS DOUBLE)) AS rms,
+         |  CAST(i.sb AS DOUBLE) / CAST(i.np AS DOUBLE) AS mean_b,
+         |  CAST(i.sg AS DOUBLE) / CAST(i.np AS DOUBLE) AS mean_g,
+         |  CAST(i.sr AS DOUBLE) / CAST(i.np AS DOUBLE) AS mean_r
+         |FROM d
+         |LEFT JOIN aagg a USING (doc_id)
+         |LEFT JOIN iagg i USING (doc_id)""".stripMargin
+    },
+
     "basket_features" ->
       s"""SELECT l_orderkey,
         |  COUNT(*) AS basket_size,

@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
+    "multimodal_signal" -> ((s, d) => graft.multimodal.Multimodal.signal(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)
     "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d)),
 

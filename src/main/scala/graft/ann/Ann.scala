@@ -519,7 +519,10 @@ object Ann {
     if (ensureMemo.contains(idx)) return idx
     val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.exists(p) && {
+    // Try-wrapped: a run killed mid-meta-write leaves meta/ with only
+    // _temporary, and the read throws forever — treat any read failure
+    // as stale so the index rebuilds instead of wedging.
+    val fresh = fs.exists(p) && scala.util.Try {
       val meta = spark.read.parquet(s"$idx/meta")
       meta.columns.contains("nvecs") && {
         val m = meta.head
@@ -529,7 +532,7 @@ object Ann {
           m.getAs[Long]("max_vec_id") ==
             (if (fp.isNullAt(1)) -1L else fp.getLong(1))
       }
-    }
+    }.getOrElse(false)
     if (!fresh) buildIvfIndex(spark, dir, idx, nLists)
     if (ensureMemo.size > MemoBound) ensureMemo.clear()
     ensureMemo.add(idx)

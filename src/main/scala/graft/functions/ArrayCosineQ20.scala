@@ -104,9 +104,8 @@ object ArrayCosineQ20 {
         (children: Seq[Expression]) => ArrayCosineQ20(children.head, children(1)))
   }
 
-  /** Column wrapper on the thread's active session. */
-  def of(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    register(SparkSession.active)
-    org.apache.spark.sql.functions.call_function("array_cosine_q20", a, b)
-  }
+  /** Column wrapper — direct catalyst construction, session-independent
+    * (see [[Native]]). */
+  def of(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Native.column(ArrayCosineQ20(Native.expression(a), Native.expression(b)))
 }

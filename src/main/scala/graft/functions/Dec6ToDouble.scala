@@ -37,17 +37,20 @@ case class Dec6ToDouble(child: Expression) extends UnaryExpression {
 object Dec6ToDouble {
   private val fnName = "graft_dec6_to_double"
 
-  private def register(spark: SparkSession): String = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(fnName),
-      new ExpressionInfo(classOf[Dec6ToDouble].getName, fnName),
-      (children: Seq[Expression]) => Dec6ToDouble(children.head))
+  private def register0(spark: SparkSession): String = {
+    val fid = FunctionIdentifier(fnName)
+    if (!spark.sessionState.functionRegistry.functionExists(fid))
+      spark.sessionState.functionRegistry.registerFunction(
+        fid,
+        new ExpressionInfo(classOf[Dec6ToDouble].getName, fnName),
+        (children: Seq[Expression]) => Dec6ToDouble(children.head))
     fnName
   }
 
-  /** Column wrapper: registers on the thread's active session and applies
-    * via call_function (the [[EmbedComponents.of]] idiom). */
-  def of(c: Column): Column =
-    org.apache.spark.sql.functions.call_function(
-      register(SparkSession.active), c)
+  /** Column wrapper: builds the Column directly from the catalyst
+    * expression — session-independent, nothing re-registers per call.
+    * [[register]] remains for SQL-text use of the name. */
+  def of(c: Column): Column = Native.column(Dec6ToDouble(Native.expression(c)))
+
+  def register(spark: SparkSession): Unit = { register0(spark); () }
 }

@@ -96,9 +96,8 @@ object EmbedComponents {
     name
   }
 
-  /** Column wrapper: registers on the thread's active session and applies
-    * to any input Column via call_function. */
+  /** Column wrapper — direct catalyst construction, session-independent
+    * (see [[Native]]). [[register]] remains for SQL-text use. */
   def of(text: Column, dim: Int): Column =
-    org.apache.spark.sql.functions.call_function(
-      register(SparkSession.active, dim), text)
+    Native.column(EmbedComponents(Native.expression(text), dim))
 }

@@ -95,10 +95,9 @@ object KMeansAssign {
         (children: Seq[Expression]) => KMeansAssign(children.head, children(1)))
   }
 
-  /** Column wrapper on the thread's active session. */
+  /** Column wrapper — direct catalyst construction, session-independent
+    * (see [[Native]]). */
   def of(z: org.apache.spark.sql.Column,
-         centers: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    register(SparkSession.active)
-    org.apache.spark.sql.functions.call_function("kmeans_assign", z, centers)
-  }
+         centers: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Native.column(KMeansAssign(Native.expression(z), Native.expression(centers)))
 }

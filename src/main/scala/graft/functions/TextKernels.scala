@@ -201,12 +201,13 @@ object CountIn {
     name
   }
 
-  /** Column builder: registers `count_in_<md5-of-words>` on the GIVEN
-    * session (idempotent) and calls it — callers pass the session that
-    * owns the frame, never an ambient active session. */
+  /** Column builder — direct catalyst construction, session-independent
+    * (see [[Native]]); the session parameter is retained for source
+    * compatibility but no longer used. [[register]] remains for SQL-text
+    * use of `count_in_<md5-of-words>`. */
   def of(spark: SparkSession, arr: org.apache.spark.sql.Column,
          words: Seq[String]): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.call_function(register(spark, words), arr)
+    Native.column(CountIn(Native.expression(arr), words))
 }
 
 case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpression {

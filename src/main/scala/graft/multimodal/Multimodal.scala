@@ -180,4 +180,146 @@ object Multimodal {
 
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaFromDocuments(spark, dir)).toDF()
+
+  // ------------------------------------------------------------------
+  // Signal-level decode: the two modalities decodable with ZERO codec
+  // libraries — PCM WAV samples (LE int16 frames after the data chunk)
+  // and uncompressed 24-bit BMP pixels. Container parsing above stops at
+  // headers; these read the actual payload samples/pixels.
+  // ------------------------------------------------------------------
+
+  /** Width of the synthesized BMPs: 4 px × 3 B/px = 12 B rows — a multiple
+    * of 4, so the pixel array carries no row padding and height is exactly
+    * `bodyLen / 12`. (The DECODER still computes padded row strides from
+    * the header like a real reader; the fixture just doesn't need them.) */
+  private val BmpWidth = 4
+
+  /** A spec-correct uncompressed 24-bit BMP: BITMAPFILEHEADER (14 B) +
+    * BITMAPINFOHEADER (40 B) + raw BGR pixel array. `pixels.length` must be
+    * `rowSize(width) * height`. */
+  def bmpBytes(width: Long, height: Long, pixels: Array[Byte]): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    require(pixels.length == rowSize * height,
+      s"bmpBytes: pixel array ${pixels.length} != rowSize($rowSize) * height($height)")
+    "BM".getBytes("US-ASCII") ++ le32(54L + pixels.length) ++
+      le32(0) ++ le32(54) ++ // reserved, data offset
+      le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(pixels.length) ++ // BI_RGB, image size
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ // ppm, palette
+      pixels
+  }
+
+  /** Per-record signal stats. Audio fields (`peak_abs`/`clip_count`/`rms`)
+    * are null for images and for zero-sample audio; channel means are null
+    * for audio and zero-pixel images. All doubles are single-rounding
+    * quotients of exact integer sums (then one sqrt for RMS), so they hash
+    * bit-identically against the closed-form oracle. */
+  case class MediaSignal(
+      doc_id: Long,
+      media_type: String,
+      n_units: Long,
+      peak_abs: Option[Long],
+      clip_count: Option[Long],
+      rms: Option[Double],
+      mean_b: Option[Double],
+      mean_g: Option[Double],
+      mean_r: Option[Double])
+
+  /** The signal-bearing media table: images become REAL uncompressed BMPs
+    * whose pixel array is the document text bytes (truncated to whole
+    * rows), audio keeps the [[wavBytes]] PCM16 container whose data chunk
+    * is the text bytes. Video (doc_id % 3 == 2) is excluded — AVI frame
+    * decode genuinely needs a codec. */
+  def mediaSignalFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") % 3 < 2)
+      .select("doc_id", "text").as[(Long, String)].map { case (docId, text) =>
+        val body = text.getBytes("UTF-8")
+        if (docId % 3 == 0) {
+          val rowSize = 3 * BmpWidth // 12, no padding
+          val h = body.length / rowSize
+          MediaRecord(docId, "image", bmpBytes(BmpWidth, h, body.take(h * rowSize)))
+        } else
+          MediaRecord(docId, "audio",
+            wavBytes(WavRates((docId % 5).toInt), 1 + docId % 2, body))
+      }
+  }
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+  /** LE int16 at `off` (sign-extended). */
+  private def readLe16s(b: Array[Byte], off: Int): Int =
+    ((u8(b(off)) | (u8(b(off + 1)) << 8)).toInt << 16) >> 16
+
+  /** Decode one record's SIGNAL by genuinely walking the container:
+    *
+    *  - BMP: data offset / width / height / bpp from the BITMAPINFOHEADER,
+    *    row stride padded to 4 bytes as the spec requires, per-channel
+    *    (B, G, R) byte sums over the located pixel array;
+    *  - WAV: a real RIFF chunk walk (not a fixed offset — chunks are
+    *    skipped by their declared size, even-padded) to the `data` chunk,
+    *    then LE int16 samples: peak |s|, clipping count (±full-scale),
+    *    RMS = sqrt(Σs²/n).
+    */
+  def decodeSignal(r: MediaRecord): MediaSignal = {
+    val b = r.payload
+    if (isBmp(b)) {
+      val dataOff = readLe32(b, 10).toInt
+      val width = readLe32(b, 18).toInt
+      val height = readLe32(b, 22).toInt
+      val rowSize = ((3 * width + 3) / 4) * 4
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        val row = dataOff + y * rowSize
+        while (x < width) {
+          val p = row + 3 * x
+          sb += u8(b(p)); sg += u8(b(p + 1)); sr += u8(b(p + 2))
+          x += 1
+        }
+        y += 1
+      }
+      val np = width.toLong * height
+      def mean(s: Long) = if (np > 0) Some(s.toDouble / np.toDouble) else None
+      MediaSignal(r.doc_id, "image", np, None, None, None,
+        mean(sb), mean(sg), mean(sr))
+    } else if (isWav(b)) {
+      // chunk walk from byte 12 (past RIFF size + WAVE tag)
+      var pos = 12
+      var dataStart = -1
+      var dataLen = 0
+      while (dataStart < 0 && pos + 8 <= b.length) {
+        val size = readLe32(b, pos + 4).toInt
+        if (fourcc(b, pos, "data")) {
+          dataStart = pos + 8
+          dataLen = math.min(size, b.length - dataStart)
+        } else pos += 8 + size + (size & 1) // RIFF chunks pad to even
+      }
+      val n = if (dataStart < 0) 0L else dataLen / 2L
+      var (peak, clip, ss) = (0L, 0L, 0L)
+      var i = 0
+      while (i < n) {
+        val s = readLe16s(b, dataStart + 2 * i)
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        if (s == 32767 || s == -32768) clip += 1
+        ss += s.toLong * s
+        i += 1
+      }
+      val rms = if (n > 0) Some(math.sqrt(ss.toDouble / n.toDouble)) else None
+      MediaSignal(r.doc_id, "audio", n,
+        if (n > 0) Some(peak) else None, if (n > 0) Some(clip) else None,
+        rms, None, None, None)
+    } else
+      MediaSignal(r.doc_id, r.media_type, 0L, None, None, None, None, None, None)
+  }
+
+  /** Driver query: per-record signal stats over the BMP/WAV media table —
+    * the same per-partition batch shape as [[extractFeatures]]. */
+  def signal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaSignalFromDocuments(spark, dir).mapPartitions(_.map(decodeSignal)).toDF()
+  }
 }

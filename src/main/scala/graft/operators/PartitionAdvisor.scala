@@ -104,7 +104,10 @@ object PartitionAdvisor {
       .groupBy("column_name", "val").agg(graft.Exact.countAll.as("cnt"))
       .groupBy("column_name").agg(
         max(when(col("val").isNotNull, col("cnt"))).as("sample_top"),
-        coalesce(sum(when(col("val").isNotNull, col("cnt"))), lit(0L)).as("sample_n"))
+        // sample_n INCLUDES null rows: the exact mode's skew_excess divides
+        // top_freq by n-with-nulls, so the sampled share must estimate the
+        // same denominator or a nullable column's skew inflates by n/nn.
+        coalesce(sum(col("cnt")), lit(0L)).as("sample_n"))
     val rows = candidates.map { case (name, _, _) =>
       struct(lit(name).as("column_name"), col("n").as("n"),
         col(s"nn_$name").as("nn"), col(s"d_$name").as("distinct_count"))

@@ -26,6 +26,10 @@ import org.apache.spark.sql.DataFrame
   * with the SAME batchId; appendToIndex sees the committed marker and
   * skips, so a replayed batch never double-inserts (the
   * [[ExactlyOnce]] protocol — marker written AFTER both parquet parts).
+  * The guarantee holds ACROSS the compaction boundary too: compaction
+  * deletes batch dirs (markers included) but stamps a folded-batch
+  * watermark into corpus/meta, and appendToIndex rejects any batchId at
+  * or below it — a redelivery after an in-sink fold is a no-op.
   *
   * Compaction: `compactEvery = n` folds committed appends into the corpus
   * after every n-th batch, INSIDE the sink — micro-batches are sequential

@@ -296,7 +296,15 @@ object HybridSearch {
     recoverCorpus(spark, indexDir)
     val appDir = s"$indexDir/appends"
     if (ExactlyOnce.isCommitted(spark, appDir, batchId)) return false
-    val meta = spark.read.parquet(s"$indexDir/corpus/meta").head
+    val metaDf = spark.read.parquet(s"$indexDir/corpus/meta")
+    val meta = metaDf.head
+    // Folded-batch watermark: compaction deletes batch dirs INCLUDING their
+    // commit markers, so a foreachBatch redelivery after a fold would pass
+    // the isCommitted check and re-append already-folded docs. The meta
+    // watermark (max folded batchId, written by compactIndex) closes that
+    // window — a batchId at or below it has already been folded into corpus.
+    if (metaDf.columns.contains("folded_max_batch") &&
+        batchId <= meta.getAs[Long]("folded_max_batch")) return false
     val (tables, bits, dim, seed) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
     val batchDir = s"$appDir/batch=$batchId"
@@ -336,7 +344,18 @@ object HybridSearch {
     allVecs.write.mode("overwrite").parquet(s"$staged/vecs")
     allBuckets.sortWithinPartitions("bkey")
       .write.mode("overwrite").parquet(s"$staged/buckets")
-    spark.read.parquet(s"$indexDir/corpus/meta")
+    // Stamp the folded-batch watermark (max batchId folded here, monotonic
+    // with any prior watermark) so appendToIndex can reject a foreachBatch
+    // redelivery of a batch whose dir — and commit marker — this fold
+    // deletes. Written to the STAGED meta, so the watermark becomes
+    // visible atomically with the fold itself at the corpus swap.
+    val foldedMax = committed
+      .map(d => d.substring(d.lastIndexOf("batch=") + "batch=".length).toLong).max
+    val oldMeta = spark.read.parquet(s"$indexDir/corpus/meta")
+    val prevWm =
+      if (oldMeta.columns.contains("folded_max_batch"))
+        oldMeta.head.getAs[Long]("folded_max_batch") else -1L
+    oldMeta.withColumn("folded_max_batch", lit(math.max(foldedMax, prevWm)))
       .write.mode("overwrite").parquet(s"$staged/meta")
     val fs = hadoopFs(spark, indexDir)
     require(fs.rename(new Path(s"$indexDir/corpus"), new Path(s"$indexDir/__corpus_old")),
@@ -385,7 +404,10 @@ object HybridSearch {
     recoverCorpus(spark, idx)
     val p = new org.apache.hadoop.fs.Path(s"$idx/corpus/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.exists(p) && {
+    // Try-wrapped: a run killed mid-meta-write leaves meta/ with only
+    // _temporary, and the read throws forever — treat any read failure
+    // as stale so the index rebuilds instead of wedging.
+    val fresh = fs.exists(p) && scala.util.Try {
       val meta = spark.read.parquet(s"$idx/corpus/meta")
       meta.columns.contains("ndocs") && {
         val m = meta.head
@@ -393,7 +415,7 @@ object HybridSearch {
         m.getAs[Long]("ndocs") == nd && m.getAs[Long]("max_doc_id") == mx &&
           m.getAs[Int]("bits") == graft.ann.Ann.adaptiveBits(nd)
       }
-    }
+    }.getOrElse(false)
     if (!fresh) buildIndex(spark, dir, idx)
     if (ensureMemo.size > MemoBound) ensureMemo.clear()
     ensureMemo.add(idx)

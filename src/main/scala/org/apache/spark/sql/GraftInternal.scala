@@ -22,4 +22,14 @@ object GraftInternal {
     * like AsOfColumnPruning actually fired). */
   def analyzedToOptimized(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan
+
+  /** Column ⇄ catalyst-Expression bridge (classic.ExpressionUtils is
+    * `private[sql]`): lets the native kernels' `.of` wrappers build
+    * Columns directly, with no per-call function registration and no
+    * `SparkSession.active` dependency. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

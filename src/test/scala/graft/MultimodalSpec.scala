@@ -55,6 +55,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.sample_offsets.split(",").length == 5)
   }
 
+  test("decodeSignal reads PCM16 samples via a real RIFF chunk walk") {
+    // hand-built samples incl. both full-scale clip values and an LE pair
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 258) // 258 = 0x0102
+    val body = samples.flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val r = MediaRecord(1L, "audio", Multimodal.wavBytes(16000, 1, body))
+    val g = Multimodal.decodeSignal(r)
+    assert(g.n_units == 6L)
+    assert(g.peak_abs.contains(32768L))
+    assert(g.clip_count.contains(2L))
+    val ss = samples.map(s => s.toLong * s).sum
+    assert(g.rms.contains(math.sqrt(ss.toDouble / 6.0)))
+    assert(g.mean_b.isEmpty && g.mean_g.isEmpty && g.mean_r.isEmpty)
+    // odd trailing byte is ignored (not half a sample)
+    val odd = Multimodal.decodeSignal(
+      MediaRecord(2L, "audio", Multimodal.wavBytes(16000, 1, body :+ 0x7f.toByte)))
+    assert(odd.n_units == 6L && odd.rms == g.rms)
+  }
+
+  test("decodeSignal walks past a non-data RIFF chunk (odd size, even-padded)") {
+    // splice a 3-byte junk chunk between fmt and data: the walk must skip
+    // size + pad, not assume the canonical 44-byte layout
+    val body = Array[Byte](10, 0, 20, 0) // samples 10, 20
+    val wav = Multimodal.wavBytes(8000, 1, body)
+    val (head, dataChunk) = wav.splitAt(36)
+    val junk = "junk".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val g = Multimodal.decodeSignal(MediaRecord(3L, "audio", head ++ junk ++ dataChunk))
+    assert(g.n_units == 2L && g.peak_abs.contains(20L))
+  }
+
+  test("decodeSignal reads BMP pixels honoring the padded row stride") {
+    // width 3 → rowSize ((9+3)/4)*4 = 12: 3 pad bytes per row that the
+    // channel means MUST exclude (set to 0xFF to catch inclusion)
+    val row0 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, -1, -1, -1)
+    val row1 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, -1, -1, -1)
+    val g = Multimodal.decodeSignal(
+      MediaRecord(4L, "image", Multimodal.bmpBytes(3, 2, row0 ++ row1)))
+    assert(g.n_units == 6L)
+    assert(g.mean_b.contains((1 + 4 + 7 + 10 + 40 + 70) / 6.0))
+    assert(g.mean_g.contains((2 + 5 + 8 + 20 + 50 + 80) / 6.0))
+    assert(g.mean_r.contains((3 + 6 + 9 + 30 + 60 + 90) / 6.0))
+    assert(g.peak_abs.isEmpty && g.rms.isEmpty)
+    // zero-height BMP: no pixels, null means
+    val z = Multimodal.decodeSignal(
+      MediaRecord(5L, "image", Multimodal.bmpBytes(4, 0, Array.empty)))
+    assert(z.n_units == 0L && z.mean_b.isEmpty)
+  }
+
+  test("signal covers every image/audio document with consistent stats") {
+    val rows = Multimodal.signal(spark, dir).collect()
+    val nExpected = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 < 2).count()
+    assert(rows.length == nExpected)
+    rows.foreach { r =>
+      val mt = r.getAs[String]("media_type")
+      val n = r.getAs[Long]("n_units")
+      if (mt == "audio" && n > 0) {
+        assert(!r.isNullAt(r.fieldIndex("rms")) && r.getAs[Double]("rms") >= 0)
+        assert(r.getAs[Long]("peak_abs") <= 32768L)
+        assert(r.isNullAt(r.fieldIndex("mean_b")))
+      }
+      if (mt == "image" && n > 0) {
+        Seq("mean_b", "mean_g", "mean_r").foreach { c =>
+          val m = r.getAs[Double](c)
+          assert(m >= 0 && m <= 255, s"$c out of byte range: $m")
+        }
+        assert(r.isNullAt(r.fieldIndex("rms")))
+      }
+    }
+  }
+
   test("batch extraction parses container-derived metadata for every document") {
     val media = Multimodal.mediaFromDocuments(spark, dir)
     val feats = Multimodal.extractFeatures(media).collect()

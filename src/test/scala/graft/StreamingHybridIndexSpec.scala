@@ -59,15 +59,15 @@ class StreamingHybridIndexSpec extends AnyFunSuite {
 
     // the in-sink-compaction crash window: batch 1's fold ran (its marker
     // dir is gone) but the stream "crashed" before the checkpoint advanced,
-    // so foreachBatch redelivers batch 1. The re-append lands a dir whose
-    // docs are already in the folded corpus — exactly the surviving-folded-
-    // dir scenario the reader-side dedupe self-heals — so ANSWERS must not
-    // change (and the next fold collapses the duplicate rows for good).
+    // so foreachBatch redelivers batch 1. The folded-batch watermark in
+    // corpus/meta (max folded batchId) must reject the replay outright —
+    // no duplicate append dir, answers unchanged.
     val before = rows(HybridSearch.hybridSearchIndexed(spark, dir, idx))
-    // replay WITHOUT the in-sink fold so the assertions below exercise the
-    // un-healed duplicate-append state (reader-side dedupe on live queries)
-    StreamingHybridIndex.indexSink(idx)(
-      second.toSeq.toDF("doc_id", "text"), 1L)
+    val appended = HybridSearch.appendToIndex(
+      spark, second.toSeq.toDF("doc_id", "text"), idx, 1L)
+    assert(!appended, "replay of a folded batchId re-appended past the watermark")
+    assert(ExactlyOnce.committedBatches(spark, s"$idx/appends").isEmpty,
+      "watermark-rejected replay still left an append dir")
     assert(rows(HybridSearch.hybridSearchIndexed(spark, dir, idx)) === before,
       "post-compaction replay changed query answers")
 
@@ -79,5 +79,11 @@ class StreamingHybridIndexSpec extends AnyFunSuite {
       val ref = rows(HybridSearch.hybridSearchIndexed(spark, dir, rebuilt, probe = probe))
       assert(inc === ref, s"probe=$probe: streamed index diverged from the rebuild")
     }
+
+    // a genuinely NEW batchId above the watermark still appends (checked
+    // last — it adds an out-of-corpus doc, so parity ran before it)
+    assert(HybridSearch.appendToIndex(
+      spark, Seq((999999L, "fresh post-fold doc")).toDF("doc_id", "text"), idx, 2L),
+      "new batchId above the watermark was wrongly skipped")
   }
 }
