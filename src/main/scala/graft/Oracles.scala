@@ -1295,6 +1295,7 @@ object Oracles {
     "curation_funnel" -> graft.text.TrainPrep.curationFunnelOracle,
     "curated_corpus" -> graft.text.TrainPrep.curatedCorpusOracle,
     "corpus_stats" -> graft.text.TrainPrep.corpusStatsOracle,
+    "dataset_card" -> graft.text.TrainPrep.datasetCardOracle,
     "stratified_sample" -> graft.text.TrainPrep.stratifiedSampleOracle,
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
     "hybrid_search_indexed" -> graft.text.HybridSearch.hybridSearchOracle,

@@ -184,6 +184,7 @@ object SparkEntry {
     "curation_funnel"     -> ((s, d) => graft.text.TrainPrep.curationFunnel(s, d)),
     "curated_corpus"      -> ((s, d) => graft.text.TrainPrep.curatedCorpus(s, d)),
     "corpus_stats"        -> ((s, d) => graft.text.TrainPrep.corpusStats(s, d)),
+    "dataset_card"        -> ((s, d) => graft.text.TrainPrep.datasetCard(s, d)),
     "stratified_sample"   -> ((s, d) => graft.text.TrainPrep.stratifiedSample(s, d)),
     // hybrid lexical+vector retrieval with RRF fusion (text/HybridSearch.scala)
     "hybrid_search"       -> ((s, d) => graft.text.HybridSearch.hybridSearch(s, d)),

@@ -837,4 +837,161 @@ object TrainPrep {
        |  AND (CASE WHEN nt = 0 THEN 0.0
        |            ELSE CAST(nrem AS DOUBLE) / nt END) <= ${graft.dedup.DupSpans.KeepFrac}""".stripMargin
   }
+
+  // ------------------------------------------------------- dataset card
+
+  /** The POST-curation dataset card: per (source, lang) cell, the raw and
+    * surviving document/token masses plus a per-stage drop ledger — how
+    * many documents each curation stage removed (the four row-local funnel
+    * rules, the eval holdout, contamination, the dup-span budget) — and
+    * the cell's share of the CURATED token mass. [[corpusStats]] profiles
+    * the raw corpus; this is the artifact a training-data team ships with
+    * the cleaned corpus: curatedCorpus's decision ladder, accounted per
+    * cell. Every count is an exact long; every rate is one IEEE division.
+    *
+    * Scale shape: reuses the three constituent per-doc frames (funnel
+    * flags = pure projection, contamination = gram-keyed semi-join, span
+    * removal = island pipeline) with doc-keyed joins, then ONE grouped
+    * aggregate to a #sources×#langs-row frame plus a broadcast 1-row
+    * curated-token total — nothing beyond the constituent stages' own
+    * shuffles, and no wide text column ever reaches the aggregate. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    val flags = funnelFlagsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("k1"), col("k2"), col("k3"), col("k4"))
+    val contam = contaminationCheck(spark, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    val sr = graft.dedup.DupSpans.spanRemoval(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+    val perDoc = docs.join(flags, "doc_id").join(sr, "doc_id")
+      .join(contam, Seq("doc_id"), "left") // eval docs carry null is_contaminated
+      .withColumn("is_eval", col("doc_id") % 97 === 0)
+      .withColumn("over_dup",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_removed").cast("double") / col("n_tokens"))
+          > graft.dedup.DupSpans.KeepFrac)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L)).cast("long")
+    val kept = col("k4") && !col("is_eval") && !col("is_contaminated") && !col("over_dup")
+    val cells = perDoc.groupBy(col("source"), col("lang")).agg(
+      countAll.as("n_docs_raw"),
+      cnt(!col("k1")).as("d_min_length"),
+      cnt(col("k1") && !col("k2")).as("d_repetition"),
+      cnt(col("k2") && !col("k3")).as("d_stopword_quality"),
+      cnt(col("k3") && !col("k4")).as("d_symbol_load"),
+      cnt(col("k4") && col("is_eval")).as("d_eval_holdout"),
+      cnt(col("k4") && !col("is_eval") && col("is_contaminated")).as("d_contaminated"),
+      cnt(col("k4") && !col("is_eval") && !col("is_contaminated") && col("over_dup"))
+        .as("d_dup_span"),
+      cnt(kept).as("n_docs_kept"),
+      sum(col("n_tokens")).cast("long").as("n_tokens_raw"),
+      sum(when(kept, col("n_tokens") - col("n_removed")).otherwise(0L))
+        .cast("long").as("n_tokens_kept"))
+    val total = broadcast(cells.agg(sum(col("n_tokens_kept")).as("__tt")))
+    cells.crossJoin(total).select(
+      col("source"), col("lang"), col("n_docs_raw"),
+      col("d_min_length"), col("d_repetition"), col("d_stopword_quality"),
+      col("d_symbol_load"), col("d_eval_holdout"), col("d_contaminated"),
+      col("d_dup_span"), col("n_docs_kept"),
+      col("n_tokens_raw"), col("n_tokens_kept"),
+      (col("n_docs_kept").cast("double") / col("n_docs_raw")).as("doc_keep_rate"),
+      when(col("n_tokens_raw") === 0, 0.0)
+        .otherwise(col("n_tokens_kept").cast("double") / col("n_tokens_raw"))
+        .as("token_keep_rate"),
+      when(col("__tt") === 0, 0.0)
+        .otherwise(col("n_tokens_kept").cast("double") / col("__tt"))
+        .as("token_share"))
+  }
+
+  /** Oracle: the curatedCorpus replay chain (stagewise funnel flags kept
+    * per doc, the contamination gram chain, the span-removal CTEs), then
+    * the same per-cell ledger. CTE names avoid spanRemovalCtes' g/dup/sp/
+    * isl/ia/tk/kk/cl/sr and the contamination chain's cg/eg/cc/contam. */
+  def datasetCardOracle: String = {
+    val keep = s"""k4 AND NOT is_eval AND NOT coalesce(is_cont, false)
+       | AND NOT ((CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nrem AS DOUBLE) / nt END)
+       |          > ${graft.dedup.DupSpans.KeepFrac})""".stripMargin.replace("\n", " ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source, lang, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nt FROM d0
+       |), ff AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS fn,
+       |    list_transform(list_distinct(w), u -> len(list_filter(w, x -> x = u))) AS wc,
+       |    CAST(len(list_filter(w, x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS stop,
+       |    CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS sym,
+       |    CAST(len(text) AS BIGINT) AS ln
+       |  FROM d0
+       |), k12 AS (
+       |  SELECT doc_id, fn, stop, sym, ln,
+       |    coalesce(fn >= 10, false) AS k1,
+       |    coalesce(fn >= 10 AND CAST(len(wc) AS DOUBLE) / fn >= 0.2
+       |      AND CAST(list_max(wc) AS DOUBLE) / fn <= 0.2, false) AS k2
+       |  FROM ff
+       |), k3s AS (
+       |  SELECT *,
+       |    coalesce(k2 AND least(1.0, CAST(fn AS DOUBLE) / 100.0) * 0.5 +
+       |      (CASE WHEN fn = 0 THEN 0.0
+       |            ELSE least(1.0, 4.0 * stop / fn) * 0.5 END) >= 0.5, false) AS k3
+       |  FROM k12
+       |), k4s AS (
+       |  SELECT doc_id, k1, k2, k3,
+       |    coalesce(k3 AND CAST(sym AS DOUBLE) / ln <= 0.3, false) AS k4
+       |  FROM k3s
+       |), cg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+       |    ELSE []::VARCHAR[] END AS grams
+       |  FROM d0
+       |), eg AS (
+       |  SELECT DISTINCT unnest(grams) AS gr FROM cg WHERE doc_id % 97 = 0
+       |), cc AS (
+       |  SELECT doc_id, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM cg WHERE doc_id % 97 <> 0) cx
+       |  WHERE gr IN (SELECT gr FROM eg) GROUP BY 1
+       |), contam AS (
+       |  SELECT g.doc_id,
+       |    (CASE WHEN len(grams) = 0 THEN 0.0
+       |          ELSE CAST(coalesce(c, 0) AS DOUBLE) / len(grams) END) > 0.2 AS is_cont
+       |  FROM cg g LEFT JOIN cc ON g.doc_id = cc.doc_id
+       |  WHERE g.doc_id % 97 <> 0
+       |), ${graft.dedup.DupSpans.spanRemovalCtes}
+       |, pd AS (
+       |  SELECT d0.doc_id, d0.source, d0.lang, k1, k2, k3, k4,
+       |    d0.doc_id % 97 = 0 AS is_eval, contam.is_cont, sr.nt, sr.nrem
+       |  FROM d0
+       |  JOIN k4s ON d0.doc_id = k4s.doc_id
+       |  JOIN sr ON d0.doc_id = sr.doc_id
+       |  LEFT JOIN contam ON d0.doc_id = contam.doc_id
+       |), cells AS (
+       |  SELECT source, lang, COUNT(*) AS n_docs_raw,
+       |    CAST(SUM(CASE WHEN NOT k1 THEN 1 ELSE 0 END) AS BIGINT) AS d_min_length,
+       |    CAST(SUM(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS d_repetition,
+       |    CAST(SUM(CASE WHEN k2 AND NOT k3 THEN 1 ELSE 0 END) AS BIGINT) AS d_stopword_quality,
+       |    CAST(SUM(CASE WHEN k3 AND NOT k4 THEN 1 ELSE 0 END) AS BIGINT) AS d_symbol_load,
+       |    CAST(SUM(CASE WHEN k4 AND is_eval THEN 1 ELSE 0 END) AS BIGINT) AS d_eval_holdout,
+       |    CAST(SUM(CASE WHEN k4 AND NOT is_eval AND is_cont THEN 1 ELSE 0 END) AS BIGINT) AS d_contaminated,
+       |    CAST(SUM(CASE WHEN k4 AND NOT is_eval AND NOT is_cont
+       |      AND (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(nrem AS DOUBLE) / nt END)
+       |          > ${graft.dedup.DupSpans.KeepFrac} THEN 1 ELSE 0 END) AS BIGINT) AS d_dup_span,
+       |    CAST(SUM(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens_raw,
+       |    CAST(SUM(CASE WHEN $keep THEN nt - nrem ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |  FROM pd GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT CAST(SUM(n_tokens_kept) AS BIGINT) AS tot FROM cells
+       |)
+       |SELECT source, lang, n_docs_raw, d_min_length, d_repetition,
+       |  d_stopword_quality, d_symbol_load, d_eval_holdout, d_contaminated,
+       |  d_dup_span, n_docs_kept, n_tokens_raw, n_tokens_kept,
+       |  CAST(n_docs_kept AS DOUBLE) / n_docs_raw AS doc_keep_rate,
+       |  CASE WHEN n_tokens_raw = 0 THEN 0.0
+       |       ELSE CAST(n_tokens_kept AS DOUBLE) / n_tokens_raw END AS token_keep_rate,
+       |  CASE WHEN tot = 0 THEN 0.0
+       |       ELSE CAST(n_tokens_kept AS DOUBLE) / tot END AS token_share
+       |FROM cells, tt""".stripMargin
+  }
 }

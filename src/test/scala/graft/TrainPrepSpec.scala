@@ -294,4 +294,27 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(rows(2L).getAs[String]("cleaned_text") == mix("b", 60).mkString(" "))
     // absent: 3 (>50% duplicated), 4 (contaminated), 5 (funnel), 97 (eval slice)
   }
+
+  test("dataset card: drop ledger sums to raw and reconciles with curated_corpus") {
+    val cells = TrainPrep.datasetCard(spark, dir).collect()
+    assert(cells.nonEmpty)
+    val stageCols = Seq("d_min_length", "d_repetition", "d_stopword_quality",
+      "d_symbol_load", "d_eval_holdout", "d_contaminated", "d_dup_span")
+    cells.foreach { r =>
+      val drops = stageCols.map(r.getAs[Long]).sum
+      assert(drops + r.getAs[Long]("n_docs_kept") == r.getAs[Long]("n_docs_raw"),
+        s"ledger does not sum to raw for ${r.getAs[String]("source")}/${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("n_tokens_raw"))
+      val dkr = r.getAs[Double]("doc_keep_rate")
+      assert(dkr >= 0.0 && dkr <= 1.0)
+    }
+    // cross-artifact reconciliation: kept docs/tokens equal curatedCorpus's
+    val cc = TrainPrep.curatedCorpus(spark, dir)
+      .agg(count(lit(1)), sum(col("n_tokens_out"))).head
+    assert(cells.map(_.getAs[Long]("n_docs_kept")).sum == cc.getLong(0))
+    assert(cells.map(_.getAs[Long]("n_tokens_kept")).sum == cc.getLong(1))
+    // token shares sum to 1 over the curated corpus (exact-long numerators)
+    val shareSum = cells.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
 }
