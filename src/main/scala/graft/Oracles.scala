@@ -1300,6 +1300,9 @@ object Oracles {
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
     "hybrid_search_indexed" -> graft.text.HybridSearch.hybridSearchOracle,
     "hybrid_search_probe" -> graft.text.HybridSearch.hybridSearchProbeOracle,
+    // both routes are bit-identical, so the flat oracle gates whichever
+    // side of the size threshold the corpus lands on
+    "hybrid_search_auto" -> graft.text.HybridSearch.hybridSearchOracle,
 
     "table_health" ->
       s"""WITH daily AS (

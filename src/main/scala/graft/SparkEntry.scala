@@ -191,7 +191,8 @@ object SparkEntry {
     // the persisted-index scale paths: exact persisted-vector leg, and the
     // SRP bucket-probed sublinear leg (text/HybridSearch.scala)
     "hybrid_search_indexed" -> ((s, d) => graft.text.HybridSearch.hybridSearchPersisted(s, d)),
-    "hybrid_search_probe" -> ((s, d) => graft.text.HybridSearch.hybridSearchProbe(s, d))
+    "hybrid_search_probe" -> ((s, d) => graft.text.HybridSearch.hybridSearchProbe(s, d)),
+    "hybrid_search_auto" -> ((s, d) => graft.text.HybridSearch.hybridSearchAuto(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

@@ -427,6 +427,47 @@ object HybridSearch {
   def hybridSearchPersisted(spark: SparkSession, dir: String): DataFrame =
     hybridSearchIndexed(spark, dir, ensureIndex(spark, dir))
 
+  // -------------------------------------------------- size-adaptive route
+
+  /** Corpus size at or above which [[hybridSearchAuto]] routes to the
+    * persisted index: 10× the sf0.1 documents table — the BASELINE
+    * "default to indexed at ≥10×" rule, now code instead of prose (the
+    * adaptive exact-dup collapse precedent, [[graft.dedup.Collapse]]).
+    * Below it the flat form's one-pass embed costs less than an index
+    * build could amortize for ad-hoc corpora. */
+  val AutoIndexThreshold = 50000L
+
+  /** Routing predicate, exposed for specs: true ⇒ the persisted index.
+    * One doc_id-pruned count per NEW corpus dir; the decision is memoized
+    * per (dir, threshold) because the flat/indexed answers are
+    * bit-identical anyway — a stale route is a cost decision, never a
+    * correctness one. */
+  private val routeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+  private[graft] def resetRouteMemo(): Unit = routeMemo.clear()
+  private[graft] def autoRoute(spark: SparkSession, dir: String,
+                               threshold: Long = AutoIndexThreshold): Boolean = {
+    if (routeMemo.size > MemoBound) routeMemo.clear()
+    routeMemo.computeIfAbsent((dir, threshold),
+      _ => corpusFingerprint(spark, dir)._1 >= threshold)
+  }
+
+  /** Size-adaptive hybrid search: the flat one-pass form on small corpora,
+    * the persisted index (built on first use, fingerprint-validated) at or
+    * above [[AutoIndexThreshold]] docs. Both routes produce bit-identical
+    * answers (`probe = false` scores every vector — the index only
+    * amortizes the embedding), so the dispatch changes cost, never
+    * results; HybridIndexSpec pins route choice and bit-parity on both
+    * sides of the threshold. */
+  def hybridSearchAuto(spark: SparkSession, dir: String,
+                       query: String = DefaultQuery, limit: Int = 20,
+                       candidates: Int = 200,
+                       threshold: Long = AutoIndexThreshold): DataFrame =
+    if (autoRoute(spark, dir, threshold))
+      hybridSearchIndexed(spark, dir, ensureIndex(spark, dir), query, limit, candidates)
+    else
+      hybridSearch(spark, dir, query, limit, candidates)
+
   /** Driver query: the SRP-probed path — its own oracle replays the
     * bucket restriction. */
   def hybridSearchProbe(spark: SparkSession, dir: String): DataFrame =

@@ -27,6 +27,24 @@ class HybridIndexSpec extends AnyFunSuite {
     assert(indexed === flat)
   }
 
+  test("size-adaptive dispatch: route pinned on both sides of the threshold, answers bit-identical") {
+    HybridSearch.resetRouteMemo()
+    val n = Tables.documents(spark, dir).count()
+    // the gate corpus sits below the default threshold → flat route
+    assert(!HybridSearch.autoRoute(spark, dir),
+      s"default threshold routed a $n-doc corpus to the index")
+    // and above the default only when the corpus actually is ≥ threshold
+    assert(HybridSearch.autoRoute(spark, dir, threshold = n),
+      "corpus at the threshold must route to the index")
+    assert(!HybridSearch.autoRoute(spark, dir, threshold = n + 1))
+    // bit-parity across the dispatch: forcing each route returns the
+    // same rows (the indexed path only amortizes the embedding)
+    val flat = rows(HybridSearch.hybridSearchAuto(spark, dir, threshold = n + 1))
+    val indexed = rows(HybridSearch.hybridSearchAuto(spark, dir, threshold = n))
+    assert(flat === indexed)
+    assert(flat === rows(HybridSearch.hybridSearch(spark, dir)))
+  }
+
   test("probe restricts the vector leg to bucket collisions (sublinear candidates)") {
     val meta = spark.read.parquet(s"$indexDir/corpus/meta").head
     val keys = HybridSearch.queryBkeys(
