@@ -205,4 +205,42 @@ object StreamingNearDup {
         ExactlyOnce.commit(spark, outDir, batchId)
       }
     }
+
+  /** Driver-gated replay of the streaming arc: build the corpus index,
+    * split the batch slice into `nBatches` CONTIGUOUS id-ordered
+    * micro-batches (exact distributed ntile — arrival order = id order,
+    * the stream/batch-parity precondition), push each through
+    * [[nearDupSink]] sequentially, and return the union of the
+    * exactly-once decision dirs. The parity property makes the STREAMING
+    * decisions oracle-expressible: they equal
+    * [[IncrementalDedup.incrementalNearDup]]'s whole-batch run
+    * bit-for-bit, so this query rides the same DuckDB oracle and the
+    * driver hash-gates the sink path itself, not just its spec.
+    *
+    * Scale notes: the driver loop is bounded by `nBatches` (micro-batches
+    * are inherently sequential); each sink call is the batch-sized probe.
+    * Index/output dirs are fresh per call under java.io.tmpdir — this is
+    * a verification surface; production streams own durable dirs. */
+  def streamingNearDupReplay(spark: SparkSession, dir: String,
+                             nBatches: Int = 4): DataFrame = {
+    import graft.Tables
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
+    val indexDir =
+      java.nio.file.Files.createTempDirectory("snd_replay_idx").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("snd_replay_out").toString
+    buildCorpusIndex(corpus, indexDir)
+    val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
+      .select("doc_id", "text")
+    val banded = graft.operators.RankOps
+      .withGlobalNtile(slice, "__b", nBatches, Seq(col("doc_id")))
+      .localCheckpoint(false) // one rank pass, reused by every micro-batch filter
+    val sink = nearDupSink(indexDir, outDir)
+    (1 to nBatches).foreach { k =>
+      sink(banded.filter(col("__b") === k).select("doc_id", "text"), (k - 1).toLong)
+    }
+    spark.read.parquet(ExactlyOnce.committedBatches(spark, outDir): _*)
+      .select("doc_id", "decision", "keeper_id", "jaccard")
+  }
 }
