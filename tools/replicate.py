@@ -23,6 +23,13 @@ FACTS = {
 def main(src, out, factor, only):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # uncapped DuckDB assumes 80% of box RAM; a 1000x lineitem COPY then
+    # fights every co-tenant for ~100 GB. Cap + spill instead.
+    con.execute(f"SET memory_limit='{os.environ.get('REP_MEM', '24GB')}'")
+    con.execute(f"SET threads={os.environ.get('REP_THREADS', '8')}")
+    spill = os.environ.get('REP_SPILL', '/tmp/duckdb_spill')
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in DIMS:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
         if os.path.exists(s):
@@ -37,12 +44,13 @@ def main(src, out, factor, only):
             for k in keys}
         cols = con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src_pq}')").df()
         names = list(cols.column_name)
-        reps = []
-        for i in range(factor):
-            sel = ", ".join(
-                f"{c} + {i * offs[c]} AS {c}" if c in offs else c for c in names)
-            reps.append(f"SELECT {sel} FROM read_parquet('{src_pq}')")
-        con.execute(f"COPY ({' UNION ALL '.join(reps)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        # cross join with range(factor): one parser-friendly statement for
+        # any factor (1000 UNION ALL branches exceeded the parser depth)
+        sel = ", ".join(
+            f"{c} + t.i * {offs[c]} AS {c}" if c in offs else c for c in names)
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{src_pq}'), range({factor}) t(i)) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: x{factor} -> {n} rows")
 
