@@ -84,13 +84,83 @@ def refs(name, texts):
     return any(pat.search(t) for t in texts)
 
 
+# The KMeans replay chains' assignment steps: `z CROSS JOIN c_k` then a
+# GROUP BY over every z column to recover row identity, with min(struct)
+# as the argmin. DuckDB cannot spill that aggregate (OOM-killed at 130 GB
+# on 15M x 8 at the 100x corpus, any thread count). But c_k is <= k rows:
+# fetch it and inline the centroids as literals, turning the step into a
+# pure streaming projection — `least` over structs is the same
+# lexicographic (d, j) argmin as min(struct), and literal-vs-column
+# operands run the identical IEEE sequence, so results are bit-equal.
+M_A = re.compile(
+    r"^SELECT (?P<cols>[\w ,]+), \(min\(\{'d': (?P<dist>.+), 'j': cluster\}\)\)\.j AS cluster "
+    r"FROM z CROSS JOIN (?P<c>\w+) GROUP BY [\w ,]+$")
+M_MD = re.compile(
+    r"^SELECT (?P<cols>[\w ,]+), MIN\((?P<dist>.+)\) AS dmin "
+    r"FROM z CROSS JOIN (?P<c>\w+) GROUP BY [\w ,]+$")
+
+
+def inline_centroid_step(con, body):
+    """Rewrite an assignment/min-distance step to a projection with the
+    centroid table inlined as literals. Returns None if the body is not
+    one of the two KMeans step shapes."""
+    b = re.sub(r"\s+", " ", body.strip())
+    ma, mm = M_A.match(b), M_MD.match(b)
+    m = ma or mm
+    if not m:
+        return None
+    cur = con.execute(f"SELECT * FROM {m.group('c')}")
+    names = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    if not rows or len(rows) > 64:
+        return None
+
+    def lit(v, cn):
+        if cn == "cluster":
+            return f"CAST({int(v)} AS BIGINT)"
+        # repr() is the shortest round-trip decimal; DuckDB's parse is
+        # correctly rounded, so the literal reproduces the exact bits
+        return f"CAST({v!r} AS DOUBLE)"
+
+    arms = []
+    for r in rows:
+        env = dict(zip(names, r))
+        expr = m.group("dist")
+        for cn in names:
+            if cn != "cluster":
+                expr = re.sub(rf"\b{cn}\b", lit(env[cn], cn), expr)
+        if ma:
+            arms.append("{'d': " + expr + ", 'j': " + lit(env["cluster"], "cluster") + "}")
+        else:
+            arms.append(expr)
+    if ma:
+        # least() has no struct overload; list_sort is the same
+        # lexicographic (d, j) total order, [1] = the minimum
+        sel = f"(list_sort([{', '.join(arms)}])[1]).j"
+        return f"SELECT {m.group('cols')}, {sel} AS cluster FROM z"
+    return f"SELECT {m.group('cols')}, least({', '.join(arms)}) AS dmin FROM z"
+
+
 def stage_chain(con, sql, stage, log=print):
     """Execute a flat CTE chain stepwise through parquet, GC'ing stage
-    files at last use. Returns the final SELECT (views in scope)."""
+    files at last use. Returns the final SELECT (views in scope).
+
+    Thread throttle: DuckDB's hash-aggregate memory scales with THREADS
+    (per-thread partials) and its memory_limit is advisory for them — the
+    KMeans assignment steps (fact CROSS JOIN centroids -> GROUP BY the
+    fact key) OOM-killed the box at 14 threads / 130 GB RSS at the 100x
+    corpus. Steps containing a CROSS JOIN + GROUP BY run at 4 threads;
+    pure projections keep the session's thread count."""
+    full_threads = int(os.environ.get('SO_THREADS', '4'))
     ctes, final = split_ctes(sql)
     live = []
     for k, (name, body) in enumerate(ctes):
         out = f"{stage}/{name}.parquet"
+        inlined = inline_centroid_step(con, body)
+        if inlined is not None:
+            body = inlined
+        heavy = "CROSS JOIN" in body.upper() and "GROUP BY" in body.upper()
+        con.execute(f"SET threads={min(4, full_threads) if heavy else full_threads}")
         con.execute(f"COPY ({body}) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")
         con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{out}')")
         live.append(name)
@@ -101,6 +171,7 @@ def stage_chain(con, sql, stage, log=print):
                 os.remove(f"{stage}/{g}.parquet")
                 live.remove(g)
         log(f"  staged {name} ({k + 1}/{len(ctes)}), live={len(live)}")
+    con.execute(f"SET threads={full_threads}")
     return final
 
 
@@ -364,6 +435,9 @@ def main(sfdir, outdir, only):
     spill = os.environ.get('SO_SPILL', '/tmp/duckdb_spill')
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
+    # row order is irrelevant everywhere (set-compare at the end); dropping
+    # order preservation lets COPY stream instead of buffering
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     ORACLES = json.load(open(f"{outdir}/oracle_sql.json"))
