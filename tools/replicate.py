@@ -30,6 +30,9 @@ def main(src, out, factor, only):
     spill = os.environ.get('REP_SPILL', '/tmp/duckdb_spill')
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
+    # stream the COPY instead of buffering the whole replicated result for
+    # order preservation — a 1000x lineitem otherwise spills ~50 GB
+    con.execute("SET preserve_insertion_order=false")
     for t in DIMS:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
         if os.path.exists(s):
