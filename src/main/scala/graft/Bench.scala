@@ -54,11 +54,24 @@ object Bench {
       val s0 = System.nanoTime()
       val times = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-          finally spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        // elapsed is captured INSIDE the try so the finally's cleanup work
+        // (cache clear, optional GC) never lands in the measured region
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        } finally {
+          spark.catalog.clearCache()
+          // Shuffle files persist until their RDDs are GC'd (ContextCleaner
+          // collects weak refs) — back-to-back 600M-row aggregations in one
+          // local session accumulated ~26 GB of blockmgr state and the 1000×
+          // probe's fifth query filled the disk mid-spill. The GC nudge
+          // between queries bounds live shuffle state to roughly the current
+          // query's. Off by default; set =1 for disk-bound scale probes.
+          if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
+        }
       }
       ((System.nanoTime() - s0) / 1e9, times)
     }
