@@ -212,6 +212,7 @@ object Oracles {
     // path derives (doubles round-trip parquet bit-exactly), so the same
     // end-to-end replay oracle applies verbatim
     "ann_ivf_indexed" -> graft.ann.Ann.annIvfOracle(),
+    "ann_recall" -> graft.ann.Ann.annRecallOracle(),
     "customer_clusters" -> graft.ml.Clustering.customerClustersOracle(),
     "model_eval" -> graft.ml.ModelEval.modelEvalOracle,
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,

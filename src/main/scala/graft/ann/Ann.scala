@@ -299,6 +299,63 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@k of the approximate ANN paths against the exact brute-force
+    * top-k — measurement as a driver-gated query: the standard ANN quality
+    * metric (|approx ∩ exact| / k per query) computed distributed, so an
+    * index-quality dashboard at 100 TB is this one query, not a collect.
+    * Both inputs are deterministic (fixed tie-breaks), so recall itself is
+    * deterministic and hash-gateable — the oracle replays brute, LSH and
+    * IVF end-to-end and intersects the same sets.
+    *
+    * Scale shape: two left-semi joins keyed (query_id, vec_id) over
+    * ≤ |queries|·k rows each — bounded by the knob, not the corpus. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val brute = annTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
+    def per(method: String, approx: DataFrame): DataFrame = {
+      val m = approx.select(col("query_id"), col("vec_id"))
+        .join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+      brute.select("query_id").distinct()
+        .join(m, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          (coalesce(col("n_matched"), lit(0L)).cast("double") / lit(k.toDouble))
+            .as("recall_at_k"))
+    }
+    per("lsh", annLshTopK(spark, dir, k))
+      .unionByName(per("ivf", annIvfTopK(spark, dir, k)))
+      .orderBy(col("method"), col("query_id"))
+  }
+
+  /** Oracle for [[annRecall]]: the three full replays (brute / LSH / IVF)
+    * as parenthesized sub-WITH blocks — each oracle's CTE names stay
+    * scoped to its own subquery — intersected per query. */
+  def annRecallOracle(k: Int = 10): String = {
+    def setOf(inner: String) =
+      s"(SELECT query_id, vec_id FROM ($inner))"
+    s"""WITH brute AS ${setOf(annTopKOracle)},
+       |lsh AS ${setOf(annLshOracle)},
+       |ivf AS ${setOf(annIvfOracle(k))},
+       |q AS (SELECT DISTINCT query_id FROM brute),
+       |m_lsh AS (
+       |  SELECT l.query_id, COUNT(*) AS n
+       |  FROM lsh l JOIN brute b USING (query_id, vec_id) GROUP BY 1
+       |),
+       |m_ivf AS (
+       |  SELECT i.query_id, COUNT(*) AS n
+       |  FROM ivf i JOIN brute b USING (query_id, vec_id) GROUP BY 1
+       |)
+       |SELECT 'lsh' AS method, q.query_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_matched,
+       |  CAST(coalesce(n, 0) AS DOUBLE) / $k.0 AS recall_at_k
+       |FROM q LEFT JOIN m_lsh ON q.query_id = m_lsh.query_id
+       |UNION ALL
+       |SELECT 'ivf' AS method, q.query_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_matched,
+       |  CAST(coalesce(n, 0) AS DOUBLE) / $k.0 AS recall_at_k
+       |FROM q LEFT JOIN m_ivf ON q.query_id = m_ivf.query_id""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN — the other canonical scale path besides LSH:
     * a coarse quantizer partitions the corpus into `nLists` inverted lists;
     * each query probes only its `nProbe` nearest centroids and

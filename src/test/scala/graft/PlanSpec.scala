@@ -370,6 +370,24 @@ class PlanSpec extends AnyFunSuite {
       "sample filter did not stay a scan-side Filter condition")
   }
 
+  test("dataset_card: doc-keyed joins + one grouped aggregate, total broadcast, no cartesian") {
+    val plan = formatted(graft.text.TrainPrep.datasetCard(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "card must not cartesian anywhere")
+    assert(plan.contains("LeftSemi"), "contamination membership must stay a semi-join")
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row curated-token total must broadcast, not shuffle")
+    // the only SinglePartition allowed is the 1-row global total's final agg
+    val sp = "SinglePartition".r.findAllIn(plan).size
+    assert(sp <= 2, s"cell aggregate collapsed to one partition ($sp SinglePartition nodes)")
+  }
+
+  test("multimodal_signal is a shuffle-free per-partition pipeline") {
+    val plan = formatted(graft.multimodal.Multimodal.signal(spark, dir))
+    assert(!plan.contains("Exchange"),
+      "signal decode must stay a zero-shuffle mapPartitions pipeline")
+    assert(plan.contains("MapPartitions"), "decode should run per partition")
+  }
+
   test("ann_ivf windows stay query-partitioned; probe join is key-based") {
     val plan = formatted(graft.ann.Ann.annIvfTopK(spark, dir))
     assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
