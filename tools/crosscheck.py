@@ -2,7 +2,12 @@
 """Local mimic of the driver's correctness gate: run graft.Verify output vs
 DuckDB oracle_sql.json on the same parquet tables. Exact value compare after
 sorting columns by name and rows by all values. Driver-side python only —
-NOT part of the library."""
+NOT part of the library.
+
+At replicated corpora >=10x, the replay-heavy oracles (anomaly_ml,
+customer_clusters, cluster_keepers, dedup_clusters, incremental_neardup,
+streaming_neardup_replay) should run through tools/staged_oracle.py
+instead — the raw chains here OOM at 100x regardless of CC_* settings."""
 import sys, json, glob, math
 import duckdb
 
