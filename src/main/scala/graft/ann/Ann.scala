@@ -310,7 +310,11 @@ object Ann {
     * Scale shape: two left-semi joins keyed (query_id, vec_id) over
     * ≤ |queries|·k rows each — bounded by the knob, not the corpus. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // brute force is the expensive exact scan and it feeds FOUR plan arms
+    // (semi-join right + query list, × two methods) — materialize its
+    // ≤ queries·k rows once instead of recomputing the corpus scan 4×
     val brute = annTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
+      .localCheckpoint(false)
     def per(method: String, approx: DataFrame): DataFrame = {
       val m = approx.select(col("query_id"), col("vec_id"))
         .join(brute, Seq("query_id", "vec_id"), "left_semi")
