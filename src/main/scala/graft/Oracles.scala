@@ -213,6 +213,10 @@ object Oracles {
     // end-to-end replay oracle applies verbatim
     "ann_ivf_indexed" -> graft.ann.Ann.annIvfOracle(),
     "ann_recall" -> graft.ann.Ann.annRecallOracle(),
+    // dispatch replayed in SQL: the same count-vs-threshold rule guards
+    // both route oracles, so the gate exercises whichever side of the
+    // threshold the gated corpus lands on
+    "ann_auto" -> graft.ann.Ann.annAutoOracle,
     "customer_clusters" -> graft.ml.Clustering.customerClustersOracle(),
     "model_eval" -> graft.ml.ModelEval.modelEvalOracle,
     "ann_filtered" -> graft.ann.Ann.annFilteredOracle,

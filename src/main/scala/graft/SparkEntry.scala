@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_ivf"          -> ((s, d) => graft.ann.Ann.annIvfTopK(s, d)),
     "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
     "ann_recall"       -> ((s, d) => graft.ann.Ann.annRecall(s, d)),
+    "ann_auto"         -> ((s, d) => graft.ann.Ann.annAuto(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     "multimodal_signal" -> ((s, d) => graft.multimodal.Multimodal.signal(s, d)),

@@ -105,17 +105,33 @@ object Ann {
     }
   }
 
+  /** Shipped LSH table count, scaled with the bucket bits: 6·bits − 6.
+    *
+    * Adaptive bits grow log2(n/64) with the corpus, and each extra bit
+    * multiplies a near pair's per-table collision odds by p < 1 — at a
+    * FIXED table count recall decays as n grows (measured: 0.95 at
+    * sf0.01/bits=3/12 tables but 0.69 at sf0.1/bits=5/12 tables, the same
+    * dilution embed_neardup documents). Scaling tables with bits buys it
+    * back: the r14 ladder at sf0.1/bits=5 measures 0.77 @ 16, 0.86 @ 20,
+    * 0.91 @ 24, 0.95 @ 30 — 6·bits−6 lands 24 there and leaves the
+    * sf0.001/sf0.01 geometry (bits=3 → 12 tables) bit-identical to every
+    * prior round. Candidate volume stays ~n·tables·64 (linear in n, log-ish
+    * in tables); the knob stays exposed for corpora with real structure. */
+  def lshDefaultTables(bits: Int): Int = math.max(12, 6 * bits - 6)
+
   /** SRP-LSH cosine top-k: bucket-collision candidates (ids only through the
     * join — embeddings re-attached once for the exact re-score). `bits <= 0`
-    * auto-sizes from the corpus row count (a metadata-only parquet count). */
+    * auto-sizes from the corpus row count (a metadata-only parquet count);
+    * `tables <= 0` scales with the chosen bits ([[lshDefaultTables]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 12, bits: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
+              tables: Int = 0, bits: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val b = if (bits > 0) bits else adaptiveBits(cachedCount(corpus))
-    val pl = planes(tables, b, dim, seed)
-    val c = withBuckets(corpus.select("vec_id", "embedding"), "embedding", pl, tables, b, dim, seed)
+    val t = if (tables > 0) tables else lshDefaultTables(b)
+    val pl = planes(t, b, dim, seed)
+    val c = withBuckets(corpus.select("vec_id", "embedding"), "embedding", pl, t, b, dim, seed)
       .select("tbl", "bucket", "vec_id")
     val qIn = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val q = withBuckets(qIn, "q_emb", pl, tables, b, dim, seed).select("tbl", "bucket", "query_id")
+    val q = withBuckets(qIn, "q_emb", pl, t, b, dim, seed).select("tbl", "bucket", "query_id")
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
@@ -135,14 +151,16 @@ object Ann {
   }
 
   /** DuckDB oracle replaying annLshTopK end-to-end: the md5-integer SRP
-    * hyperplanes, adaptive bits, exact-long bucket projections (the
-    * embedNearDupsOracle machinery at tables = 12), bucket-collision
-    * candidates against the `vec_id < 10` query set, q20 exact re-score,
-    * and the (cos DESC, vec_id) top-k window. */
+    * hyperplanes, adaptive bits, bits-scaled table count (6·bits − 6, min
+    * 12 — [[lshDefaultTables]]), exact-long bucket projections (the
+    * embedNearDupsOracle machinery), bucket-collision candidates against
+    * the `vec_id < 10` query set, q20 exact re-score, and the
+    * (cos DESC, vec_id) top-k window. */
   def annLshOracle: String =
     """WITH nb AS (
-      |  SELECT COALESCE((SELECT MIN(b) FROM range(3, 21) t(b)
-      |                   WHERE (1 << b) * 64 >= (SELECT COUNT(*) FROM embeddings)), 20) AS bits
+      |  SELECT bits, GREATEST(12, 6 * bits - 6) AS tables FROM (
+      |    SELECT COALESCE((SELECT MIN(b) FROM range(3, 21) t(b)
+      |                     WHERE (1 << b) * 64 >= (SELECT COUNT(*) FROM embeddings)), 20) AS bits)
       |), pl AS (
       |  SELECT t.range AS t, b.range AS b,
       |    list_transform(range(0, 64), j ->
@@ -150,8 +168,8 @@ object Ann {
       |        (strpos('0123456789abcdef',
       |           substring(md5('srp|42|' || t.range || '|' || b.range || '|' || j), i, 1)) - 1)
       |        * (16.0 ** (8 - i)))) AS BIGINT) - 2147483648) AS hv
-      |  FROM range(0, 12) t, range(0, 20) b, nb
-      |  WHERE b.range < nb.bits
+      |  FROM range(0, 114) t, range(0, 20) b, nb
+      |  WHERE b.range < nb.bits AND t.range < nb.tables
       |), qv AS (
       |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
       |  FROM embeddings
@@ -218,12 +236,25 @@ object Ann {
   def bruteTopKExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqSum(col("qe")))
-    val q = broadcast(queries
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("q_qe"))
-      .withColumn("q_nrm", sqSum(col("q_qe"))))
+    val q = queries
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqSum(col("qe")))
+    bruteTopKPreQuantized(c, q, k)
+  }
+
+  /** The brute-force tail over ALREADY-quantized vectors (vec_id, qe, nrm)
+    * on both sides — shared by the inline path ([[bruteTopKExact]]) and the
+    * persisted-index path ([[annRecall]], which reads the q20 vectors the
+    * IVF index build materialized instead of re-quantizing the float corpus
+    * per audit run). Quantization is deterministic and doubles round-trip
+    * parquet bit-exactly, so the two entry points are bit-identical. */
+  private[graft] def bruteTopKPreQuantized(corpus: DataFrame, queries: DataFrame,
+                                           k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("qe").as("q_qe"), col("nrm").as("q_nrm")))
     val dot = aggregate(zip_with(col("qe"), col("q_qe"), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
-    val scored = c.crossJoin(q)
+    val scored = corpus.select(col("vec_id"), col("qe"), col("nrm")).crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim",
         when(col("nrm") * col("q_nrm") === 0.0, lit(null).cast("double"))
@@ -312,8 +343,16 @@ object Ann {
   def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     // brute force is the expensive exact scan and it feeds FOUR plan arms
     // (semi-join right + query list, × two methods) — materialize its
-    // ≤ queries·k rows once instead of recomputing the corpus scan 4×
-    val brute = annTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
+    // ≤ queries·k rows once instead of recomputing the corpus scan 4×.
+    // The exact leg reads the q20 vectors the persisted IVF index already
+    // materialized (fingerprint-validated via ensureIvfIndex) instead of
+    // re-quantizing the float corpus per run — at 100× the audit leg was
+    // 49.8 s of repeated quantization; the IVF leg rides the same index
+    // (annIvfIndexed ≡ annIvfTopK bit-for-bit, same oracle).
+    val idx = ensureIvfIndex(spark, dir)
+    val vecs = spark.read.parquet(s"$idx/vectors")
+    val brute = bruteTopKPreQuantized(vecs, vecs.filter(col("vec_id") < 10), k)
+      .select(col("query_id"), col("vec_id"))
       .localCheckpoint(false)
     def per(method: String, approx: DataFrame): DataFrame = {
       val m = approx.select(col("query_id"), col("vec_id"))
@@ -327,7 +366,7 @@ object Ann {
             .as("recall_at_k"))
     }
     per("lsh", annLshTopK(spark, dir, k))
-      .unionByName(per("ivf", annIvfTopK(spark, dir, k)))
+      .unionByName(per("ivf", annIvfIndexed(spark, dir, k)))
       .orderBy(col("method"), col("query_id"))
   }
 
@@ -335,6 +374,10 @@ object Ann {
     * as parenthesized sub-WITH blocks — each oracle's CTE names stay
     * scoped to its own subquery — intersected per query. */
   def annRecallOracle(k: Int = 10): String = {
+    // annTopKOracle/annLshOracle pin k=10 in their SQL; a non-default k
+    // here would silently grade against a mismatched brute/LSH set — fail
+    // loudly instead (the driver query only ever uses the default).
+    require(k == 10, s"annRecallOracle replays the k=10 brute/LSH oracles; got k=$k")
     def setOf(inner: String) =
       s"(SELECT query_id, vec_id FROM ($inner))"
     s"""WITH brute AS ${setOf(annTopKOracle)},
@@ -386,6 +429,21 @@ object Ann {
     * 100 TB. */
   val IvfDims = 64
   val IvfIters = 10
+
+  /** Shipped probe default, scaled with the list count: nProbe = nLists − 1.
+    *
+    * Why so high: the synthetic test embeddings are ISOTROPIC (uniform on
+    * the sphere), the worst case for any partition-based ANN — true top-k
+    * neighborhoods barely concentrate, so measured recall ≈ probed corpus
+    * fraction (r14 curve at sf0.01/sf0.1, nLists=8: 0.57/0.67 @ 3 probes,
+    * 0.82/0.85 @ 5, 0.96/0.98 @ 7; nLists=16 tracks the same coverage
+    * line). nLists−1 is the cheapest default that measures ≥ 0.9 recall@10
+    * at every gated SF on that worst case (0.96 @ sf0.01, 0.98 @ sf0.1 —
+    * ann_recall is the driver-gated measurement). On real clustered
+    * corpora the same geometry concentrates and nProbe can drop along the
+    * measured curve — the knob stays exposed; the DEFAULT is sized for the
+    * honest worst case, not the friendly one. */
+  def ivfDefaultProbe(nLists: Int): Int = math.max(1, nLists - 1)
 
   /** q20-quantized embedding as exact longs. */
   private def qeLong(c: Column): Column = transform(quantize(c), x => x.cast("long"))
@@ -455,7 +513,8 @@ object Ann {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nProbe: Int = 3): DataFrame = {
+              nLists: Int = 8, nProbe: Int = 0): DataFrame = {
+    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
     // no seed parameter since r10: the deterministic fit consumes no
     // randomness (md5-seeded maxmin init + fixed iterations)
     val spark = corpus.sparkSession
@@ -474,7 +533,7 @@ object Ann {
       model.centers.toIndexedSeq.zipWithIndex
         .map { case (g, i) => (i.toLong, g.toSeq) })
       .toDF("c_id", "g")
-    ivfProbeScore(corpus, queries, lists, centroids, model.mu, model.sigma, k, nProbe)
+    ivfProbeScore(corpus, queries, lists, centroids, model.mu, model.sigma, k, probes)
   }
 
   def annIvfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
@@ -508,6 +567,13 @@ object Ann {
       .sortWithinPartitions("list_id")
       .write.mode("overwrite").parquet(s"$indexDir/lists")
     feats.unpersist()
+    // q20-quantized vectors + norms, persisted once: the exact audit legs
+    // (annRecall's brute force) read these instead of re-quantizing the
+    // float corpus per run. Exact-integer doubles round-trip parquet
+    // bit-exactly, so consumers are bit-identical to the inline path.
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqSum(col("qe")))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
     import spark.implicits._
     model.centers.toIndexedSeq.zipWithIndex
       .map { case (g, i) => (i.toLong, g.toSeq) }
@@ -525,7 +591,7 @@ object Ann {
   /** IVF top-k against a prebuilt index: same probe + exact-re-score tail
     * as [[ivfTopK]], quantizer artifacts read from `indexDir` — no fit. */
   def ivfTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
-                     k: Int = 10, nProbe: Int = 3): DataFrame = {
+                     k: Int = 10, nProbe: Int = 0): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val lists = spark.read.parquet(s"$indexDir/lists")
     val centroids = spark.read.parquet(s"$indexDir/centroids")
@@ -534,17 +600,19 @@ object Ann {
     // entries are impossible while the dir is memo-validated: buildIvfIndex
     // overwrites model before meta, and ensureMemo is keyed on the same dir.
     if (ivfModelMemo.size > MemoBound) ivfModelMemo.clear()
-    val (mu, sigma) = ivfModelMemo.computeIfAbsent(indexDir, { d =>
+    val (mu, sigma, nLists) = ivfModelMemo.computeIfAbsent(indexDir, { d =>
       val m = spark.read.parquet(s"$d/model").head
+      val nl = spark.read.parquet(s"$d/meta").head.getAs[Int]("n_lists")
       (m.getSeq[Double](m.fieldIndex("mu")).toArray,
-        m.getSeq[Double](m.fieldIndex("sigma")).toArray)
+        m.getSeq[Double](m.fieldIndex("sigma")).toArray, nl)
     })
+    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
-      mu, sigma, k, nProbe)
+      mu, sigma, k, probes)
   }
 
   private val ivfModelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Int)]()
 
   /** Index dirs whose on-disk fingerprint this JVM already validated.
     * The staleness check exists to protect ACROSS JVM restarts (a durable
@@ -573,7 +641,10 @@ object Ann {
   private[graft] def ensureIvfIndex(spark: SparkSession, dir: String,
                                     nLists: Int = 8): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val key = md.digest(s"$dir|$IvfDims|$IvfIters|$nLists".getBytes("UTF-8"))
+    // "v2": r14 added the vectors/ leg to the index layout — a version in
+    // the key retires v1 dirs (valid meta, no vectors/) by never touching
+    // them rather than by a format sniff
+    val key = md.digest(s"$dir|$IvfDims|$IvfIters|$nLists|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivf_idx_$key").getAbsolutePath
@@ -606,13 +677,52 @@ object Ann {
     ivfTopKIndexed(spark, dir, ensureIvfIndex(spark, dir), k)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Size-adaptive ANN dispatch — the hybrid_search_auto lesson (31×/query
+    * at 100×) applied to the ANN family: below [[AnnAutoThreshold]] corpus
+    * vectors the exact brute scan IS the right plan (one corpus pass, no
+    * index to build or keep fresh); at or above it the query routes to the
+    * persisted-IVF probe, whose shipped default now measures ≥ 0.9 recall@10
+    * on the isotropic worst case ([[ivfDefaultProbe]]). The corpus count is
+    * a metadata-only parquet count, memoized ([[cachedCount]]).
+    *
+    * Unlike hybrid_search_auto the two routes are NOT bit-identical — one is
+    * exact, one approximate by contract — so the parity obligation moves to
+    * the DISPATCH itself: the oracle replays the same count-vs-threshold
+    * rule in SQL ([[annAutoOracle]]), AnnSpec pins the routing exactly AT
+    * the threshold (≥ routes to IVF) and one below it, and each route is
+    * bit-identical to its standalone query (ann_topk / ann_ivf_indexed),
+    * both already hash-gated at every SF. */
+  val AnnAutoThreshold = 50000L
+
+  private[graft] def annAutoRouted(spark: SparkSession, dir: String, k: Int = 10,
+                                   threshold: Long = AnnAutoThreshold): (String, DataFrame) = {
+    val n = cachedCount(Tables.embeddings(spark, dir))
+    if (n < threshold) ("brute", annTopK(spark, dir, k))
+    else ("ivf", annIvfIndexed(spark, dir, k))
+  }
+
+  def annAuto(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    annAutoRouted(spark, dir, k)._2
+
+  /** Oracle for [[annAuto]]: both route oracles guarded by the SAME
+    * count-vs-threshold predicate the Scala dispatch evaluates — the oracle
+    * replays the routing, so the gate proves dispatch + routed plan at
+    * whatever side of the threshold the gated corpus lands on (brute at the
+    * SF gates, IVF at the 100× corpus: 200k ≥ 50k). */
+  def annAutoOracle: String =
+    s"""SELECT * FROM ($annTopKOracle)
+       |WHERE (SELECT COUNT(*) FROM embeddings) < $AnnAutoThreshold
+       |UNION ALL
+       |SELECT * FROM (${annIvfOracle()})
+       |WHERE (SELECT COUNT(*) FROM embeddings) >= $AnnAutoThreshold""".stripMargin
+
   /** DuckDB oracle replaying annIvfTopK end-to-end: the q20 component
     * features (zero-padded past the vector length), the DetKMeans CTE
     * chain over them, centroid probing in z-space, and the q20 re-score +
     * top-k tail (the annLshOracle tail). The driver's query set is
     * `vec_id < 10` ⊂ corpus, so query z-vectors come straight from
     * `afin`. */
-  def annIvfOracle(k: Int = 10, nLists: Int = 8, nProbe: Int = 3): String = {
+  def annIvfOracle(k: Int = 10, nLists: Int = 8, nProbe: Int = 7): String = {
     val pre =
       """qv AS (
         |  SELECT vec_id, qe,

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.Tables
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+/** Scratch measurement main: recall@10 vs brute force for the IVF
+  * (nLists, nProbe) grid and the LSH `tables` ladder at a given SF dir —
+  * the evidence behind the shipped ANN defaults (ivfDefaultProbe,
+  * lshDefaultTables). Not part of the query surface. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.GraftSession.create("recall-probe", "local[32]")
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val brute = Ann.bruteTopKExact(emb, queries, k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    for (nLists <- Seq(8); nProbe <- Seq(3, 5, 7) if nProbe <= nLists) {
+      val r = recallOf(Ann.ivfTopK(emb, queries, k, nLists = nLists, nProbe = nProbe))
+      println(f"RECALL kind=ivf dir=$dir nLists=$nLists nProbe=$nProbe recall=$r%.3f")
+    }
+    for (tables <- Seq(12, 16, 20, 24, 30)) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Ann.lshTopK(emb, queries, k, tables = tables))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"RECALL kind=lsh dir=$dir tables=$tables recall=$r%.3f sec=$sec%.1f")
+    }
+    spark.stop()
+  }
+}
