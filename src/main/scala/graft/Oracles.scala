@@ -1312,6 +1312,10 @@ object Oracles {
     // both routes are bit-identical, so the flat oracle gates whichever
     // side of the size threshold the corpus lands on
     "hybrid_search_auto" -> graft.text.HybridSearch.hybridSearchOracle,
+    // the streamed index, once every doc has flowed in, answers bit-for-bit
+    // what the flat form computes (vecs-only read, same q20 recipe, doc_id
+    // dedup across corpus+appends) — same oracle
+    "streaming_hybrid_index_replay" -> graft.text.HybridSearch.hybridSearchOracle,
 
     "table_health" ->
       s"""WITH daily AS (

@@ -195,7 +195,11 @@ object SparkEntry {
     // SRP bucket-probed sublinear leg (text/HybridSearch.scala)
     "hybrid_search_indexed" -> ((s, d) => graft.text.HybridSearch.hybridSearchPersisted(s, d)),
     "hybrid_search_probe" -> ((s, d) => graft.text.HybridSearch.hybridSearchProbe(s, d)),
-    "hybrid_search_auto" -> ((s, d) => graft.text.HybridSearch.hybridSearchAuto(s, d))
+    "hybrid_search_auto" -> ((s, d) => graft.text.HybridSearch.hybridSearchAuto(s, d)),
+    // streaming ingest arc replay: sink + in-sink compaction + append-union
+    // read, hash-gated through the flat oracle (bit-parity by construction)
+    "streaming_hybrid_index_replay" -> ((s, d) =>
+      graft.streaming.StreamingHybridIndex.streamingHybridIndexReplay(s, d))
   )
 
   /** DuckDB-equivalent SQL per query key (see Oracles). Keys absent here are

@@ -52,4 +52,47 @@ object StreamingHybridIndex {
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         HybridSearch.compactIndex(spark, indexDir)
     }
+
+  /** Driver-gated replay of the streaming-ingest arc — the
+    * streaming_neardup_replay recipe applied to the hybrid index: build the
+    * index over the settled corpus (every source but src0), push the src0
+    * slice through [[indexSink]] as `nBatches` contiguous id-ordered
+    * micro-batches WITH in-sink compaction (compactEvery = 2, so the run
+    * exercises append → fold → post-fold append → final corpus+append
+    * union read), then answer the standard hybrid query off the streamed
+    * index.
+    *
+    * Why this is oracle-expressible: the vector leg of the full-scoring
+    * indexed query reads only `vecs` (doc_id, q20 embedding), appends embed
+    * with the SAME q20 recipe the builder uses, and the reader dedups
+    * doc_ids across corpus and appends — so once every document has flowed
+    * in, the streamed index answers bit-for-bit what flat
+    * [[HybridSearch.hybridSearch]] computes, and the query rides the
+    * existing hybrid_search oracle. The driver thereby hash-gates the
+    * ingest sink + compaction + append-union read path itself, not just
+    * its spec.
+    *
+    * Scale notes: driver loop bounded by `nBatches` (micro-batches are
+    * inherently sequential); scratch dirs via [[ReplayScratch]]
+    * (JVM-exit-deleted, SPARK_GRAFT_SCRATCH-rooted). */
+  def streamingHybridIndexReplay(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, nBatches: Int = 5): DataFrame = {
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val settled = docs.filter(col("source") =!= graft.dedup.IncrementalDedup.BatchSource)
+      .select("doc_id", "text")
+    val indexDir = ReplayScratch.dir("shi_replay_idx")
+    HybridSearch.buildIndexFrom(spark, settled, indexDir)
+    val slice = docs.filter(col("source") === graft.dedup.IncrementalDedup.BatchSource)
+      .select("doc_id", "text")
+    val banded = graft.operators.RankOps
+      .withGlobalNtile(slice, "__b", nBatches, Seq(col("doc_id")))
+      .localCheckpoint(false) // one rank pass, reused by every micro-batch filter
+    val sink = indexSink(indexDir, compactEvery = 2)
+    (1 to nBatches).foreach { k =>
+      sink(banded.filter(col("__b") === k).select("doc_id", "text"), (k - 1).toLong)
+    }
+    HybridSearch.hybridSearchIndexed(spark, dir, indexDir)
+  }
 }

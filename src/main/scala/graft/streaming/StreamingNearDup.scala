@@ -219,17 +219,18 @@ object StreamingNearDup {
     *
     * Scale notes: the driver loop is bounded by `nBatches` (micro-batches
     * are inherently sequential); each sink call is the batch-sized probe.
-    * Index/output dirs are fresh per call under java.io.tmpdir — this is
-    * a verification surface; production streams own durable dirs. */
+    * Index/output dirs are fresh per call via [[ReplayScratch]] (deleted at
+    * JVM exit — the returned frame reads them lazily, so eager deletion
+    * would race the caller's materialization; root configurable through
+    * SPARK_GRAFT_SCRATCH) — this is a verification surface; production
+    * streams own durable dirs. */
   def streamingNearDupReplay(spark: SparkSession, dir: String,
                              nBatches: Int = 4): DataFrame = {
     import graft.Tables
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("source") =!= IncrementalDedup.BatchSource)
-    val indexDir =
-      java.nio.file.Files.createTempDirectory("snd_replay_idx").toString
-    val outDir =
-      java.nio.file.Files.createTempDirectory("snd_replay_out").toString
+    val indexDir = ReplayScratch.dir("snd_replay_idx")
+    val outDir = ReplayScratch.dir("snd_replay_out")
     buildCorpusIndex(corpus, indexDir)
     val slice = docs.filter(col("source") === IncrementalDedup.BatchSource)
       .select("doc_id", "text")

@@ -141,16 +141,26 @@ object HybridSearch {
 
   def buildIndex(spark: SparkSession, dir: String, indexDir: String,
                  dim: Int = Embeddings.Dim, tables: Int = IndexTables,
-                 seed: Long = IndexSeed): Unit = {
+                 seed: Long = IndexSeed): Unit =
+    buildIndexFrom(spark, Tables.documents(spark, dir), indexDir, dim, tables, seed)
+
+  /** Index build over an explicit docs frame (`doc_id`, `text`) — the
+    * streaming-replay gate seeds a settled-corpus SUBSET and streams the
+    * rest through [[appendToIndex]]; the dir-based [[buildIndex]] delegates
+    * here with the full documents table. Fingerprint (ndocs/max_doc_id)
+    * and adaptive bits come from the given frame in one agg pass. */
+  def buildIndexFrom(spark: SparkSession, docs: DataFrame, indexDir: String,
+                     dim: Int = Embeddings.Dim, tables: Int = IndexTables,
+                     seed: Long = IndexSeed): Unit = {
     geometryMemo.remove(indexDir) // a rebuild may change adaptive bits
-    val docs = Tables.documents(spark, dir)
-    val bits = graft.ann.Ann.adaptiveBits(docs.count())
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("m")).head
+    val (nd, mx) = (fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1))
+    val bits = graft.ann.Ann.adaptiveBits(nd)
     val vecs = docs.select(col("doc_id"), q20Vec(col("text"), dim).as("qvec"))
     vecs.write.mode("overwrite").parquet(s"$indexDir/corpus/vecs")
     writeBuckets(spark, spark.read.parquet(s"$indexDir/corpus/vecs"),
       s"$indexDir/corpus/buckets", tables, bits, dim, seed)
     import spark.implicits._
-    val (nd, mx) = corpusFingerprint(spark, dir)
     Seq((tables, bits, dim, seed, nd, mx))
       .toDF("tables", "bits", "dim", "seed", "ndocs", "max_doc_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/corpus/meta")

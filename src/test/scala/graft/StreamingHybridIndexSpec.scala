@@ -86,4 +86,14 @@ class StreamingHybridIndexSpec extends AnyFunSuite {
       spark, Seq((999999L, "fresh post-fold doc")).toDF("doc_id", "text"), idx, 2L),
       "new batchId above the watermark was wrongly skipped")
   }
+
+  test("driver replay query is bit-identical to the flat hybrid search") {
+    // the parity claim the streaming_hybrid_index_replay oracle rides:
+    // settled-subset build + streamed src0 slice + in-sink folds ==
+    // flat hybridSearch over the full documents table
+    val streamed = rows(
+      graft.streaming.StreamingHybridIndex.streamingHybridIndexReplay(spark, dir))
+    val flat = rows(HybridSearch.hybridSearch(spark, dir))
+    assert(streamed === flat, "streamed-index replay diverged from flat hybrid search")
+  }
 }
