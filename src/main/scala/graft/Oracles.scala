@@ -360,8 +360,10 @@ object Oracles {
          |FROM h""".stripMargin,
 
     // Signal-level twin of multimodal_features: the Spark side genuinely
-    // walks the BMP header / WAV RIFF chunks and reads raw pixels / PCM16
-    // samples; the oracle replays the SAME bytes from the text column —
+    // walks the BMP header / WAV RIFF chunks / PNG chunk stream (IDAT
+    // inflated through the JDK zlib, all five scanline filters reversed)
+    // and reads raw pixels / PCM16 samples; the oracle replays the SAME
+    // bytes from the text column —
     // hex(encode(text)) exploded per sample (audio) or per pixel byte
     // (image) via closed-form synthesis parameters. All stats are exact
     // integer sums; the emitted doubles are single-rounding quotients
@@ -375,7 +377,7 @@ object Oracles {
          |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m,
          |    hex(encode(text)) AS h,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS n
-         |  FROM documents WHERE doc_id % 3 < 2
+         |  FROM documents
          |), asamp AS ( -- LE int16 samples: byte 2i low, byte 2i+1 high
          |  SELECT doc_id,
          |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
@@ -388,20 +390,24 @@ object Oracles {
          |    SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS clip,
          |    SUM(CAST(s AS BIGINT) * s) AS ss
          |  FROM asamp GROUP BY 1
-         |), ibyte AS ( -- BGR bytes over whole 12-byte rows (width 4, no pad)
-         |  SELECT doc_id, CAST(i % 3 AS INT) AS ch, ${byteAt("i")} AS b
-         |  FROM (SELECT doc_id, h, unnest(range(0, 12 * (d.n // 12))) AS i
-         |        FROM d WHERE d.m = 0)
+         |), ibyte AS ( -- pixel bytes over whole 12-byte rows (width 4, no
+         |              -- pad): m=0 rows are BMP BGR, m=2 rows are the SAME
+         |              -- text bytes as PNG RGB (the zlib round-trip is
+         |              -- identity on the pixels, so the closed form stays
+         |              -- byte-positional — only the channel order flips)
+         |  SELECT doc_id, m, CAST(i % 3 AS INT) AS ch, ${byteAt("i")} AS b
+         |  FROM (SELECT doc_id, m, h, unnest(range(0, 12 * (d.n // 12))) AS i
+         |        FROM d WHERE d.m IN (0, 2))
          |), iagg AS (
          |  SELECT doc_id, COUNT(*) // 3 AS np,
-         |    SUM(CASE WHEN ch = 0 THEN b END) AS sb,
+         |    SUM(CASE WHEN ch = CASE m WHEN 0 THEN 0 ELSE 2 END THEN b END) AS sb,
          |    SUM(CASE WHEN ch = 1 THEN b END) AS sg,
-         |    SUM(CASE WHEN ch = 2 THEN b END) AS sr
+         |    SUM(CASE WHEN ch = CASE m WHEN 0 THEN 2 ELSE 0 END THEN b END) AS sr
          |  FROM ibyte GROUP BY 1
          |)
          |SELECT d.doc_id,
-         |  CASE d.m WHEN 0 THEN 'image' ELSE 'audio' END AS media_type,
-         |  CAST(CASE d.m WHEN 0 THEN 4 * (d.n // 12) ELSE d.n // 2 END AS BIGINT) AS n_units,
+         |  CASE d.m WHEN 1 THEN 'audio' ELSE 'image' END AS media_type,
+         |  CAST(CASE d.m WHEN 1 THEN d.n // 2 ELSE 4 * (d.n // 12) END AS BIGINT) AS n_units,
          |  CAST(a.peak AS BIGINT) AS peak_abs,
          |  CAST(a.clip AS BIGINT) AS clip_count,
          |  sqrt(CAST(a.ss AS DOUBLE) / CAST(a.cnt AS DOUBLE)) AS rms,

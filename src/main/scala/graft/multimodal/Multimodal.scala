@@ -209,6 +209,147 @@ object Multimodal {
       pixels
   }
 
+  // ---- PNG with a REAL zlib pixel stream -----------------------------
+  //
+  // r13's §6 claimed pixel decode past the container "needs codec libs the
+  // environment doesn't ship" — wrong for PNG: its compression is zlib and
+  // java.util.zip.{Deflater, Inflater} ship in every JVM. The synthesis
+  // side deflates genuinely filtered scanlines into IDAT; the decoder
+  // walks chunks, inflates, and reverses all five spec filters.
+
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val td = tag.getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32()
+    crc.update(td)
+    be32(data.length.toLong) ++ td ++ be32(crc.getValue)
+  }
+
+  /** PNG Paeth predictor (spec §4.5.4 — shared by encoder and decoder). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A complete non-interlaced 8-bit RGB PNG whose IDAT is a genuine zlib
+    * stream: scanline y is filtered with type (y % 5) — every one of the
+    * five spec filters (None/Sub/Up/Average/Paeth), predicting from the
+    * RAW bytes of the current and prior scanlines as the spec requires —
+    * then deflated. `pixels.length` must be 3·width·height (RGB rows, no
+    * padding). Deflate output bytes may vary by JVM, but only the INFLATED
+    * result feeds any query result, so nothing nondeterministic leaks. */
+  def pngPixelBytes(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    val bpp = 3
+    val stride = bpp * width
+    require(pixels.length == stride * height,
+      s"pngPixelBytes: pixel array ${pixels.length} != 3*$width*$height")
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw((stride + 1) * y) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val x = pixels(stride * y + i) & 0xff
+        val a = if (i >= bpp) pixels(stride * y + i - bpp) & 0xff else 0
+        val b = if (y > 0) pixels(stride * (y - 1) + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) pixels(stride * (y - 1) + i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        raw((stride + 1) * y + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be32(width.toLong) ++ be32(height.toLong) ++ Array[Byte](8, 2, 0, 0, 0)
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode a non-interlaced 8-bit RGB PNG to (width, height, raw RGB
+    * pixels): chunk walk (IHDR geometry, IDAT concatenation, stop at
+    * IEND), one Inflater pass, then the five reconstruction filters in
+    * place. None for any other PNG flavor or a malformed stream — the
+    * caller's decode-failure row, never a crash. */
+  private[graft] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      if (!isPng(b)) return None
+      var pos = 8
+      var w = -1; var h = -1; var ok = true
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && ok && pos + 8 <= b.length) {
+        val len = readBe32(b, pos).toInt
+        val tag = new String(b, pos + 4, 4, "US-ASCII")
+        if (len < 0 || pos + 12L + len > b.length) ok = false
+        else {
+          tag match {
+            case "IHDR" =>
+              w = readBe32(b, pos + 8).toInt
+              h = readBe32(b, pos + 12).toInt
+              // bit depth 8, color type 2 (RGB), default compression/filter,
+              // no interlace — the only flavor this decoder speaks
+              ok = len == 13 && b(pos + 16) == 8 && b(pos + 17) == 2 &&
+                b(pos + 18) == 0 && b(pos + 19) == 0 && b(pos + 20) == 0 &&
+                w >= 0 && h >= 0
+            case "IDAT" => idat.write(b, pos + 8, len)
+            case "IEND" => done = true
+            case _ => () // ancillary chunks skip by declared size
+          }
+          pos += 12 + len
+        }
+      }
+      if (!ok || w < 0 || h < 0) return None
+      val stride = 3 * w
+      val rawLen = (stride + 1) * h
+      val raw = new Array[Byte](rawLen)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var off = 0
+      while (off < rawLen && !infl.finished()) {
+        val k = infl.inflate(raw, off, rawLen - off)
+        if (k == 0 && infl.needsInput()) return None // truncated stream
+        off += k
+      }
+      infl.end()
+      if (off != rawLen) return None
+      val px = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = raw((stride + 1) * y) & 0xff
+        var i = 0
+        while (i < stride) {
+          val x = raw((stride + 1) * y + 1 + i) & 0xff
+          val a = if (i >= 3) px(stride * y + i - 3) & 0xff else 0
+          val bb = if (y > 0) px(stride * (y - 1) + i) & 0xff else 0
+          val c = if (y > 0 && i >= 3) px(stride * (y - 1) + i - 3) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => bb
+            case 3 => (a + bb) / 2
+            case 4 => paeth(a, bb, c)
+            case _ => return None // invalid filter type
+          }
+          px(stride * y + i) = ((x + pred) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    } catch { case _: Exception => None }
+
   /** Per-record signal stats. Audio fields (`peak_abs`/`clip_count`/`rms`)
     * are null for images and for zero-sample audio; channel means are null
     * for audio and zero-pixel images. All doubles are single-rounding
@@ -225,23 +366,30 @@ object Multimodal {
       mean_g: Option[Double],
       mean_r: Option[Double])
 
-  /** The signal-bearing media table: images become REAL uncompressed BMPs
-    * whose pixel array is the document text bytes (truncated to whole
-    * rows), audio keeps the [[wavBytes]] PCM16 container whose data chunk
-    * is the text bytes. Video (doc_id % 3 == 2) is excluded — AVI frame
-    * decode genuinely needs a codec. */
+  /** The signal-bearing media table: doc_id % 3 == 0 becomes a REAL
+    * uncompressed 24-bit BMP whose pixel array is the document text bytes
+    * (truncated to whole rows), == 1 keeps the [[wavBytes]] PCM16 container
+    * whose data chunk is the text bytes, and == 2 (the slot r13 excluded as
+    * "needs a codec") is a REAL compressed PNG — same text-byte pixels as
+    * the BMP but RGB row-major, filtered with all five spec filters and
+    * deflated through the JDK's zlib ([[pngPixelBytes]]). */
   def mediaSignalFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, dir).filter(col("doc_id") % 3 < 2)
+    Tables.documents(spark, dir)
       .select("doc_id", "text").as[(Long, String)].map { case (docId, text) =>
         val body = text.getBytes("UTF-8")
-        if (docId % 3 == 0) {
-          val rowSize = 3 * BmpWidth // 12, no padding
-          val h = body.length / rowSize
-          MediaRecord(docId, "image", bmpBytes(BmpWidth, h, body.take(h * rowSize)))
-        } else
-          MediaRecord(docId, "audio",
-            wavBytes(WavRates((docId % 5).toInt), 1 + docId % 2, body))
+        val rowSize = 3 * BmpWidth // 12, no padding at width 4
+        val h = body.length / rowSize
+        (docId % 3) match {
+          case 0 =>
+            MediaRecord(docId, "image", bmpBytes(BmpWidth, h, body.take(h * rowSize)))
+          case 1 =>
+            MediaRecord(docId, "audio",
+              wavBytes(WavRates((docId % 5).toInt), 1 + docId % 2, body))
+          case _ =>
+            MediaRecord(docId, "image",
+              pngPixelBytes(BmpWidth, h.toInt, body.take(h * rowSize)))
+        }
       }
   }
 
@@ -264,27 +412,55 @@ object Multimodal {
     */
   def decodeSignal(r: MediaRecord): MediaSignal = {
     val b = r.payload
+    def failed = MediaSignal(r.doc_id, r.media_type, 0L,
+      None, None, None, None, None, None)
     if (isBmp(b)) {
       val dataOff = readLe32(b, 10).toInt
       val width = readLe32(b, 18).toInt
-      val height = readLe32(b, 22).toInt
+      // biHeight is SIGNED: negative height is a spec-legal top-down BMP.
+      // Channel sums are row-order-independent, so |height| rows read
+      // from dataOff decode both orientations identically.
+      val height = math.abs(readLe32(b, 22).toInt)
       val rowSize = ((3 * width + 3) / 4) * 4
-      var (sb, sg, sr) = (0L, 0L, 0L)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        val row = dataOff + y * rowSize
-        while (x < width) {
-          val p = row + 3 * x
-          sb += u8(b(p)); sg += u8(b(p + 1)); sr += u8(b(p + 2))
-          x += 1
+      // header-declared geometry is untrusted input: an overstated
+      // width/height/dataOff must become a decode-failure row, not an
+      // ArrayIndexOutOfBounds from trusting the header
+      if (width <= 0 || dataOff < 54 ||
+          dataOff.toLong + rowSize.toLong * height > b.length) failed
+      else {
+        var (sb, sg, sr) = (0L, 0L, 0L)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          val row = dataOff + y * rowSize
+          while (x < width) {
+            val p = row + 3 * x
+            sb += u8(b(p)); sg += u8(b(p + 1)); sr += u8(b(p + 2))
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val np = width.toLong * height
+        def mean(s: Long) = if (np > 0) Some(s.toDouble / np.toDouble) else None
+        MediaSignal(r.doc_id, "image", np, None, None, None,
+          mean(sb), mean(sg), mean(sr))
       }
-      val np = width.toLong * height
-      def mean(s: Long) = if (np > 0) Some(s.toDouble / np.toDouble) else None
-      MediaSignal(r.doc_id, "image", np, None, None, None,
-        mean(sb), mean(sg), mean(sr))
+    } else if (isPng(b)) {
+      decodePngPixels(b) match {
+        case None => failed
+        case Some((w, h, px)) =>
+          // PNG rows are RGB (the BMP branch reads BGR) — sum accordingly
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < px.length) {
+            sr += u8(px(i)); sg += u8(px(i + 1)); sb += u8(px(i + 2))
+            i += 3
+          }
+          val np = w.toLong * h
+          def mean(s: Long) = if (np > 0) Some(s.toDouble / np.toDouble) else None
+          MediaSignal(r.doc_id, "image", np, None, None, None,
+            mean(sb), mean(sg), mean(sr))
+      }
     } else if (isWav(b)) {
       // chunk walk from byte 12 (past RIFF size + WAVE tag)
       var pos = 12

@@ -102,10 +102,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(z.n_units == 0L && z.mean_b.isEmpty)
   }
 
-  test("signal covers every image/audio document with consistent stats") {
+  test("decodeSignal rejects untrusted BMP geometry instead of overrunning") {
+    // overstated height: 100 declared rows over a 2-row payload — must be
+    // a decode-failure row (n_units 0), not ArrayIndexOutOfBounds
+    val good = Multimodal.bmpBytes(4, 2, Array.fill[Byte](24)(7))
+    val overH = good.clone()
+    overH(22) = 100 // biHeight LE byte 0
+    val f = Multimodal.decodeSignal(MediaRecord(6L, "image", overH))
+    assert(f.n_units == 0L && f.mean_b.isEmpty)
+    // overstated dataOff past the payload: failure row too
+    val overOff = good.clone()
+    overOff(10) = 127 // bfOffBits LE byte 0 → pixel region overruns
+    assert(Multimodal.decodeSignal(MediaRecord(7L, "image", overOff)).n_units == 0L)
+    // negative height (top-down BMP, spec-legal): |height| rows, identical
+    // channel sums — means must match the bottom-up original
+    val negH = good.clone()
+    negH(22) = -2; negH(23) = -1; negH(24) = -1; negH(25) = -1 // -2 as LE32
+    val up = Multimodal.decodeSignal(MediaRecord(8L, "image", good))
+    val down = Multimodal.decodeSignal(MediaRecord(8L, "image", negH))
+    assert(down.n_units == up.n_units && down.mean_b == up.mean_b &&
+      down.mean_g == up.mean_g && down.mean_r == up.mean_r)
+  }
+
+  test("PNG pixel round-trip: all five scanline filters reverse exactly") {
+    // 5 rows of width 4 → filter types 0..4 all exercised; arbitrary bytes
+    val px = Array.tabulate[Byte](3 * 4 * 5)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.pngPixelBytes(4, 5, px)
+    // a genuine PNG: signature + parseable IHDR chunk
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val (w, h, got) = Multimodal.decodePngPixels(png).get
+    assert(w == 4 && h == 5)
+    assert(got.sameElements(px), "inflate+unfilter did not reproduce the raw pixels")
+    // signal stats: RGB channel means over the original bytes
+    val s = Multimodal.decodeSignal(MediaRecord(9L, "image", png))
+    assert(s.n_units == 20L)
+    def meanOf(ch: Int) = px.indices.filter(_ % 3 == ch).map(i => px(i) & 0xff).sum / 20.0
+    assert(s.mean_r.contains(meanOf(0)) && s.mean_g.contains(meanOf(1)) &&
+      s.mean_b.contains(meanOf(2)))
+    // truncated IDAT: failure row, not a crash
+    val cut = png.take(png.length - 20)
+    assert(Multimodal.decodeSignal(MediaRecord(10L, "image", cut)).n_units == 0L)
+  }
+
+  test("signal covers every document with consistent stats") {
     val rows = Multimodal.signal(spark, dir).collect()
-    val nExpected = Tables.documents(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 < 2).count()
+    val nExpected = Tables.documents(spark, dir).count()
     assert(rows.length == nExpected)
     rows.foreach { r =>
       val mt = r.getAs[String]("media_type")
