@@ -204,6 +204,53 @@ object Oracles {
          |       ELSE 'low' END AS severity
          |FROM votes""".stripMargin
 
+  /** Shared by cluster_keepers and its doc-bounded projection
+    * dedup_minhash_keepers: exact-Jaccard pair graph → recursive
+    * reachability components → quality-ordered keeper election. */
+  private val clusterKeepersSql =
+    s"""WITH RECURSIVE $exactJaccardPairs,
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+       |),
+       |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY 1),
+       |tq AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) END AS n_tokens,
+       |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS sw
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT doc_id,
+       |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
+       |      + CASE WHEN n_tokens = 0 THEN 0.0
+       |             ELSE LEAST(1.0, 4.0 * sw / n_tokens) * 0.5 END AS quality_score
+       |  FROM tq
+       |),
+       |m AS (
+       |  SELECT d.doc_id,
+       |    coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+       |    CAST(coalesce(sz.csz, 1) AS BIGINT) AS cluster_size,
+       |    q.quality_score
+       |  FROM documents d
+       |  LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |  LEFT JOIN sz ON lab.cluster_id = sz.cluster_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, cluster_id, cluster_size, quality_score,
+       |  first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC NULLS LAST, doc_id) AS keeper_id,
+       |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC NULLS LAST, doc_id) AS is_kept
+       |FROM m""".stripMargin
+
   val sql: Map[String, String] = Map(
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
     "ann_lsh" -> graft.ann.Ann.annLshOracle,
@@ -274,49 +321,12 @@ object Oracles {
          |FROM documents d
          |LEFT JOIN lab ON d.doc_id = lab.doc_id
          |LEFT JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin,
-    "cluster_keepers" ->
-      s"""WITH RECURSIVE $exactJaccardPairs,
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS node FROM edges),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
-         |),
-         |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
-         |sz AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY 1),
-         |tq AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) END AS n_tokens,
-         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      x -> x IN (${sqlList(enStop)}))) AS BIGINT) AS sw
-         |  FROM documents
-         |),
-         |q AS (
-         |  SELECT doc_id,
-         |    LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5
-         |      + CASE WHEN n_tokens = 0 THEN 0.0
-         |             ELSE LEAST(1.0, 4.0 * sw / n_tokens) * 0.5 END AS quality_score
-         |  FROM tq
-         |),
-         |m AS (
-         |  SELECT d.doc_id,
-         |    coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
-         |    CAST(coalesce(sz.csz, 1) AS BIGINT) AS cluster_size,
-         |    q.quality_score
-         |  FROM documents d
-         |  LEFT JOIN lab ON d.doc_id = lab.doc_id
-         |  LEFT JOIN sz ON lab.cluster_id = sz.cluster_id
-         |  JOIN q ON q.doc_id = d.doc_id
-         |)
-         |SELECT doc_id, cluster_id, cluster_size, quality_score,
-         |  first_value(doc_id) OVER (PARTITION BY cluster_id
-         |    ORDER BY quality_score DESC NULLS LAST, doc_id) AS keeper_id,
-         |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
-         |    ORDER BY quality_score DESC NULLS LAST, doc_id) AS is_kept
-         |FROM m""".stripMargin,
+    "cluster_keepers" -> clusterKeepersSql,
+    // the doc-bounded dedup DEFAULT (MinHashLsh.nearDupKeepers): the same
+    // pipeline projected to the decision frame a curation executor consumes
+    "dedup_minhash_keepers" ->
+      s"""SELECT doc_id, is_kept AS keep, keeper_id, cluster_size
+         |FROM ($clusterKeepersSql)""".stripMargin,
 
     // The Spark side synthesizes REAL container headers (PNG IHDR / WAV fmt)
     // around the text body and then genuinely PARSES them back; the oracle

@@ -76,6 +76,85 @@ object IncrementalDedup {
                          bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val docs = Tables.documents(spark, dir)
+    // adaptive exact-dup collapse (the dedup_minhash precedent): at a
+    // replicated corpus every doc has m verbatim twins on BOTH sides of the
+    // probe and the collision-pair set inflates m² — the 1000× probe
+    // measured this query at 954.5 s / ~36 GB live shuffle. Collapsing to
+    // per-(content, side) representatives bounds the bucket join by
+    // distinct content; the fan-back is |batch| rows. Gated on measured
+    // duplication so low-dup corpora keep the direct single-pass plan.
+    if (threshold <= 1.0 &&
+        Collapse.duplicationFactor(docs, Collapse.normHash) >= Collapse.CollapseThreshold)
+      incrementalNearDupCollapsed(docs, threshold, numHashes, bands)
+    else
+      incrementalNearDupDirect(docs, threshold, numHashes, bands)
+  }
+
+  /** Rep-level probe + member fan-back. Why the fan-back is EXACT (not an
+    * approximation): jaccard depends only on (normalized) content, so for a
+    * batch doc d in content group G —
+    *   - its best corpus match is a property of G alone (per-group struct
+    *     max picks the same (jaccard, -min_corpus_id(H)) the per-doc max
+    *     picks), so every member inherits the rep's drop_near_corpus
+    *     verbatim;
+    *   - a non-minimal member always has its group's min batch member as a
+    *     jaccard-1.0 candidate, which dominates every cross-group candidate
+    *     (1.0 is attainable only within the group), so absent a corpus
+    *     match it decides drop_near_batch(keeper = group min, jaccard 1.0)
+    *     — exactly the direct path's struct max — unless the content is
+    *     shingle-ineligible (<3 tokens), where the direct path has no
+    *     candidates at all and the member keeps;
+    *   - the min batch member's cross-group batch candidates reduce to
+    *     smaller-id batch REPS (per group H the only per-doc winner is
+    *     min(H_batch), and it qualifies iff it beats this rep's id), which
+    *     is precisely the rep pipeline's candidate filter.
+    * Identical content ⇒ identical signatures ⇒ identical banding, so
+    * collapse never changes LSH recall either. */
+  private[graft] def incrementalNearDupCollapsed(docs: DataFrame, threshold: Double,
+                                          numHashes: Int, bands: Int): DataFrame = {
+    val hashed = docs
+      .withColumn("h", Collapse.normHash)
+      .withColumn("is_batch", col("source") === BatchSource)
+      .select("doc_id", "h", "is_batch")
+    // side-scoped reps: the min batch id AND the min corpus id per content
+    // (membership side is part of the identity — the same content can be
+    // both settled corpus and tonight's crawl)
+    val reps = hashed.groupBy("h", "is_batch").agg(min("doc_id").as("rep"))
+    val members = hashed.join(reps, Seq("h", "is_batch"))
+      .select("doc_id", "rep", "is_batch")
+      .localCheckpoint(false)
+    val repDocs = docs.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val repDecisions = incrementalNearDupDirect(repDocs, threshold, numHashes, bands)
+      .withColumnRenamed("doc_id", "rep")
+      .withColumnRenamed("decision", "rep_decision")
+      .withColumnRenamed("keeper_id", "rep_keeper")
+      .withColumnRenamed("jaccard", "rep_jaccard")
+    // twins pair at jaccard 1.0 only if the content shingles at all
+    val eligible = MinHashLsh.shingleDocs(repDocs.select("doc_id", "text"))
+      .select(col("doc_id").as("rep"), lit(true).as("__elig"))
+    members.filter(col("is_batch"))
+      .join(repDecisions, "rep")
+      .join(eligible, Seq("rep"), "left")
+      .withColumn("__is_rep", col("doc_id") === col("rep"))
+      .select(
+        col("doc_id"),
+        when(col("__is_rep") || col("rep_decision") === "drop_near_corpus",
+          col("rep_decision"))
+          .when(col("__elig"), lit("drop_near_batch"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("__is_rep") || col("rep_decision") === "drop_near_corpus",
+          col("rep_keeper"))
+          .when(col("__elig"), col("rep"))
+          .otherwise(lit(null).cast("long")).as("keeper_id"),
+        when(col("__is_rep") || col("rep_decision") === "drop_near_corpus",
+          col("rep_jaccard"))
+          .when(col("__elig"), lit(1.0))
+          .otherwise(lit(null).cast("double")).as("jaccard"))
+  }
+
+  private[graft] def incrementalNearDupDirect(docs: DataFrame, threshold: Double,
+                                       numHashes: Int, bands: Int): DataFrame = {
     val signed = MinHashLsh.withSignatures(MinHashLsh.shingleDocs(docs), numHashes)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .localCheckpoint(false)

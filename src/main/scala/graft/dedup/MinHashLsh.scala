@@ -108,4 +108,24 @@ object MinHashLsh {
     val pairs = nearDupPairsOf(Tables.documents(spark, dir), threshold, numHashes, bands)
     if (ordered) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs
   }
+
+  /** The production DEFAULT for whole-corpus near-dup dedup: the
+    * doc-bounded decision frame — every document with its keep/drop
+    * decision, elected keeper, and cluster size (the MinHash pair graph →
+    * connected components → quality-aware keeper pipeline,
+    * [[DedupClusters.clusterKeepers]] reused verbatim).
+    *
+    * Why this is the default and [[nearDupPairs]] the audit surface: the
+    * pair list grows with the SQUARE of per-doc duplication (measured
+    * 27.3M pairs / 108.9 s at the 100×-replicated corpus, where every doc
+    * has 99 verbatim twins), while this frame is |docs| rows at any
+    * duplication factor — the shape a curation executor actually consumes
+    * (filter `keep`, or map doc → keeper). The pair form stays available
+    * exactly because it is the evidence trail the decision frame compresses
+    * away. */
+  def nearDupKeepers(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                     ordered: Boolean = true): DataFrame =
+    DedupClusters.clusterKeepers(spark, dir, threshold, ordered)
+      .select(col("doc_id"), col("is_kept").as("keep"),
+        col("keeper_id"), col("cluster_size"))
 }

@@ -81,4 +81,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out(103L) == (("keep", -1L)))
     spark.catalog.clearCache()
   }
+
+  test("near-dup collapse path is bit-identical to the direct path on a duplicated corpus") {
+    import spark.implicits._
+    // verbatim twins on BOTH sides (corpus content duplicated into the
+    // batch, twins within the batch, twins within the corpus), plus a
+    // near-match, a batch-only pair, and a shingle-ineligible short doc
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight", "src1"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "src2"), // corpus twin of 1
+      (3L, "an entirely different corpus document about spark shuffles", "src1"),
+      (100L, "the quick brown fox jumps over the lazy dog tonight", "src0"), // exact of corpus
+      (101L, "the quick brown fox jumps over the lazy dog tonight", "src0"), // batch twin of 100
+      (102L, "the quick brown fox jumps over the lazy dog today", "src0"),   // near corpus
+      (103L, "novel batch text with no counterpart anywhere at all", "src0"),
+      (104L, "novel batch text with no counterpart anywhere at all", "src0"), // batch twin of 103
+      (105L, "tiny doc", "src0") // < 3 tokens: shingle-ineligible
+    ).toDF("doc_id", "text", "source")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    val direct = key(IncrementalDedup.incrementalNearDupDirect(docs, 0.8, 16, 4))
+    val collapsed = key(IncrementalDedup.incrementalNearDupCollapsed(docs, 0.8, 16, 4))
+    assert(collapsed == direct,
+      s"collapse diverged: ${collapsed.diff(direct)} vs ${direct.diff(collapsed)}")
+    // and the decisions themselves are the expected ladder
+    val m = direct.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(100L) == (("drop_near_corpus", 1L)))
+    assert(m(101L) == (("drop_near_corpus", 1L)))
+    assert(m(104L) == (("drop_near_batch", 103L)))
+    assert(m(105L) == (("keep", -1L)))
+    spark.catalog.clearCache()
+  }
 }
