@@ -62,7 +62,12 @@ def split_ctes(sql):
             c = s[j]
             if q:
                 if c == q:
-                    q = None
+                    # SQL escapes a quote inside a literal by doubling it
+                    # ('' or ""): consume the pair and stay in the string
+                    if j + 1 < len(s) and s[j + 1] == q:
+                        j += 1
+                    else:
+                        q = None
             elif c in ("'", '"'):
                 q = c
             elif c == "(":
@@ -153,6 +158,12 @@ def stage_chain(con, sql, stage, log=print):
     pure projections keep the session's thread count."""
     full_threads = int(os.environ.get('SO_THREADS', '4'))
     ctes, final = split_ctes(sql)
+    # staged views are registered under the CTE's own name: a CTE shadowing
+    # a base table would CREATE OR REPLACE over the table view and then
+    # DELETE its backing at GC — fail loudly instead of corrupting the run
+    for name, _ in ctes:
+        assert name not in TABLES, \
+            f"CTE {name!r} collides with a base table name; rename it in the oracle"
     live = []
     for k, (name, body) in enumerate(ctes):
         out = f"{stage}/{name}.parquet"
