@@ -37,7 +37,7 @@ import sys, os, re, glob, json, shutil
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-HEAVY = ["anomaly_ml", "customer_clusters", "cluster_keepers",
+HEAVY = ["anomaly_ml", "anomaly_ensemble_ml", "customer_clusters", "cluster_keepers",
          "dedup_clusters", "incremental_neardup", "streaming_neardup_replay"]
 
 
@@ -405,6 +405,26 @@ def staged_incremental_neardup(con, stage, off):
       JOIN orig o ON d.doc_id % {off} = o.x"""
 
 
+def staged_anomaly_ensemble_ml(con, stage):
+    """anomaly_ensemble_ml = statistical composite JOIN anomaly_ml score.
+    The ML leg embeds the same KMeans chain whose assignment step DuckDB
+    cannot run as one statement (the anomaly_ml OOM shape — killed this
+    box at CC_THREADS=8 on the 10x corpus); the statistical leg runs fine
+    inline. Stage the ML leg stepwise (inlined centroids and all) and
+    substitute the staged view into the composed SQL verbatim."""
+    ml = ORACLES["anomaly_ml"]
+    needle = "(" + ml + ")"
+    big = ORACLES["anomaly_ensemble_ml"]
+    assert needle in big, \
+        "anomaly_ml oracle is no longer an exact subquery of anomaly_ensemble_ml"
+    ml_final = stage_chain(con, ml, stage)
+    con.execute(f"COPY ({ml_final}) TO '{stage}/__mlleg.parquet'"
+                " (FORMAT PARQUET, COMPRESSION ZSTD)")
+    con.execute("CREATE OR REPLACE VIEW __mlleg AS "
+                f"SELECT * FROM read_parquet('{stage}/__mlleg.parquet')")
+    return big.replace(needle, "__mlleg")
+
+
 # --------------------------------------------------------------- compare
 
 def compare_exact(con, name, spark_files, oracle_sql):
@@ -465,6 +485,8 @@ def main(sfdir, outdir, only):
         try:
             if name in ("anomaly_ml", "customer_clusters"):
                 final = stage_chain(con, ORACLES[name], qstage)
+            elif name == "anomaly_ensemble_ml":
+                final = staged_anomaly_ensemble_ml(con, qstage)
             elif name == "dedup_clusters":
                 final = collapse_dedup_clusters(con, qstage)
             elif name == "cluster_keepers":
