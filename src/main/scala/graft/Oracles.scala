@@ -252,6 +252,8 @@ object Oracles {
        |FROM m""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // z-order vs natural layout pruning stats (exact integer replay)
+    "zorder_layout" -> graft.operators.Layout.zorderLayoutOracle,
     "ann_topk" -> graft.ann.Ann.annTopKOracle,
     "ann_lsh" -> graft.ann.Ann.annLshOracle,
     "ann_ivf" -> graft.ann.Ann.annIvfOracle(),

@@ -68,6 +68,8 @@ object SparkEntry {
     // bucketed-layout pair: identical rollup, shuffled vs exchange-free
     "fact_join_shuffled" -> ((s, d) => graft.sources.Bucketed.factJoinShuffled(s, d)),
     "fact_join_bucketed" -> ((s, d) => graft.sources.Bucketed.factJoinBucketed(s, d)),
+    // z-order vs natural layout: per-bucket min/max + probe-box pruning
+    "zorder_layout" -> ((s, d) => Layout.zorderLayout(s, d)),
     // streaming batch analogs + CDC + as-of (reference: src/streaming/)
     "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
     "events_sessions"  -> ((s, d) => Events.sessions(s, d)),
