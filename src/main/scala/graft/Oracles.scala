@@ -261,6 +261,9 @@ object Oracles {
     // path derives (doubles round-trip parquet bit-exactly), so the same
     // end-to-end replay oracle applies verbatim
     "ann_ivf_indexed" -> graft.ann.Ann.annIvfOracle(),
+    // settled-subset KMeans + frozen-centroid assignment of the appended
+    // fifth, probe over the union — the append arc replayed end-to-end
+    "ann_ivf_append" -> graft.ann.Ann.annIvfAppendOracle(),
     "ann_recall" -> graft.ann.Ann.annRecallOracle(),
     // dispatch replayed in SQL: the same count-vs-threshold rule guards
     // both route oracles, so the gate exercises whichever side of the

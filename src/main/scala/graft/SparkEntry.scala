@@ -113,6 +113,8 @@ object SparkEntry {
     "ann_lsh"          -> ((s, d) => graft.ann.Ann.annLshTopK(s, d)),
     "ann_ivf"          -> ((s, d) => graft.ann.Ann.annIvfTopK(s, d)),
     "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
+    // the ANN lambda arc: settled fit + assign-only exactly-once appends
+    "ann_ivf_append"   -> ((s, d) => graft.ann.Ann.annIvfAppend(s, d)),
     "ann_recall"       -> ((s, d) => graft.ann.Ann.annRecall(s, d)),
     "ann_auto"         -> ((s, d) => graft.ann.Ann.annAuto(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),

@@ -555,9 +555,14 @@ object Ann {
     * DetKMeans LRU only helps within one JVM. Doubles round-trip parquet
     * bit-exactly, so the indexed probe is bit-identical to the fit path. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
-                    nLists: Int = 8): Unit = {
+                    nLists: Int = 8): Unit =
+    buildIvfIndexFrom(spark, Tables.embeddings(spark, dir), indexDir, nLists)
+
+  /** [[buildIvfIndex]] over an explicit corpus frame — the settled-subset
+    * entry the append arc ([[annIvfAppend]]) and its spec build from. */
+  private[graft] def buildIvfIndexFrom(spark: SparkSession, emb: DataFrame,
+                                       indexDir: String, nLists: Int = 8): Unit = {
     ivfModelMemo.remove(indexDir) // a rebuild replaces mu/sigma in place
-    val emb = Tables.embeddings(spark, dir)
     val xs = (0 until IvfDims).map(i => s"x$i")
     val feats = ivfProj(emb.select(col("vec_id"), col("embedding")), "embedding")
       .persist()
@@ -595,20 +600,183 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     val lists = spark.read.parquet(s"$indexDir/lists")
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    // the standardization vector is a 1-row driver-side artifact; reading
-    // it is a (tiny) Spark job per call — memoize per index dir. Stale
-    // entries are impossible while the dir is memo-validated: buildIvfIndex
-    // overwrites model before meta, and ensureMemo is keyed on the same dir.
+    val (mu, sigma, nLists) = readIvfModel(spark, indexDir)
+    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
+    ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
+      mu, sigma, k, probes)
+  }
+
+  /** The index's frozen standardization vector + list count — a 1-row
+    * driver-side artifact; reading it is a (tiny) Spark job per call, so
+    * memoize per index dir. Stale entries are impossible while the dir is
+    * memo-validated: buildIvfIndex overwrites model before meta, and
+    * ensureMemo is keyed on the same dir. */
+  private def readIvfModel(spark: SparkSession,
+                           indexDir: String): (Array[Double], Array[Double], Int) = {
     if (ivfModelMemo.size > MemoBound) ivfModelMemo.clear()
-    val (mu, sigma, nLists) = ivfModelMemo.computeIfAbsent(indexDir, { d =>
+    ivfModelMemo.computeIfAbsent(indexDir, { d =>
       val m = spark.read.parquet(s"$d/model").head
       val nl = spark.read.parquet(s"$d/meta").head.getAs[Int]("n_lists")
       (m.getSeq[Double](m.fieldIndex("mu")).toArray,
         m.getSeq[Double](m.fieldIndex("sigma")).toArray, nl)
     })
+  }
+
+  // ------------------------------------------------- IVF append arc
+
+  /** Assign-only append to a persisted IVF index — the lambda-architecture
+    * move for ANN at 100 TB: arriving batches do NOT refit the coarse
+    * quantizer (a Lloyd's fit over the full corpus is a periodic campaign,
+    * not a per-batch cost); each new vector is PROJECTED with the index's
+    * frozen geometry, assigned to its nearest existing centroid, and the
+    * (vec_id, list_id) rows land under an exactly-once batch marker
+    * (write-then-rename, replays skip). Readers union base + committed
+    * appended lists; the probe/re-score tail is unchanged.
+    *
+    * Assignment replays DetKMeans's final assignment rule exactly — argmin
+    * z-distance with ties to the smallest centroid id — so appending a
+    * vector that WAS in the fit corpus lands it in the list the fit chose
+    * (IvfAppendSpec pins this; the [[annIvfAppendOracle]] replays the rule
+    * in SQL). Periodic refit = a fresh [[buildIvfIndex]], the compaction
+    * story, same shape as the hybrid index's fold. Cost per batch: one
+    * constant-size centroid broadcast against the batch — no corpus scan,
+    * no shuffle beyond the batch itself. */
+  def appendToIvfIndex(spark: SparkSession, indexDir: String,
+                       batch: DataFrame, batchId: Long): Unit = {
+    val root = s"$indexDir/appends"
+    if (graft.streaming.ExactlyOnce.isCommitted(spark, root, batchId)) return
+    val (mu, sigma, _) = readIvfModel(spark, indexDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val feats = ivfProj(batch.select(col("vec_id"), col("embedding")), "embedding")
+    val z = (0 until IvfDims).foldLeft(feats) { (d, i) =>
+      d.withColumn(s"z$i", (col(s"x$i").cast("double") - lit(mu(i))) / lit(sigma(i)))
+    }
+    val d2 = (0 until IvfDims).map { i =>
+      (col(s"z$i") - element_at(col("g"), i + 1)) *
+        (col(s"z$i") - element_at(col("g"), i + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__d2"), col("c_id"))
+    z.crossJoin(broadcast(centroids))
+      .withColumn("__d2", d2)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("c_id").as("list_id"))
+      .sortWithinPartitions("list_id")
+      .write.mode("overwrite").parquet(s"$root/batch=$batchId/lists")
+    graft.streaming.ExactlyOnce.commit(spark, root, batchId)
+  }
+
+  /** [[ivfTopKIndexed]] over base ∪ committed appended lists — the read
+    * side of the append arc. Uncommitted (crashed) append dirs are
+    * invisible by the marker protocol. */
+  def ivfTopKIndexedWithAppends(spark: SparkSession, dir: String,
+                                indexDir: String, k: Int = 10,
+                                nProbe: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = spark.read.parquet(s"$indexDir/lists")
+    val appended = graft.streaming.ExactlyOnce
+      .committedBatches(spark, s"$indexDir/appends")
+    val lists =
+      if (appended.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(appended.map(_ + "/lists"): _*))
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val (mu, sigma, nLists) = readIvfModel(spark, indexDir)
     val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
       mu, sigma, k, probes)
+  }
+
+  /** Driver query: the full ANN lambda arc as one gateable value. The
+    * settled corpus (vec_id % 5 ≠ 4) fits the quantizer into a per-run
+    * scratch index; the remaining fifth arrives as two assign-only appends
+    * (vec_id % 10 = 4, then % 10 = 9) through the exactly-once marker
+    * protocol; the probe unions base + appended lists and exact-rescored
+    * top-k comes back over the WHOLE corpus — so the appended vectors are
+    * both findable (in lists) and queryable (queries 4 and 9 are appended
+    * ids). Scratch dirs via ReplayScratch (JVM-exit cleanup), the
+    * verification-surface precedent from the streaming replays. */
+  def annIvfAppend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = graft.streaming.ReplayScratch.dir("ivf_append_idx")
+    buildIvfIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx)
+    appendToIvfIndex(spark, idx, emb.filter(col("vec_id") % 10 === 4), 0L)
+    appendToIvfIndex(spark, idx, emb.filter(col("vec_id") % 10 === 9), 1L)
+    ivfTopKIndexedWithAppends(spark, dir, idx, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB oracle replaying [[annIvfAppend]] end-to-end: the DetKMeans
+    * chain over the SETTLED subset only, frozen-centroid argmin assignment
+    * of the appended fifth (the same min-struct tie-break as the fit's
+    * final step), probe + exact re-score over the union — raw-space mode,
+    * so z ≡ CAST(x AS DOUBLE) for every vector and one `zall` projection
+    * serves queries and appended assignment alike. */
+  def annIvfAppendOracle(k: Int = 10, nLists: Int = 8, nProbe: Int = 7): String = {
+    val xsel = (0 until IvfDims).map(d =>
+      s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+        s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
+      .mkString(",\n")
+    val pre =
+      s"""qv AS (
+         |  SELECT vec_id, qe,
+         |    list_sum(list_transform(qe, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nrm
+         |  FROM (SELECT vec_id,
+         |          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+         |        FROM embeddings)
+         |), fall AS MATERIALIZED (
+         |  SELECT vec_id,
+         |$xsel
+         |  FROM qv
+         |), f AS (SELECT * FROM fall WHERE vec_id % 5 <> 4)""".stripMargin
+    val zs = (0 until IvfDims).map(i => s"z$i")
+    val d2 = (0 until IvfDims).map(i => s"(q.z$i - c.g$i) * (q.z$i - c.g$i)")
+      .reduce((a, x) => s"($a + $x)")
+    val d2a = (0 until IvfDims).map(i => s"(z$i - g$i) * (z$i - g$i)")
+      .reduce((a, x) => s"($a + $x)")
+    "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
+      k = nLists, iters = IvfIters, standardize = false) + ",\n" +
+      s"""zall AS MATERIALIZED (
+         |  SELECT vec_id, ${(0 until IvfDims).map(i => s"CAST(x$i AS DOUBLE) AS z$i").mkString(", ")}
+         |  FROM fall
+         |), aap AS MATERIALIZED (
+         |  SELECT vec_id, (min({'d': $d2a, 'j': cluster})).j AS cluster
+         |  FROM (SELECT * FROM zall WHERE vec_id % 5 = 4) CROSS JOIN c$IvfIters
+         |  GROUP BY vec_id
+         |), alists AS (
+         |  SELECT vec_id, cluster FROM afin
+         |  UNION ALL
+         |  SELECT vec_id, cluster FROM aap
+         |), qzq AS MATERIALIZED (SELECT vec_id AS query_id, ${zs.mkString(", ")} FROM zall WHERE vec_id < 10),
+         |pr AS MATERIALIZED (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.query_id, c.cluster AS list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2, c.cluster) AS rn
+         |    FROM qzq q CROSS JOIN c$IvfIters c)
+         |  WHERE rn <= $nProbe
+         |), cnd AS (
+         |  SELECT a.vec_id, p.query_id
+         |  FROM alists a JOIN pr p ON a.cluster = p.list_id
+         |  WHERE a.vec_id <> p.query_id
+         |), nn AS (
+         |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM qv
+         |), pp AS (
+         |  SELECT cnd.query_id, cnd.vec_id,
+         |    list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
+         |      i -> a.qe[i] * b.qe[i])) AS dot,
+         |    a.nrm AS nrm, b.nrm AS q_nrm
+         |  FROM cnd
+         |  JOIN nn a ON a.vec_id = cnd.vec_id
+         |  JOIN nn b ON b.vec_id = cnd.query_id
+         |), ss AS (
+         |  SELECT query_id, vec_id,
+         |    CASE WHEN nrm * q_nrm = 0.0 THEN NULL ELSE dot / sqrt(nrm * q_nrm) END AS cos_sim
+         |  FROM pp
+         |), rr AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS "rank"
+         |  FROM ss
+         |)
+         |SELECT query_id, vec_id, cos_sim, "rank" FROM rr WHERE "rank" <= $k""".stripMargin
   }
 
   private val ivfModelMemo =
