@@ -1330,6 +1330,8 @@ object Oracles {
     "hybrid_search" -> graft.text.HybridSearch.hybridSearchOracle,
     "hybrid_search_indexed" -> graft.text.HybridSearch.hybridSearchOracle,
     "hybrid_search_probe" -> graft.text.HybridSearch.hybridSearchProbeOracle,
+    // nDCG/RR/P@10 dashboard, integer-scaled harmonic discounts
+    "retrieval_metrics" -> graft.text.HybridSearch.retrievalMetricsOracle(),
     // both routes are bit-identical, so the flat oracle gates whichever
     // side of the size threshold the corpus lands on
     "hybrid_search_auto" -> graft.text.HybridSearch.hybridSearchOracle,

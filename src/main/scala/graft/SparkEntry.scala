@@ -202,6 +202,9 @@ object SparkEntry {
     "hybrid_search_indexed" -> ((s, d) => graft.text.HybridSearch.hybridSearchPersisted(s, d)),
     "hybrid_search_probe" -> ((s, d) => graft.text.HybridSearch.hybridSearchProbe(s, d)),
     "hybrid_search_auto" -> ((s, d) => graft.text.HybridSearch.hybridSearchAuto(s, d)),
+    // retrieval-quality dashboard: nDCG/RR/P@10 for lexical vs vector vs
+    // fused rankings against the dual-evidence relevance standard
+    "retrieval_metrics" -> ((s, d) => graft.text.HybridSearch.retrievalMetrics(s, d)),
     // streaming ingest arc replay: sink + in-sink compaction + append-union
     // read, hash-gated through the flat oracle (bit-parity by construction)
     "streaming_hybrid_index_replay" -> ((s, d) =>

@@ -483,6 +483,153 @@ object HybridSearch {
   def hybridSearchProbe(spark: SparkSession, dir: String): DataFrame =
     hybridSearchIndexed(spark, dir, ensureIndex(spark, dir), probe = true)
 
+  // ------------------------------------------------- retrieval quality
+
+  /** 27720 = 2³·3²·5·7·11 = lcm(1..12): every harmonic discount
+    * 27720/(pos+1) and reciprocal rank 27720/pos is an EXACT integer for
+    * positions ≤ 11, so the whole DCG/RR computation stays in integers and
+    * only the closing division emits a double (single rounding, identical
+    * in any IEEE engine). The standard log2 discount would ride each
+    * engine's libm; the harmonic discount is the determinism-safe variant
+    * and ranks identically for the comparison's purpose. */
+  private val DiscountLcm = 27720
+
+  /** Driver query: the retrieval-quality dashboard — nDCG@10, reciprocal
+    * rank and precision@10 for the three rankings a hybrid deployment
+    * compares (lexical-only, vector-only, RRF fusion), graded against a
+    * dual-evidence relevance standard: rel(doc) = |{leg top-100 lists
+    * containing doc}| ∈ {0,1,2}. Docs both modalities independently
+    * retrieve are the graded-2 targets — surfacing them early is RRF's
+    * entire pitch, so the dashboard measures exactly the property the
+    * fusion claims (the [[graft.ann.Ann.annRecall]] move, applied to
+    * retrieval). IDCG comes from the two relevance-class counts joined to
+    * a 10-row positions frame — no collect; every frame past the leg
+    * scores is ≤ 200 rows (the relevance standard) or ≤ 10 (rankings). */
+  def retrievalMetrics(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= 11, s"harmonic discounts 27720/(pos+1) are exact for pos <= 11; got k=$k")
+    val kw = kwScored(spark, dir, DefaultQuery)
+    val vec = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      aggregate(
+        zip_with(q20Vec(col("text"), Embeddings.Dim),
+          typedLit(q20Const(DefaultQuery, Embeddings.Dim).toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("vec_score"))
+    def top(df: DataFrame, scoreCol: String, n: Int): DataFrame = {
+      val ord = Seq(col(scoreCol).desc, col("doc_id").asc)
+      df.orderBy(ord: _*).limit(n)
+        .withColumn("pos", graft.operators.RankOps.boundedFrame(
+          s"retrieval_${scoreCol}_$n",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"),
+          maxRows = n.toLong))
+    }
+    // relevance standard: membership of each leg's top-100 list
+    val rel = top(kw, "kw_score", 100).select(col("doc_id"), lit(1L).as("in_kw"))
+      .join(top(vec, "vec_score", 100).select(col("doc_id"), lit(1L).as("in_vec")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("in_kw"), lit(0L)) + coalesce(col("in_vec"), lit(0L))).as("rel"))
+    val counts = rel.agg(
+      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+    val idcg = spark.range(1, k + 1).toDF("i").crossJoin(broadcast(counts))
+      .agg(sum(
+        when(col("i") <= col("n2"), lit(2) * expr(s"$DiscountLcm div (i + 1)"))
+          .when(col("i") <= col("n2") + col("n1"), expr(s"$DiscountLcm div (i + 1)"))
+          .otherwise(lit(0L))).as("idcg_scaled"))
+    // the three rankings, top-k each with 1-based positions
+    val hyb = hybridSearch(spark, dir)
+      .withColumn("pos", graft.operators.RankOps.boundedFrame("retrieval_hybrid",
+        row_number().over(
+          Window.orderBy(col("rrf_score").desc, col("doc_id").asc)).cast("long"),
+        maxRows = 20L))
+      .filter(col("pos") <= k)
+    val ranked = top(kw, "kw_score", k).select(lit("lexical").as("method"), col("doc_id"), col("pos"))
+      .unionByName(top(vec, "vec_score", k).select(lit("vector").as("method"), col("doc_id"), col("pos")))
+      .unionByName(hyb.select(lit("hybrid").as("method"), col("doc_id"), col("pos")))
+    val graded = ranked.join(broadcast(rel), Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    graded.groupBy("method")
+      .agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(col("rel") * expr(s"$DiscountLcm div (pos + 1)")).as("dcg_scaled"),
+        min(when(col("rel") > 0, col("pos"))).as("first_rel"))
+      .crossJoin(broadcast(idcg))
+      .select(
+        col("method"),
+        col("n_rel").cast("long").as("n_relevant_at_k"),
+        (col("n_rel").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        coalesce(expr(s"$DiscountLcm div first_rel").cast("double")
+          / lit(DiscountLcm.toDouble), lit(0.0)).as("reciprocal_rank"),
+        col("dcg_scaled").cast("long").as("dcg_scaled"),
+        when(col("idcg_scaled") === 0, lit(0.0))
+          .otherwise(col("dcg_scaled").cast("double") / col("idcg_scaled").cast("double"))
+          .as("ndcg_at_k"))
+      .orderBy("method")
+  }
+
+  /** DuckDB oracle replaying [[retrievalMetrics]]: the shared exact-leg
+    * CTEs, the same top-100 dual-evidence relevance standard, the fused
+    * top-20 subquery for the hybrid ranking, and the identical
+    * integer-scaled harmonic DCG/RR arithmetic. */
+  def retrievalMetricsOracle(k: Int = 10): String = {
+    require(k == 10, s"retrievalMetricsOracle replays the k=10 dashboard; got k=$k")
+    val L = DiscountLcm
+    s"""WITH $legsSql, ${fusedTailSql(probe = false)},
+       |kt100 AS (SELECT doc_id FROM kw ORDER BY kw_score DESC, doc_id LIMIT 100),
+       |vt100 AS (SELECT doc_id FROM vs ORDER BY vec_score DESC, doc_id LIMIT 100),
+       |rel AS (
+       |  SELECT COALESCE(kt100.doc_id, vt100.doc_id) AS doc_id,
+       |    (CASE WHEN kt100.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       |     + CASE WHEN vt100.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS rel
+       |  FROM kt100 FULL OUTER JOIN vt100 ON kt100.doc_id = vt100.doc_id
+       |), cnt AS (
+       |  SELECT SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+       |         SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1
+       |  FROM rel
+       |), idcg AS (
+       |  SELECT SUM(CASE WHEN i <= n2 THEN 2 * ($L // (i + 1))
+       |                  WHEN i <= n2 + n1 THEN $L // (i + 1)
+       |                  ELSE 0 END) AS idcg_scaled
+       |  FROM generate_series(1, $k) g(i), cnt
+       |), hybf AS (
+       |  $fusedSelectSql
+       |), ranked AS (
+       |  SELECT 'lexical' AS method, doc_id,
+       |    CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS BIGINT) AS pos
+       |  FROM kw ORDER BY kw_score DESC, doc_id LIMIT $k
+       |), rankedv AS (
+       |  SELECT 'vector' AS method, doc_id,
+       |    CAST(row_number() OVER (ORDER BY vec_score DESC, doc_id) AS BIGINT) AS pos
+       |  FROM vs ORDER BY vec_score DESC, doc_id LIMIT $k
+       |), rankedh AS (
+       |  SELECT method, doc_id, pos FROM (
+       |    SELECT 'hybrid' AS method, doc_id,
+       |      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS pos
+       |    FROM hybf)
+       |  WHERE pos <= $k
+       |), graded AS (
+       |  SELECT method, pos, COALESCE(rel, 0) AS rel
+       |  FROM (SELECT * FROM ranked UNION ALL SELECT * FROM rankedv
+       |        UNION ALL SELECT * FROM rankedh) r
+       |  LEFT JOIN rel USING (doc_id)
+       |), m AS (
+       |  SELECT method,
+       |    SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+       |    SUM(rel * ($L // (pos + 1))) AS dcg_scaled,
+       |    MIN(CASE WHEN rel > 0 THEN pos END) AS first_rel
+       |  FROM graded GROUP BY 1
+       |)
+       |SELECT method,
+       |  CAST(n_rel AS BIGINT) AS n_relevant_at_k,
+       |  CAST(n_rel AS DOUBLE) / $k.0 AS p_at_k,
+       |  COALESCE(CAST($L // first_rel AS DOUBLE) / $L.0, 0.0) AS reciprocal_rank,
+       |  CAST(dcg_scaled AS BIGINT) AS dcg_scaled,
+       |  CASE WHEN idcg_scaled = 0 THEN 0.0
+       |       ELSE CAST(dcg_scaled AS DOUBLE) / CAST(idcg_scaled AS DOUBLE) END AS ndcg_at_k
+       |FROM m, idcg ORDER BY method""".stripMargin
+  }
+
   def hybridSearchOracle: String = oracleSql(probe = false)
 
   /** Oracle for the SRP-probed path: hybridSearchOracle plus a full replay
@@ -494,7 +641,9 @@ object HybridSearch {
     * measured spec property. */
   def hybridSearchProbeOracle: String = oracleSql(probe = true)
 
-  private def oracleSql(probe: Boolean): String = {
+  /** The exact-leg CTE chain (lexical score + q20 vector score) shared by
+    * the fused-query oracles and [[retrievalMetricsOracle]]. */
+  private def legsSql: String = {
     val terms = DefaultQuery.toLowerCase.split("\\s+").toSeq
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val dim = Embeddings.Dim
@@ -503,7 +652,7 @@ object HybridSearch {
       s"""CAST(list_sum(list_transform(range(1, 9), j ->
          |      (strpos('0123456789abcdef', substring(md5($textExpr || '|' || CAST(i AS VARCHAR)), j, 1)) - 1)
          |        * (16.0 ** (8 - j)))) AS BIGINT) % 2001 - 1000""".stripMargin
-    s"""WITH kw AS (
+    s"""kw AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |      x -> x IN ($termList))) AS BIGINT) AS kw_score
@@ -532,7 +681,13 @@ object HybridSearch {
        |), vs AS (
        |  SELECT doc_id, CAST(SUM(dq.q20 * qq.q20) AS BIGINT) AS vec_score
        |  FROM dq JOIN qq ON dq.i = qq.i GROUP BY 1
-       |)${if (probe) probeCtes(dim) else ""}, kt AS (
+       |)""".stripMargin
+  }
+
+  /** The candidate-list + fusion tail (kt/vt CTE defs and the fused SELECT)
+    * — appended after [[legsSql]] (+ probe CTEs when probing). */
+  private def fusedTailSql(probe: Boolean): String =
+    s"""kt AS (
        |  SELECT doc_id, kw_score,
        |    CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS BIGINT) AS kw_rank
        |  FROM kw ORDER BY kw_score DESC, doc_id LIMIT 200
@@ -541,14 +696,19 @@ object HybridSearch {
        |    CAST(row_number() OVER (ORDER BY vec_score DESC, doc_id) AS BIGINT) AS vec_rank
        |  FROM ${if (probe) "vs JOIN cndh USING (doc_id)" else "vs"}
        |  ORDER BY vec_score DESC, doc_id LIMIT 200
-       |)
-       |SELECT coalesce(kt.doc_id, vt.doc_id) AS doc_id, kw_score, vec_score,
+       |)""".stripMargin
+
+  private def fusedSelectSql: String =
+    s"""SELECT coalesce(kt.doc_id, vt.doc_id) AS doc_id, kw_score, vec_score,
        |  kw_rank, vec_rank,
        |  coalesce(1.0 / ($RrfK + kw_rank), 0.0) + coalesce(1.0 / ($RrfK + vec_rank), 0.0)
        |    AS rrf_score
        |FROM kt FULL OUTER JOIN vt ON kt.doc_id = vt.doc_id
        |ORDER BY rrf_score DESC, coalesce(kt.doc_id, vt.doc_id) LIMIT 20""".stripMargin
-  }
+
+  private def oracleSql(probe: Boolean): String =
+    s"WITH $legsSql${if (probe) probeCtes(Embeddings.Dim) else ""}, " +
+      s"${fusedTailSql(probe)}\n$fusedSelectSql"
 
   /** The bucket-replay CTE block: hyperplanes (the embedNearDupsOracle
     * md5 digit-fold at the hybrid geometry), per-(doc|query, table) bucket
