@@ -264,6 +264,9 @@ object Oracles {
     // settled-subset KMeans + frozen-centroid assignment of the appended
     // fifth, probe over the union — the append arc replayed end-to-end
     "ann_ivf_append" -> graft.ann.Ann.annIvfAppendOracle(),
+    // assign-only appends are batch-boundary-invariant, so the streamed
+    // sink replay answers bit-for-bit what the batch arc computes
+    "streaming_ivf_append_replay" -> graft.ann.Ann.annIvfAppendOracle(),
     "ann_recall" -> graft.ann.Ann.annRecallOracle(),
     // dispatch replayed in SQL: the same count-vs-threshold rule guards
     // both route oracles, so the gate exercises whichever side of the

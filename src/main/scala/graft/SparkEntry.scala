@@ -115,6 +115,10 @@ object SparkEntry {
     "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
     // the ANN lambda arc: settled fit + assign-only exactly-once appends
     "ann_ivf_append"   -> ((s, d) => graft.ann.Ann.annIvfAppend(s, d)),
+    // streaming twin: the appended fifth through the foreachBatch sink as
+    // id-ordered micro-batches (batch-boundary-invariant => same oracle)
+    "streaming_ivf_append_replay" -> ((s, d) =>
+      graft.streaming.StreamingIvfIndex.streamingIvfAppendReplay(s, d)),
     "ann_recall"       -> ((s, d) => graft.ann.Ann.annRecall(s, d)),
     "ann_auto"         -> ((s, d) => graft.ann.Ann.annAuto(s, d)),
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
