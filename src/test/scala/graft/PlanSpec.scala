@@ -182,6 +182,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "cat drift must not shuffle-join")
   }
 
+  test("zorder layout: pruned 3-column scan, broadcast bounds, partial agg") {
+    val plan = formatted(graft.operators.Layout.zorderLayout(spark, dir))
+    // the interleave needs exactly ok/pk/sk — a scan reading the money or
+    // date columns would drag the full row width through both passes
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_shipdate"),
+      "lineitem scan reads columns the layout stats never use")
+    // per-bucket stats aggregate partially before their ≤128-group exchange
+    assert(plan.contains("HashAggregate"), "bucket stats must hash-aggregate")
+    // the 1-row bounds/probe frames ride broadcasts, never a cartesian
+    assert(plan.contains("BroadcastExchange") && !plan.contains("CartesianProduct"),
+      "bounds must broadcast back, not cartesian")
+  }
+
   test("scalar cross joins pin their 1-row sides as broadcasts") {
     Seq(
       graft.operators.Views.realtimeMetrics(spark, dir),
