@@ -655,6 +655,8 @@ object Oracles {
          |        ELSE 'de' END) = lang AS is_match
          |FROM h""".stripMargin,
 
+    // top-k corpus vocabulary with doc frequencies + mass shares
+    "vocab_topk" -> graft.text.TextOps.vocabTopKOracle(),
     "doc_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents

@@ -86,6 +86,7 @@ object SparkEntry {
     "token_counts"     -> ((s, d) => graft.text.TextOps.tokenCounts(s, d)),
     "lang_id"          -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
+    "vocab_topk"       -> ((s, d) => graft.text.TextOps.vocabTopK(s, d)),
     "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),
     "token_histogram"  -> ((s, d) => graft.text.Curation.tokenHistogram(s, d)),
     // chunking + deterministic embedding (reference: text_embeddings.py:137,56)

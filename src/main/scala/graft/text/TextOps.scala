@@ -136,4 +136,60 @@ object TextOps {
           .otherwise(size(array_distinct(col("__grams"))).cast("long")))
       .select("doc_id", "fingerprint_min", "fingerprint_max", "n_distinct_grams")
   }
+
+  /** Driver query: vocabulary analysis — the corpus's top-k tokens by
+    * occurrence mass, with document frequencies and each token's share of
+    * total token mass. This is the first query a tokenizer/vocab design or
+    * stopword-list induction runs over a training corpus.
+    *
+    * Scale shape: one explode (linear in token mass) into a TWO-LEVEL
+    * aggregate — (token, doc_id) partial counts, then per-token totals —
+    * so document frequency never plans as a countDistinct Expand; the
+    * top-k is a distributed TakeOrdered (bounded by k, not vocab size) and
+    * the total-mass denominator broadcasts back as one row. share =
+    * exact-long / exact-long, one IEEE division, engine-identical. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("__tokens")).as("token"))
+      .filter(length(col("token")) > 0)
+    val byTok = toks.groupBy("token", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("token")
+      .agg(sum(col("occ")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    val ord = Seq(col("n_occurrences").desc, col("token").asc)
+    byTok.orderBy(ord: _*).limit(k)
+      .withColumn("rank", graft.operators.RankOps.boundedFrame("vocab_topk",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"),
+        maxRows = k.toLong))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"),
+        col("n_occurrences").cast("long").as("n_occurrences"),
+        col("n_docs").cast("long").as("n_docs"),
+        (col("n_occurrences").cast("double") / col("total_tokens").cast("double"))
+          .as("occ_share"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for [[vocabTopK]] (COUNT(DISTINCT) is fine on the
+    * oracle side; the Spark plan's two-level aggregate is the scale
+    * shape). */
+  def vocabTopKOracle(k: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.tok AS token
+       |  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+       |  WHERE length(t.tok) > 0
+       |), bytok AS (
+       |  SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM toks GROUP BY 1
+       |), total AS (SELECT COUNT(*) AS total_tokens FROM toks),
+       |top AS (
+       |  SELECT token, n_occurrences, n_docs,
+       |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS "rank"
+       |  FROM bytok ORDER BY n_occurrences DESC, token LIMIT $k
+       |)
+       |SELECT "rank", token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_occurrences AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS occ_share
+       |FROM top, total ORDER BY "rank"""".stripMargin
 }

@@ -54,4 +54,19 @@ class TextSpec extends AnyFunSuite {
     }
     assert(rows.count(_.getAs[String]("fingerprint_min") != null) > 0)
   }
+
+  test("vocab top-k: contiguous ranks, descending mass, consistent shares") {
+    val rows = graft.text.TextOps.vocabTopK(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length))
+    val occ = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b }, "mass not descending")
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1 && r.getAs[Long]("n_docs") <= nDocs)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    val shareSum = rows.map(_.getAs[Double]("occ_share")).sum
+    assert(shareSum > 0.0 && shareSum <= 1.0 + 1e-12, s"share sum $shareSum")
+  }
 }
