@@ -225,7 +225,17 @@ object HybridSearch {
     * HybridIndexSpec, replayed exactly by the probe oracle). */
   def hybridSearchIndexed(spark: SparkSession, dir: String, indexDir: String,
                           query: String = DefaultQuery, limit: Int = 20,
-                          candidates: Int = 200, probe: Boolean = false): DataFrame = {
+                          candidates: Int = 200, probe: Boolean = false): DataFrame =
+    fuse(kwScored(spark, dir, query),
+      indexedVecScores(spark, indexDir, query, probe), limit, candidates)
+
+  /** The exact vector-leg scores read from a persisted index (one dot
+    * product over the stored q20 vectors — the embed is amortized into the
+    * build). Bit-identical to the flat in-flight scoring: the index stores
+    * the exact q20 longs. Shared by [[hybridSearchIndexed]] and the
+    * [[retrievalMetrics]] scale route. */
+  private def indexedVecScores(spark: SparkSession, indexDir: String,
+                               query: String, probe: Boolean): DataFrame = {
     recoverCorpus(spark, indexDir)
     // geometry is fixed at build time (appends/compaction reuse it), so the
     // 1-row meta read is memoized per index dir; buildIndex invalidates.
@@ -261,12 +271,11 @@ object HybridSearch {
           .select("doc_id").distinct()
         vecs.join(candIds, "doc_id")
       }
-    val scored = restricted.select(
+    restricted.select(
       col("doc_id"),
       aggregate(
         zip_with(col("qvec"), typedLit(q20Const(query, dim).toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x).as("vec_score"))
-    fuse(kwScored(spark, dir, query), scored, limit, candidates)
   }
 
   // ------------------------------------------- incremental append + compaction
@@ -508,13 +517,25 @@ object HybridSearch {
   def retrievalMetrics(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k <= 11, s"harmonic discounts 27720/(pos+1) are exact for pos <= 11; got k=$k")
-    val kw = kwScored(spark, dir, DefaultQuery)
-    val vec = Tables.documents(spark, dir).select(
+    // each leg is scored ONCE and checkpointed: the frames are 2 longs per
+    // doc, but the vector leg's md5-fold embed is the expensive pass and
+    // it feeds FOUR consumers (relevance standard, vector ranking, and the
+    // fused ranking's candidate list built below from the same frames —
+    // NOT via hybridSearch, which would embed the corpus a second time).
+    // Checkpointing materializes identical values, so oracle parity holds.
+    // At/above the auto-dispatch threshold the vector leg reads the
+    // persisted index's exact q20 vectors instead of re-embedding (the
+    // hybrid_search_auto lesson — bit-identical stores, amortized embed).
+    val kw = kwScored(spark, dir, DefaultQuery).localCheckpoint(false)
+    val vec = (if (autoRoute(spark, dir))
+      indexedVecScores(spark, ensureIndex(spark, dir), DefaultQuery, probe = false)
+    else Tables.documents(spark, dir).select(
       col("doc_id"),
       aggregate(
         zip_with(q20Vec(col("text"), Embeddings.Dim),
           typedLit(q20Const(DefaultQuery, Embeddings.Dim).toSeq), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).as("vec_score"))
+        lit(0L), (acc, x) => acc + x).as("vec_score")))
+      .localCheckpoint(false)
     def top(df: DataFrame, scoreCol: String, n: Int): DataFrame = {
       val ord = Seq(col(scoreCol).desc, col("doc_id").asc)
       df.orderBy(ord: _*).limit(n)
@@ -537,8 +558,10 @@ object HybridSearch {
         when(col("i") <= col("n2"), lit(2) * expr(s"$DiscountLcm div (i + 1)"))
           .when(col("i") <= col("n2") + col("n1"), expr(s"$DiscountLcm div (i + 1)"))
           .otherwise(lit(0L))).as("idcg_scaled"))
-    // the three rankings, top-k each with 1-based positions
-    val hyb = hybridSearch(spark, dir)
+    // the three rankings, top-k each with 1-based positions; the fused
+    // ranking reuses the checkpointed legs (≡ hybridSearch bit-for-bit:
+    // same frames, same fuse)
+    val hyb = fuse(kw, vec, limit = 20, candidates = 200)
       .withColumn("pos", graft.operators.RankOps.boundedFrame("retrieval_hybrid",
         row_number().over(
           Window.orderBy(col("rrf_score").desc, col("doc_id").asc)).cast("long"),
