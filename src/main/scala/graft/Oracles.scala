@@ -657,6 +657,7 @@ object Oracles {
 
     // top-k corpus vocabulary with doc frequencies + mass shares
     "vocab_topk" -> graft.text.TextOps.vocabTopKOracle(),
+    "tfidf_topterms" -> graft.text.TextOps.tfidfTopTermsOracle(),
     "doc_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents

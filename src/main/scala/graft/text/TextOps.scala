@@ -171,6 +171,75 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Driver query: per-document top-k terms by tf·idf — keyword
+    * extraction / document-term weighting over a training corpus, the
+    * per-document dual of [[vocabTopK]]'s corpus-level view (reference
+    * analog: the keyword relevance the search stack ranks by,
+    * src/vector_search; here as a batch corpus operator).
+    *
+    * Determinism: the ranking score is the EXACT integer
+    * `tf · N · 10⁶ div df` — a monotone transform of tf·(N/df), i.e.
+    * tf-idf with the raw (log-free) idf ratio — so both engines compare
+    * and emit identical longs; ties break on token text. No
+    * transcendental function enters the comparison (SURVEY §3).
+    * Magnitudes: tf ≤ doc tokens (~10³), N ≤ 5·10⁷ at the 1000× corpus →
+    * tf·10⁶·N ≤ 5·10¹⁶ < 2⁶³. All operands non-negative, so Spark `div`
+    * ≡ DuckDB `//`.
+    *
+    * Scale shape: one explode into the (doc, token) partial-count
+    * aggregate; document frequency reuses those partials (no
+    * countDistinct Expand); df joins back token-keyed, the corpus size
+    * broadcasts as one row, and the top-k window is PARTITIONED by
+    * doc_id — no global sort at any size. Output is doc-bounded (≤ k
+    * rows per document). */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = withTokens(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("__tokens")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val nTotal = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("score_scaled", expr("(tf * 1000000L * n_total) div df_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("token").asc)
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank"), col("token"),
+        col("tf").cast("long").as("tf"),
+        col("df_docs").cast("long").as("df_docs"),
+        col("score_scaled").cast("long").as("score_scaled"))
+  }
+
+  /** DuckDB oracle for [[tfidfTopTerms]] — same tokenization, same exact
+    * integer score (`//` ≡ `div` on non-negative operands), same
+    * tie-break. */
+  def tfidfTopTermsOracle(k: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, t.tok AS token
+       |  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+       |  WHERE length(t.tok) > 0
+       |), tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1
+       |), n AS (SELECT COUNT(*) AS n_total FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+       |    (tf.tf * 1000000 * n.n_total) // dfreq.df_docs AS score_scaled
+       |  FROM tf JOIN dfreq USING (token), n
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_scaled DESC, token) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS term_rank, token,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df_docs AS BIGINT) AS df_docs,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled
+       |FROM ranked WHERE rn <= $k""".stripMargin
+
   /** DuckDB oracle for [[vocabTopK]] (COUNT(DISTINCT) is fine on the
     * oracle side; the Spark plan's two-level aggregate is the scale
     * shape). */

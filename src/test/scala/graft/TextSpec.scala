@@ -69,4 +69,22 @@ class TextSpec extends AnyFunSuite {
     val shareSum = rows.map(_.getAs[Double]("occ_share")).sum
     assert(shareSum > 0.0 && shareSum <= 1.0 + 1e-12, s"share sum $shareSum")
   }
+
+  test("tfidf top terms: contiguous per-doc ranks, descending exact scores, score formula holds") {
+    val rows = TextOps.tfidfTopTerms(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTotal = Tables.documents(spark, dir).count()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("term_rank"))
+      assert(byRank.map(_.getAs[Long]("term_rank")).toSeq == (1L to byRank.length))
+      assert(byRank.length <= 5)
+      val scores = byRank.map(_.getAs[Long]("score_scaled"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not descending")
+    }
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf"); val df = r.getAs[Long]("df_docs")
+      assert(df >= 1 && tf >= 1)
+      assert(r.getAs[Long]("score_scaled") == tf * 1000000L * nTotal / df)
+    }
+  }
 }
