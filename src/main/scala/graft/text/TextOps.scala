@@ -197,7 +197,13 @@ object TextOps {
     val toks = withTokens(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(col("__tokens")).as("token"))
       .filter(length(col("token")) > 0)
+    // localCheckpoint: dfreq and the score join both consume tf — without
+    // it Catalyst re-plans the whole explode+aggregate subtree under the
+    // broadcast side and the corpus is tokenized TWICE (measured 201 s →
+    // ~2× explode cost at the 100× corpus). Same move as retrieval
+    // metrics' leg-scoring: materialize the small (doc, token) frame once.
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
     val nTotal = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
     val scored = tf.join(dfreq, "token")
