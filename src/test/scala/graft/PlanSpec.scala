@@ -195,6 +195,21 @@ class PlanSpec extends AnyFunSuite {
       "bounds must broadcast back, not cartesian")
   }
 
+  test("tfidf top terms: doc-partitioned group-limited window, no cartesian") {
+    // the localCheckpoint truncates lineage, so the visible plan is the
+    // join+window tail over the materialized (doc, token) frame — exactly
+    // the part whose shape matters at scale
+    val plan = formatted(graft.text.TextOps.tfidfTopTerms(spark, dir))
+    // (the 1-row corpus-size aggregate legitimately plans a scalar
+    // SinglePartition exchange — what must stay keyed is the window)
+    assert(plan.contains("Window") && plan.contains("hashpartitioning(doc_id"),
+      "top-k window must shuffle by doc_id, never a single-partition sort")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k must push down as a group limit (top-k per doc, not full rank)")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row corpus-size frame must broadcast, not cartesian")
+  }
+
   test("scalar cross joins pin their 1-row sides as broadcasts") {
     Seq(
       graft.operators.Views.realtimeMetrics(spark, dir),
