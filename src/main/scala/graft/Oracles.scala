@@ -541,6 +541,7 @@ object Oracles {
     "span_removal" -> graft.dedup.DupSpans.spanRemovalOracle,
     "incremental_dedup" -> graft.dedup.IncrementalDedup.incrementalDedupOracle,
     "incremental_neardup" -> graft.dedup.IncrementalDedup.incrementalNearDupOracle,
+    "semdedup" -> graft.dedup.SemDeDup.semDedupOracle(),
     // stream/batch parity (id-ordered micro-batches) makes the streaming
     // sink's decisions equal the whole-batch detector's bit-for-bit, so
     // the replay rides the batch oracle

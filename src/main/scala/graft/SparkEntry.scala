@@ -106,6 +106,7 @@ object SparkEntry {
     "span_removal"     -> ((s, d) => graft.dedup.DupSpans.spanRemoval(s, d)),
     "incremental_dedup" -> ((s, d) => graft.dedup.IncrementalDedup.incrementalDedup(s, d)),
     "incremental_neardup" -> ((s, d) => graft.dedup.IncrementalDedup.incrementalNearDup(s, d)),
+    "semdedup"         -> ((s, d) => graft.dedup.SemDeDup.semDedup(s, d)),
     "streaming_neardup_replay" -> ((s, d) => graft.streaming.StreamingNearDup.streamingNearDupReplay(s, d)),
     // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),

@@ -213,7 +213,7 @@ object Ann {
     * that lets brute-force top-k carry a DuckDB oracle with exact float
     * compare (SURVEY §3; quantization error ~1e-6 is part of the operator's
     * defined scoring, not a tolerance). */
-  private def quantize(c: Column): Column =
+  private[graft] def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(1048576.0), 0))
 
   private def sqSum(c: Column): Column =
@@ -227,7 +227,7 @@ object Ann {
     * quantize/zip_with/aggregate chain walked each array four times and
     * measured 23× slower on the near-dup candidate path). NULL when either
     * norm is zero. */
-  private def fixedPointCosine(a: Column, b: Column): Column =
+  private[graft] def fixedPointCosine(a: Column, b: Column): Column =
     graft.functions.ArrayCosineQ20.of(a, b)
 
   /** Exact cosine top-k with oracle-parity fixed-point scoring; same plan
@@ -460,7 +460,7 @@ object Ann {
     * embeddings the raw and spherical fits measure alike; on real
     * mixed-norm corpora only the sphere is correct). Vectors shorter than
     * IvfDims zero-pad; the zero vector maps to the origin (both engines). */
-  private def ivfProj(df: DataFrame, emb: String): DataFrame = {
+  private[graft] def ivfProj(df: DataFrame, emb: String): DataFrame = {
     val qe = qeLong(col(emb)).as("__qe")
     val base = df.select(col("*"), qe)
     val nrm = aggregate(transform(col("__qe"), v => v * v), lit(0L), (a, v) => a + v)

@@ -1,0 +1,252 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication over an embedding corpus (Abbas et
+  * al. 2023, arXiv:2303.09540): k-means the embedding space, compare
+  * pairwise cosine ONLY within a cluster, and from every group of
+  * semantic duplicates keep the example FARTHEST from its cluster
+  * centroid (the paper's "lowest cosine similarity to the centroid" rule
+  * — it preserves the diverse tail instead of the redundant core).
+  *
+  * Reference anchor: the reference corpus pipeline dedups on exact hash +
+  * MinHash text similarity only (`src/etl/gold`, `src/vector_search`);
+  * semantic near-dup removal is the standard published complement for
+  * training-data curation and slots beside `dedup/MinHashLsh.scala`.
+  *
+  * Spark-first shape, and how each stage scales to 100 TB:
+  *
+  *  1. EXACT-TWIN COLLAPSE (the dedup_minhash/incremental_neardup
+  *     precedent, `dedup/Collapse.scala` rationale): identical q20
+  *     vectors collapse to one representative (min vec_id) before
+  *     clustering, so an m×-replicated corpus costs the same fit and m²×
+  *     fewer pairs; twins rejoin their rep's component at fan-back (cos =
+  *     1 ≥ τ by definition, and an identical vector lands in the
+  *     identical cluster). One vector-keyed shuffle.
+  *  2. CLUSTER: the IVF quantizer geometry verbatim — q20 components
+  *     re-projected onto the 2^20 sphere ([[graft.ann.Ann.ivfProj]]) and
+  *     clustered by the deterministic [[graft.ml.DetKMeans]]
+  *     (md5-seeded maxmin init, fixed iterations, raw-space mode). On
+  *     the sphere, Euclidean Lloyd's clusters ANGULAR neighborhoods —
+  *     the metric the cosine τ-graph actually uses. Centroids are a
+  *     k×64 literal: constant-size at any corpus scale.
+  *  3. PAIR within cluster only: the self-join shuffles on the cluster
+  *     id, so the quadratic is bounded per cluster — `nClusters` is the
+  *     paper's own scale lever (they run 50k clusters on LAION; the
+  *     shipped default 8 matches the gate corpora the way ann_ivf's
+  *     nLists=8 does, and the knob is exposed). Scoring is the
+  *     codegen'd exact-integer cosine kernel (ArrayCosineQ20).
+  *  4. COMPONENTS: min-label propagation over the τ-edge graph
+  *     (the dedup_clusters loop — components are cluster-scoped by
+  *     construction, so width is cosine-clique-bounded and tiny).
+  *  5. KEEPER ELECTION: within a component, rank by squared distance to
+  *     the assigned centroid DESC (on the 2^20 sphere d² = 2R²(1−cosθ),
+  *     so max-d² IS the paper's min-cosine-to-centroid rule, computed in
+  *     the exact z-space the oracle replays), ties to min vec_id —
+  *     exact twins share d² and fall to the id tie.
+  *
+  * Every stage is engine-replayable — the DuckDB oracle replays the
+  * collapse, the DetKMeans fit ([[graft.ml.DetKMeans.oracleCtes]]), the
+  * left-associated d² chain, the pairwise q20 cosine, and the components
+  * (recursive CTE) — so the query is hash-gated, not rows-only. */
+object SemDeDup {
+
+  import graft.ann.Ann.{IvfDims, IvfIters}
+
+  /** Default semantic-duplicate threshold for the synthetic isotropic
+    * embeddings (max pairwise cosine ≈ 0.5 — the embed_neardup demo
+    * value); real curation runs use ~0.95 on trained encoders. */
+  val DefaultTau = 0.4
+
+  /** (vec_id, cluster, component, n_members, is_keeper) for every
+    * embedding row. `component` is the min vec_id reachable through
+    * τ-edges (singletons: the row itself); `n_members` counts the
+    * component's members; `is_keeper` marks the paper-rule survivor. */
+  def semDedup(spark: SparkSession, dir: String,
+               nClusters: Int = 8, tau: Double = DefaultTau,
+               maxIters: Int = 10, ordered: Boolean = true): DataFrame = {
+    import graft.ann.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+
+    // 1. exact-twin collapse on the quantized vector (identity = the q20
+    //    array itself; two vectors that quantize identically score
+    //    identically everywhere downstream)
+    val qv = emb.withColumn("__qe", Ann.quantize(col("embedding")))
+    val members = qv
+      .withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("__qe"))))
+      .select(col("vec_id"), col("rep_id"))
+      .localCheckpoint(false)
+    val reps = qv
+      .join(members.filter(col("vec_id") === col("rep_id")).select("rep_id"),
+        col("vec_id") === col("rep_id"))
+      .select(col("rep_id"), col("embedding"))
+
+    // 2. spherical projection + deterministic k-means (raw-space mode —
+    //    the IVF quantizer recipe; fit scans 3+iters times, so persist)
+    val xs = (0 until IvfDims).map(i => s"x$i")
+    val feats = Ann.ivfProj(reps, "embedding").persist()
+    val (assigned0, model) = graft.ml.DetKMeans.fitCached(
+      feats, "rep_id", xs, nClusters, IvfIters, standardize = false)
+    // d² to the assigned centroid, left-associated like the oracle chain
+    val centroids = {
+      import spark.implicits._
+      model.centers.zipWithIndex
+        .map { case (g, i) => (i.toLong, g.toSeq) }.toSeq
+        .toDF("cluster", "g")
+    }
+    val d2 = (0 until IvfDims).map { i =>
+      (col(s"z$i") - element_at(col("g"), i + 1)) *
+        (col(s"z$i") - element_at(col("g"), i + 1))
+    }.reduce(_ + _)
+    val assigned = assigned0.join(broadcast(centroids), "cluster")
+      .withColumn("__d2", d2)
+      .select(col("rep_id"), col("cluster"), col("embedding"), col("__d2"))
+      .localCheckpoint(false)
+    feats.unpersist()
+
+    // 3. within-cluster τ-pairs (exact-integer cosine; NULL on zero norms
+    //    falls out of the ≥ τ filter, so zero vectors pair only as twins)
+    val a = assigned.select(col("rep_id").as("ra"), col("cluster"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("rep_id").as("rb"), col("cluster"),
+      col("embedding").as("eb"))
+    val edges = a.join(b, Seq("cluster"))
+      .filter(col("ra") < col("rb"))
+      .filter(Ann.fixedPointCosine(col("ea"), col("eb")) >= tau)
+      .select(col("ra"), col("rb"))
+      .localCheckpoint(false)
+
+    // 4. components over rep edges (min-label propagation; cluster-scoped
+    //    cliques keep widths tiny, the loop is the dedup_clusters shape)
+    val comp = propagateMin(edges, maxIters)
+
+    // 5. fan back to members + keeper election (max d², ties min vec_id)
+    val repSizes = members.groupBy("rep_id").agg(count(lit(1)).as("__msz"))
+    val withComp = members
+      .join(repSizes, "rep_id")
+      .join(comp, Seq("rep_id"), "left")
+      .join(assigned.select(col("rep_id"), col("cluster"), col("__d2")), "rep_id")
+      .withColumn("component", coalesce(col("component"),
+        when(col("__msz") > 1L, col("rep_id")).otherwise(col("vec_id"))))
+    val sizes = withComp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    val wk = Window.partitionBy(col("component"))
+      .orderBy(col("__d2").desc, col("vec_id"))
+    val out = withComp.join(sizes, "component")
+      .withColumn("is_keeper", row_number().over(wk) === 1)
+      .select(col("vec_id"), col("cluster"), col("component"),
+        col("n_members").cast("long").as("n_members"), col("is_keeper"))
+    if (ordered) out.orderBy("vec_id") else out
+  }
+
+  /** Min-label propagation over an undirected rep-edge list: returns
+    * (rep_id, component) for every edge-touched rep. Bounded-iteration
+    * loop (the DedupClusters shape); τ-cliques within one k-means cluster
+    * converge in a handful of rounds. */
+  private def propagateMin(pairs: DataFrame, maxIters: Int): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("rb").as("ra"), col("ra").as("rb")))
+      .select(col("ra").as("src"), col("rb").as("dst"))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("rep_id")).distinct()
+      .withColumn("component", col("rep_id")).persist()
+    var pinned = labels
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("rep_id"))
+        .select(col("dst").as("rep_id"), col("component"),
+          lit(null).cast("long").as("old"))
+      val next = labels
+        .select(col("rep_id"), col("component"), col("component").as("old"))
+        .unionByName(msgs)
+        .groupBy("rep_id")
+        .agg(min("component").as("component"), max("old").as("old"))
+        .persist()
+      val changed = next.filter(col("component") =!= col("old")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select("rep_id", "component")
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      System.err.println(s"[semdedup] WARNING: label propagation hit " +
+        s"maxIters=$maxIters before converging — raise maxIters")
+    val out = labels.localCheckpoint(true)
+    pinned.unpersist()
+    out
+  }
+
+  /** DuckDB oracle: the full replay — collapse, spherical features, the
+    * DetKMeans CTE chain, left-assoc d², pairwise q20 cosine within
+    * cluster, recursive-CTE components, and the (d² DESC, vec_id) keeper
+    * window — every arithmetic step in the exact form the engine runs. */
+  def semDedupOracle(nClusters: Int = 8, tau: Double = DefaultTau): String = {
+    val pre =
+      """qv AS MATERIALIZED (
+        |  SELECT vec_id, qe,
+        |    list_sum(list_transform(qe, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+        |        FROM embeddings)
+        |), mem AS MATERIALIZED (
+        |  SELECT vec_id, MIN(vec_id) OVER (PARTITION BY qe) AS rep_id FROM qv
+        |), rp AS MATERIALIZED (
+        |  SELECT q.vec_id AS rep_id, q.qe, q.nrm
+        |  FROM qv q JOIN (SELECT DISTINCT rep_id FROM mem) r ON q.vec_id = r.rep_id
+        |), f AS (
+        |  SELECT rep_id,
+        |""".stripMargin +
+        (0 until IvfDims).map(d =>
+          s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+            s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
+          .mkString(",\n") +
+        "\n  FROM rp)"
+    val d2 = (0 until IvfDims).map(i => s"(a.z$i - c.g$i) * (a.z$i - c.g$i)")
+      .reduce((acc, x) => s"($acc + $x)")
+    "WITH RECURSIVE " + graft.ml.DetKMeans.oracleCtes(pre, "rep_id",
+      nFeats = IvfDims, k = nClusters, iters = IvfIters, standardize = false) + ",\n" +
+      s"""dd AS MATERIALIZED (
+         |  SELECT a.rep_id, a.cluster, $d2 AS d2
+         |  FROM afin a JOIN c$IvfIters c ON a.cluster = c.cluster
+         |), pe AS MATERIALIZED (
+         |  SELECT a.rep_id AS ra, b.rep_id AS rb
+         |  FROM afin a JOIN afin b ON a.cluster = b.cluster AND a.rep_id < b.rep_id
+         |  JOIN rp qa ON qa.rep_id = a.rep_id
+         |  JOIN rp qb ON qb.rep_id = b.rep_id
+         |  WHERE qa.nrm * qb.nrm > 0
+         |    AND list_sum(list_transform(range(1, LEAST(len(qa.qe), len(qb.qe)) + 1),
+         |          i -> qa.qe[i] * qb.qe[i])) / sqrt(qa.nrm * qb.nrm) >= $tau
+         |), ed AS (
+         |  SELECT ra AS s, rb AS d FROM pe UNION ALL SELECT rb, ra FROM pe
+         |), nodes AS (SELECT DISTINCT s AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.node
+         |), comp AS (
+         |  SELECT node AS rep_id, MIN(r) AS component FROM reach GROUP BY 1
+         |), msz AS (
+         |  SELECT rep_id, COUNT(*) AS m FROM mem GROUP BY 1
+         |), wc AS (
+         |  SELECT mem.vec_id, dd.cluster, dd.d2,
+         |    COALESCE(comp.component,
+         |      CASE WHEN msz.m > 1 THEN mem.rep_id ELSE mem.vec_id END) AS component
+         |  FROM mem
+         |  JOIN msz USING (rep_id)
+         |  LEFT JOIN comp USING (rep_id)
+         |  JOIN dd USING (rep_id)
+         |), cs AS (
+         |  SELECT component, COUNT(*) AS n_members FROM wc GROUP BY 1
+         |)
+         |SELECT wc.vec_id, wc.cluster, wc.component,
+         |  CAST(cs.n_members AS BIGINT) AS n_members,
+         |  (ROW_NUMBER() OVER (PARTITION BY wc.component
+         |     ORDER BY wc.d2 DESC, wc.vec_id) = 1) AS is_keeper
+         |FROM wc JOIN cs USING (component)
+         |ORDER BY wc.vec_id""".stripMargin
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.dedup.SemDeDup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDeDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every embedding is labeled; exactly one keeper per component") {
+    val out = SemDeDup.semDedup(spark, TestSpark.sfDir).persist()
+    val n = Tables.embeddings(spark, TestSpark.sfDir).count()
+    assert(out.count() == n)
+    val badKeeper = out.groupBy("component")
+      .agg(sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"))
+      .filter(col("k") =!= 1L).count()
+    assert(badKeeper == 0)
+    // n_members is consistent with the actual component sizes
+    val badSize = out.groupBy("component")
+      .agg(count(lit(1)).as("actual"), max("n_members").as("claimed"),
+        min("n_members").as("claimed2"))
+      .filter(col("actual") =!= col("claimed") || col("actual") =!= col("claimed2"))
+      .count()
+    assert(badSize == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("exact twins share a component and the min-id twin survives ties") {
+    import spark.implicits._
+    // 3 exact twins (one distinct vector), plus isolated far vectors: the
+    // twins are one component (cos = 1 between identical vectors), share
+    // d2 exactly, so the keeper falls to the id tie-break = min vec_id
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    def unit(axis: Int) = Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val rows = Seq(
+      (10L, v, 0), (11L, v, 0), (12L, v, 0),
+      (20L, unit(0), 1), (21L, unit(7), 1), (22L, unit(14), 1), (23L, unit(21), 1),
+      (24L, unit(28), 1), (25L, unit(35), 1), (26L, unit(42), 1), (27L, unit(49), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SemDeDup.semDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // twins: one component labeled by the min vec_id, keeper = 10
+    assert(Seq(10L, 11L, 12L).map(out(_).getLong(2)).distinct == Seq(10L))
+    assert(out(10L).getLong(3) == 3L && out(10L).getBoolean(4))
+    assert(!out(11L).getBoolean(4) && !out(12L).getBoolean(4))
+    // orthogonal unit vectors (cos = 0 < τ): all singleton keepers
+    (20L to 27L).foreach { id =>
+      assert(out(id).getLong(2) == id && out(id).getLong(3) == 1L)
+      assert(out(id).getBoolean(4))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("the farthest-from-centroid member survives within a dup group") {
+    import spark.implicits._
+    // two near-identical vectors (cos > τ) plus filler: within the dup
+    // pair, the one farther from its cluster centroid must be the keeper —
+    // the paper's diversity-preserving rule, not min-id
+    val base = Array.tabulate(64)(i => math.cos(i * 0.37).toFloat)
+    val nudged = base.clone(); nudged(0) = base(0) + 0.02f // cos ≈ 0.9998
+    val rows = Seq((1L, base, 0), (2L, nudged, 0)) ++
+      (10L to 29L).map { id =>
+        (id, Array.tabulate(64)(i => math.sin(0.13 * (i + 1) * (id + 3)).toFloat), 1)
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup_far").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SemDeDup.semDedup(spark, tmp)
+    val pair = out.filter(col("vec_id").isin(1L, 2L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // they form one 2-member component
+    assert(pair(1L).getLong(2) == pair(2L).getLong(2))
+    assert(pair(1L).getLong(3) == 2L)
+    // exactly one keeper between them (which one depends on the centroid —
+    // asserted structurally here; the tie-free election itself is pinned by
+    // the hash-exact oracle at the gate SFs)
+    assert(pair(1L).getBoolean(4) ^ pair(2L).getBoolean(4))
+    spark.catalog.clearCache()
+  }
+
+  test("a replicated corpus collapses: same components as the distinct one") {
+    import spark.implicits._
+    // every vector duplicated 3x under new ids — the collapse must put each
+    // copy in its original's component, and the distinct-corpus keeper's
+    // component structure survives (fit on reps = fit on distinct vectors)
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .limit(100)
+    val n = 100L
+    val copies = (1 to 2).map(c =>
+      emb.select((col("vec_id") + lit(c * 1000L)).as("vec_id"), col("embedding")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup_rep").toString
+    copies.foldLeft(emb)(_ unionByName _)
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SemDeDup.semDedup(spark, tmp).persist()
+    assert(out.count() == 3 * n)
+    // each original id and its two copies share one component
+    val bad = out.withColumn("orig", col("vec_id") % 1000L)
+      .groupBy("orig").agg(countDistinct("component").as("c"))
+      .filter(col("c") =!= 1L).count()
+    assert(bad == 0)
+    // exactly one keeper per component still holds
+    val badKeeper = out.groupBy("component")
+      .agg(sum(when(col("is_keeper"), 1L).otherwise(0L)).as("k"))
+      .filter(col("k") =!= 1L).count()
+    assert(badKeeper == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+}
