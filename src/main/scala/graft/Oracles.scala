@@ -437,6 +437,44 @@ object Oracles {
          |LEFT JOIN iagg i USING (doc_id)""".stripMargin
     },
 
+    // AVI frame decode: the Spark side walks a real RIFF tree (LIST hdrl
+    // avih geometry, LIST movi '00db' uncompressed-DIB frames) and sums
+    // pixel bytes + inter-frame |diff|s. The synthesis scrolls frame k by
+    // k 12-byte rows (cyclic), so the closed form is: per-frame channel
+    // sums equal frame 0's (a whole-row scroll preserves i%3 channel
+    // classes), and EVERY transition's motion equals the cyclic 12-shift
+    // absolute-difference total — the oracle states both directly. The
+    // emitted doubles divide the engine's exact totals (fr-scaled), which
+    // IEEE-divide to the identical value.
+    "multimodal_video" -> {
+      def hv(pos: String) = s"(strpos('0123456789ABCDEF', substr(h, $pos, 1)) - 1)"
+      def byteAt(k: String) = s"(${hv(s"($k)*2 + 1")} * 16 + ${hv(s"($k)*2 + 2")})"
+      s"""WITH d AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         |    CAST(2 + doc_id % 3 AS BIGINT) AS fr
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, h, fr, n // 12 AS hgt, 12 * (n // 12) AS L FROM d
+         |), ib AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN i % 3 = 0 THEN ${byteAt("i")} END) AS sb,
+         |    SUM(CASE WHEN i % 3 = 1 THEN ${byteAt("i")} END) AS sg,
+         |    SUM(CASE WHEN i % 3 = 2 THEN ${byteAt("i")} END) AS sr,
+         |    SUM(ABS(${byteAt("i")} - ${byteAt("(i + 12) % L")})) AS md
+         |  FROM (SELECT doc_id, h, L, unnest(range(0, L)) AS i FROM p WHERE L > 0)
+         |  GROUP BY 1
+         |)
+         |SELECT p.doc_id, p.fr AS n_frames,
+         |  CAST(4 AS BIGINT) AS width, CAST(p.hgt AS BIGINT) AS height,
+         |  CAST(4 * p.hgt * p.fr AS BIGINT) AS n_units,
+         |  CAST(p.fr * ib.sb AS DOUBLE) / CAST(p.fr * 4 * p.hgt AS DOUBLE) AS mean_b,
+         |  CAST(p.fr * ib.sg AS DOUBLE) / CAST(p.fr * 4 * p.hgt AS DOUBLE) AS mean_g,
+         |  CAST(p.fr * ib.sr AS DOUBLE) / CAST(p.fr * 4 * p.hgt AS DOUBLE) AS mean_r,
+         |  CAST((p.fr - 1) * ib.md AS DOUBLE) / CAST((p.fr - 1) * p.L AS DOUBLE) AS motion
+         |FROM p LEFT JOIN ib USING (doc_id)""".stripMargin
+    },
+
     "basket_features" ->
       s"""SELECT l_orderkey,
         |  COUNT(*) AS basket_size,

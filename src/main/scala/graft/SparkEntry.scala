@@ -127,6 +127,7 @@ object SparkEntry {
     "embed_neardup"    -> ((s, d) => graft.ann.Ann.embeddingNearDups(s, d)),
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     "multimodal_signal" -> ((s, d) => graft.multimodal.Multimodal.signal(s, d)),
+    "multimodal_video" -> ((s, d) => graft.multimodal.Multimodal.video(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)
     "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d)),
 

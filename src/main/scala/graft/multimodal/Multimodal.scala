@@ -498,4 +498,163 @@ object Multimodal {
     import spark.implicits._
     mediaSignalFromDocuments(spark, dir).mapPartitions(_.map(decodeSignal)).toDF()
   }
+
+  // ------------------------------------------------------------------
+  // AVI FRAME decode — closing §6's last signal boundary with zero new
+  // dependencies: AVI video with uncompressed DIB frames ('00db' chunks of
+  // raw bottom-up BGR rows) is spec-legal and needs no codec at all, the
+  // same way BMP didn't. The synthesis writes a genuine RIFF tree (LIST
+  // hdrl/avih + LIST movi with per-frame chunks); the decoder WALKS that
+  // tree — chunks by declared size, geometry from avih, stride padded to
+  // 4 bytes — it never assumes the writer's fixed layout. Only compressed
+  // codecs (MJPEG, H.264) remain genuinely out of JDK reach.
+  // ------------------------------------------------------------------
+
+  /** Per-record video stats: frame count actually decoded from the movi
+    * list, geometry from avih, per-channel means over ALL frames' pixels,
+    * and `motion` = mean absolute byte difference between consecutive
+    * frames — the standard cheap temporal-activity feature (frame-sample
+    * selection upstream of an expensive encoder keys on it). All doubles
+    * are single-rounding quotients of exact integer sums. */
+  case class VideoSignal(
+      doc_id: Long,
+      n_frames: Long,
+      width: Long,
+      height: Long,
+      n_units: Long,
+      mean_b: Option[Double],
+      mean_g: Option[Double],
+      mean_r: Option[Double],
+      motion: Option[Double])
+
+  /** A complete RIFF/AVI with REAL frame payloads: the [[aviBytes]] header
+    * tree plus a LIST/movi of `frames` uncompressed-DIB '00db' chunks.
+    * Frame k's pixel array is `body` (truncated to whole rows) cyclically
+    * scrolled DOWN by k rows — deterministic motion the oracle can state
+    * in closed form, while row size (12 = 3·width at width 4, already
+    * 4-byte aligned) keeps the scroll on channel boundaries. */
+  def aviMovieBytes(width: Long, height: Long, frames: Int,
+                    microsPerFrame: Long, framePixels: Seq[Array[Byte]]): Array[Byte] = {
+    val chunks = framePixels.flatMap { px =>
+      require(px.length % 2 == 0, "RIFF chunk payloads here are even-sized")
+      "00db".getBytes("US-ASCII") ++ le32(px.length.toLong) ++ px
+    }.toArray
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4L + chunks.length) ++
+      "movi".getBytes("US-ASCII") ++ chunks
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4L + 8L + 56L) ++
+      "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(microsPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  /** The video media table: EVERY document becomes an AVI whose frames are
+    * its text bytes as 4-px-wide BGR rows, frame k scrolled down by k rows
+    * (cyclic). 2–4 frames per doc (doc_id-derived, like every other
+    * synthesis parameter). Docs shorter than one 12-byte row produce
+    * zero-height frames — the decoder's empty-pixel path. */
+  def mediaVideoFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)].map {
+      case (docId, text) =>
+        val body = text.getBytes("UTF-8")
+        val rowSize = 3 * BmpWidth
+        val h = body.length / rowSize
+        val px = body.take(h * rowSize)
+        val frames = (2 + docId % 3).toInt
+        val framePx = (0 until frames).map { k =>
+          if (px.isEmpty) Array.emptyByteArray
+          else {
+            val shift = (k * rowSize) % px.length
+            px.drop(px.length - shift) ++ px.take(px.length - shift)
+          }
+        }
+        MediaRecord(docId, "video",
+          aviMovieBytes(BmpWidth, h, frames, AviMicros((docId % 5).toInt), framePx))
+    }
+  }
+
+  /** Decode one AVI record by walking the RIFF tree: find avih geometry
+    * inside LIST/hdrl, then iterate LIST/movi's '00db' frame chunks.
+    * Geometry is untrusted (the BMP lesson): a frame chunk whose declared
+    * size disagrees with stride·height, or chunk bounds past the payload,
+    * end the walk with what was decoded so far. */
+  def decodeVideo(r: MediaRecord): VideoSignal = {
+    val b = r.payload
+    def failed = VideoSignal(r.doc_id, 0L, 0L, 0L, 0L, None, None, None, None)
+    if (b.length < 12 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI ")) return failed
+    var width = -1L; var height = -1L
+    var nFrames = 0L; var nPixels = 0L
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var motionSum = 0L; var motionBytes = 0L
+    var prev: Array[Byte] = null
+    var stride = 0
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val size = readLe32(b, pos + 4)
+      val end = pos + 8 + size
+      if (size < 0 || end > b.length) return failed
+      if (fourcc(b, pos, "LIST") && size >= 4) {
+        if (fourcc(b, pos + 8, "hdrl")) {
+          // avih is hdrl's first child chunk; read geometry by offset
+          // within the chunk the walk located (not a global constant)
+          if (size >= 4 + 8 + 56 && fourcc(b, pos + 12, "avih")) {
+            width = readLe32(b, pos + 20 + 32)
+            height = readLe32(b, pos + 20 + 36)
+            if (width < 0 || width > Int.MaxValue / 4) return failed
+            stride = (((3 * width + 3) / 4) * 4).toInt
+          }
+        } else if (fourcc(b, pos + 8, "movi") && width >= 0) {
+          var fp = pos + 12
+          while (fp + 8 <= end.toInt) {
+            val fsize = readLe32(b, fp + 4).toInt
+            if (fsize < 0 || fp + 8 + fsize > end) return failed
+            if (fourcc(b, fp, "00db")) {
+              if (height >= 0 && fsize.toLong != stride.toLong * height) return failed
+              nFrames += 1
+              var y = 0
+              while (y < height) { // stride-correct: padding bytes skipped
+                val row = fp + 8 + y * stride
+                var x = 0
+                while (x < width) {
+                  val p = row + 3 * x
+                  sb += u8(b(p)); sg += u8(b(p + 1)); sr += u8(b(p + 2))
+                  x += 1
+                }
+                y += 1
+              }
+              nPixels += (width * height)
+              if (prev != null && fsize == prev.length) {
+                var j = 0
+                while (j < fsize) {
+                  motionSum += math.abs(u8(b(fp + 8 + j)) - u8(prev(j)))
+                  j += 1
+                }
+                motionBytes += fsize.toLong
+              }
+              prev = java.util.Arrays.copyOfRange(b, fp + 8, fp + 8 + fsize)
+            }
+            fp += 8 + fsize + (fsize & 1) // RIFF chunks pad to even
+          }
+        }
+      }
+      pos = (end + (size & 1)).toInt
+    }
+    if (width < 0 || height < 0) return failed
+    def mean(s: Long) = if (nPixels > 0) Some(s.toDouble / nPixels.toDouble) else None
+    val motion =
+      if (motionBytes > 0) Some(motionSum.toDouble / motionBytes.toDouble) else None
+    VideoSignal(r.doc_id, nFrames, width, height, nPixels,
+      mean(sb), mean(sg), mean(sr), motion)
+  }
+
+  /** Driver query: frame-level video stats over the all-docs AVI table. */
+  def video(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaVideoFromDocuments(spark, dir).mapPartitions(_.map(decodeVideo)).toDF()
+  }
 }

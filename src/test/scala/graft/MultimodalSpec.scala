@@ -192,4 +192,62 @@ class MultimodalSpec extends AnyFunSuite {
       assert(offs.forall(o => o >= 0 && o < math.max(1, f.n_bytes) * 5))
     }
   }
+
+  test("decodeVideo walks a real movi list: frames, channel sums, motion") {
+    // 2 rows of 4 px (24 bytes), 3 frames scrolled by one 12-byte row:
+    // frame 0 = px, frame 1 = rows swapped, frame 2 = px again
+    val px = Array.tabulate(24)(i => (i * 7 + 3).toByte)
+    def scroll(k: Int): Array[Byte] = {
+      val shift = (k * 12) % px.length
+      px.drop(px.length - shift) ++ px.take(px.length - shift)
+    }
+    val payload = Multimodal.aviMovieBytes(4, 2, 3, 33333L, (0 until 3).map(scroll))
+    val v = Multimodal.decodeVideo(MediaRecord(5L, "video", payload))
+    assert(v.n_frames == 3 && v.width == 4 && v.height == 2 && v.n_units == 24)
+    // channel means: every frame is a row permutation of px, so the sums
+    // are 3x frame 0's per-channel sums
+    def chSum(c: Int) = px.indices.filter(_ % 3 == c).map(px(_) & 0xff).sum.toLong
+    assert(v.mean_b.contains(3 * chSum(0) / 24.0))
+    assert(v.mean_g.contains(3 * chSum(1) / 24.0))
+    assert(v.mean_r.contains(3 * chSum(2) / 24.0))
+    // motion: each transition is the cyclic 12-shift |diff| total
+    val m = px.indices.map(i => math.abs((px(i) & 0xff) - (px((i + 12) % 24) & 0xff))).sum
+    assert(v.motion.contains(2L * m / 48.0))
+  }
+
+  test("decodeVideo rejects untrusted geometry instead of overrunning") {
+    val px = Array.tabulate(24)(_.toByte)
+    val good = Multimodal.aviMovieBytes(4, 2, 1, 33333L, Seq(px))
+    // (a) frame chunk whose size disagrees with avih stride*height
+    val badFrame = good.clone()
+    // movi frame chunk size field sits 4 bytes after the '00db' tag
+    val db = good.indexOfSlice("00db".getBytes("US-ASCII"))
+    badFrame(db + 4) = 12 // declared 12 != stride(12)*height(2)
+    val v1 = Multimodal.decodeVideo(MediaRecord(1L, "video", badFrame))
+    assert(v1.n_frames == 0 && v1.n_units == 0 && v1.mean_b.isEmpty)
+    // (b) top-level chunk size past the payload end
+    val badSize = good.clone()
+    badSize(db + 4) = -1 // 0xff..: size > remaining bytes
+    val v2 = Multimodal.decodeVideo(MediaRecord(2L, "video", badSize))
+    assert(v2.n_frames == 0 && v2.mean_b.isEmpty)
+    // (c) truncated payload: movi list cut mid-frame
+    val v3 = Multimodal.decodeVideo(MediaRecord(3L, "video", good.take(good.length - 5)))
+    assert(v3.n_units == 0)
+  }
+
+  test("video covers every document; zero-height docs decode empty") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.video(spark, dir).persist()
+    val n = Tables.documents(spark, dir).count()
+    assert(out.count() == n)
+    // frames always parse (2-4 per doc), geometry is width 4
+    assert(out.filter(col("n_frames") < 2 || col("n_frames") > 4).count() == 0)
+    assert(out.filter(col("width") =!= 4).count() == 0)
+    // pixel-bearing docs carry means in [0, 255] and motion in [0, 255]
+    val withPx = out.filter(col("n_units") > 0)
+    assert(withPx.filter(col("mean_b") < 0 || col("mean_b") > 255).count() == 0)
+    assert(withPx.filter(col("motion") < 0 || col("motion") > 255).count() == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
 }
