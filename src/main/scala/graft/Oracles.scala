@@ -580,6 +580,7 @@ object Oracles {
     "incremental_dedup" -> graft.dedup.IncrementalDedup.incrementalDedupOracle,
     "incremental_neardup" -> graft.dedup.IncrementalDedup.incrementalNearDupOracle,
     "semdedup" -> graft.dedup.SemDeDup.semDedupOracle(),
+    "ann_pq" -> graft.ann.Pq.annPqOracle(),
     // stream/batch parity (id-ordered micro-batches) makes the streaming
     // sink's decisions equal the whole-batch detector's bit-for-bit, so
     // the replay rides the batch oracle

@@ -297,74 +297,82 @@ object DetKMeans {
     * (assign and carry-forward), so the inlined plan doubles per iteration —
     * the same geometric blowup the portable-ln ladders hit ("the staging
     * lesson"); materialization makes the chain linear. */
+  /** `prefix` namespaces every generated CTE (st, z, ci*, a*, s*, c*,
+    * afin, ...) so several independent fits can share ONE top-level WITH —
+    * nesting whole fits in CTE subqueries instead loses the MATERIALIZED
+    * hints and re-triggers the geometric blowup (measured by ann_pq's
+    * first 16-codebook oracle: minutes instead of seconds at 500 rows).
+    * The caller's `fCte` must then define `<prefix>f`. */
   def oracleCtes(fCte: String, idCol: String, nFeats: Int,
-                 k: Int, iters: Int, standardize: Boolean = true): String = {
+                 k: Int, iters: Int, standardize: Boolean = true,
+                 prefix: String = ""): String = {
+    val P = prefix
     val xs = (0 until nFeats).map(i => s"x$i")
     val b = new StringBuilder
     b ++= fCte ++ ",\n"
     if (standardize) {
-      b ++= s"st AS MATERIALIZED (SELECT COUNT(*) AS n, " +
+      b ++= s"${P}st AS MATERIALIZED (SELECT COUNT(*) AS n, " +
         xs.map(x => s"SUM(CAST($x AS DECIMAL(38,0))) AS s_$x").mkString(", ") +
-        " FROM f),\n"
-      b ++= s"ctr AS MATERIALIZED (SELECT n, " + xs.map(x =>
+        s" FROM ${P}f),\n"
+      b ++= s"${P}ctr AS MATERIALIZED (SELECT n, " + xs.map(x =>
         s"CAST(CAST(s_$x AS HUGEINT) // n AS BIGINT) AS c_$x, " +
         s"CAST(CAST(s_$x AS HUGEINT) % n AS DOUBLE) AS t_$x, " +
         Exact.bigDecToDoubleSignedSql(s"s_$x") + s" AS sd_$x").mkString(", ") +
-        " FROM st),\n"
-      b ++= s"sd AS MATERIALIZED (SELECT " + xs.map(x =>
+        s" FROM ${P}st),\n"
+      b ++= s"${P}sd AS MATERIALIZED (SELECT " + xs.map(x =>
         s"SUM(CAST($x - c_$x AS DECIMAL(19,0)) * CAST($x - c_$x AS DECIMAL(19,0))) AS sd2_$x")
-        .mkString(", ") + " FROM f CROSS JOIN ctr),\n"
-      b ++= s"ms AS MATERIALIZED (SELECT n, CAST(n AS DOUBLE) AS nd, " + xs.map(x =>
+        .mkString(", ") + s" FROM ${P}f CROSS JOIN ${P}ctr),\n"
+      b ++= s"${P}ms AS MATERIALIZED (SELECT n, CAST(n AS DOUBLE) AS nd, " + xs.map(x =>
         s"sd_$x / CAST(n AS DOUBLE) AS mu_$x").mkString(", ") + ", " +
         xs.map { x =>
           val v = s"(${Exact.bigDecToDoubleSql(s"sd2_$x")} - (t_$x * t_$x) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
           s"CASE WHEN n <= 1 OR $v <= 0.0 THEN 1.0 ELSE sqrt($v) END AS sig_$x"
         }.mkString(", ") +
-        " FROM ctr CROSS JOIN sd),\n"
+        s" FROM ${P}ctr CROSS JOIN ${P}sd),\n"
     } else {
       // raw-space mode: μ=0, σ=1 constants — (x − 0.0) / 1.0 is IEEE-exact
       // x on both engines, so the z CTE and cluster updates stay shared
-      b ++= s"ms AS MATERIALIZED (SELECT " +
+      b ++= s"${P}ms AS MATERIALIZED (SELECT " +
         (xs.map(x => s"0.0 AS mu_$x") ++ xs.map(x => s"1.0 AS sig_$x")).mkString(", ") +
         "),\n"
     }
-    b ++= s"z AS MATERIALIZED (SELECT f.*, " + xs.zipWithIndex.map { case (x, i) =>
+    b ++= s"${P}z AS MATERIALIZED (SELECT ${P}f.*, " + xs.zipWithIndex.map { case (x, i) =>
       s"(CAST($x AS DOUBLE) - mu_$x) / sig_$x AS z$i" }.mkString(", ") +
-      " FROM f CROSS JOIN ms),\n"
+      s" FROM ${P}f CROSS JOIN ${P}ms),\n"
     val zAll = (0 until nFeats).map(i => s"z$i")
     val dist = (0 until nFeats).map(i => s"(z$i - g$i) * (z$i - g$i)")
       .reduce((a, x) => s"($a + $x)")
     val gSel = (0 until nFeats).map(i => s"z$i AS g$i").mkString(", ")
     // farthest-point init: seed at the md5-smallest row, then k−1 greedy
     // maxmin rounds — ci{r} carries the first r centers
-    b ++= s"rk AS MATERIALIZED (SELECT z.*, row_number() OVER " +
-      s"(ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn FROM z),\n"
-    b ++= s"ci1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, $gSel FROM rk WHERE rn = 1),\n"
+    b ++= s"${P}rk AS MATERIALIZED (SELECT ${P}z.*, row_number() OVER " +
+      s"(ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn FROM ${P}z),\n"
+    b ++= s"${P}ci1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, $gSel FROM ${P}rk WHERE rn = 1),\n"
     for (r <- 2 to k) {
-      val prev = s"ci${r - 1}"
-      b ++= s"md$r AS MATERIALIZED (SELECT $idCol, " + zAll.mkString(", ") +
-        s", MIN($dist) AS dmin FROM z CROSS JOIN $prev GROUP BY " +
+      val prev = s"${P}ci${r - 1}"
+      b ++= s"${P}md$r AS MATERIALIZED (SELECT $idCol, " + zAll.mkString(", ") +
+        s", MIN($dist) AS dmin FROM ${P}z CROSS JOIN $prev GROUP BY " +
         (Seq(idCol) ++ zAll).mkString(", ") + "),\n"
-      b ++= s"ci$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL " +
+      b ++= s"${P}ci$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL " +
         s"SELECT CAST(${r - 1} AS BIGINT) AS cluster, $gSel " +
-        s"FROM (SELECT * FROM md$r ORDER BY dmin DESC, $idCol LIMIT 1)),\n"
+        s"FROM (SELECT * FROM ${P}md$r ORDER BY dmin DESC, $idCol LIMIT 1)),\n"
     }
-    b ++= s"c0 AS MATERIALIZED (SELECT * FROM ci$k),\n"
+    b ++= s"${P}c0 AS MATERIALIZED (SELECT * FROM ${P}ci$k),\n"
     def assignCte(name: String, from: String): String =
-      s"$name AS MATERIALIZED (SELECT $idCol, " + (xs ++ zAll).mkString(", ") +
+      s"$P$name AS MATERIALIZED (SELECT $idCol, " + (xs ++ zAll).mkString(", ") +
         s", (min({'d': $dist, 'j': cluster})).j AS cluster" +
-        s" FROM z CROSS JOIN $from GROUP BY " +
+        s" FROM ${P}z CROSS JOIN $P$from GROUP BY " +
         (Seq(idCol) ++ xs ++ zAll).mkString(", ") + ")"
     for (t <- 1 to iters) {
       b ++= assignCte(s"a$t", s"c${t - 1}") ++ ",\n"
-      b ++= s"s$t AS MATERIALIZED (SELECT cluster, COUNT(*) AS m, " +
+      b ++= s"${P}s$t AS MATERIALIZED (SELECT cluster, COUNT(*) AS m, " +
         xs.map(x => s"SUM(CAST($x AS DECIMAL(38,0))) AS s_$x").mkString(", ") +
-        s" FROM a$t GROUP BY 1),\n"
-      b ++= s"c$t AS MATERIALIZED (SELECT p.cluster, " + xs.zipWithIndex.map { case (x, i) =>
-        s"CASE WHEN s$t.m IS NULL THEN p.g$i ELSE " +
-          s"(${Exact.bigDecToDoubleSignedSql(s"s$t.s_$x")} / CAST(s$t.m AS DOUBLE) - mu_$x) / sig_$x END AS g$i"
+        s" FROM ${P}a$t GROUP BY 1),\n"
+      b ++= s"${P}c$t AS MATERIALIZED (SELECT p.cluster, " + xs.zipWithIndex.map { case (x, i) =>
+        s"CASE WHEN ${P}s$t.m IS NULL THEN p.g$i ELSE " +
+          s"(${Exact.bigDecToDoubleSignedSql(s"${P}s$t.s_$x")} / CAST(${P}s$t.m AS DOUBLE) - mu_$x) / sig_$x END AS g$i"
       }.mkString(", ") +
-        s" FROM c${t - 1} p LEFT JOIN s$t USING (cluster) CROSS JOIN ms),\n"
+        s" FROM ${P}c${t - 1} p LEFT JOIN ${P}s$t USING (cluster) CROSS JOIN ${P}ms),\n"
     }
     b ++= assignCte("afin", s"c$iters")
     b.toString
