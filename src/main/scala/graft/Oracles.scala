@@ -697,6 +697,7 @@ object Oracles {
 
     // top-k corpus vocabulary with doc frequencies + mass shares
     "vocab_topk" -> graft.text.TextOps.vocabTopKOracle(),
+    "dsir_selection" -> graft.text.Dsir.dsirSelectionOracle(),
     "tfidf_topterms" -> graft.text.TextOps.tfidfTopTermsOracle(),
     "doc_fingerprint" ->
       """WITH t AS (

@@ -87,6 +87,7 @@ object SparkEntry {
     "lang_id"          -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
     "vocab_topk"       -> ((s, d) => graft.text.TextOps.vocabTopK(s, d)),
+    "dsir_selection"   -> ((s, d) => graft.text.Dsir.dsirSelection(s, d)),
     "tfidf_topterms"   -> ((s, d) => graft.text.TextOps.tfidfTopTerms(s, d)),
     "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),
     "token_histogram"  -> ((s, d) => graft.text.Curation.tokenHistogram(s, d)),
