@@ -426,4 +426,40 @@ class PlanSpec extends AnyFunSuite {
     val crossJoins = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
     assert(crossJoins <= 1, s"unexpected extra cross joins: $crossJoins")
   }
+
+  test("semdedup: component-keyed election window, no cartesian") {
+    val plan = formatted(graft.dedup.SemDeDup.semDedup(spark, dir, ordered = false))
+    assert(!plan.contains("CartesianProduct"),
+      "semdedup must never plan a cartesian (pairs are cluster-keyed)")
+    assert(plan.contains("hashpartitioning(component"),
+      "keeper election must shuffle by component, never a single-partition sort")
+    spark.catalog.clearCache()
+  }
+
+  test("ann_pq: ADC scan broadcasts the query tables; windows stay query-keyed") {
+    val plan = formatted(graft.ann.Pq.annPq(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "the 10-row ADC table side must broadcast, not cartesian")
+    assert(plan.contains("BroadcastExchange"), "qarr must ride a broadcast")
+    assert(plan.contains("hashpartitioning(query_id"),
+      "shortlist/re-rank windows must shuffle by query_id")
+    spark.catalog.clearCache()
+  }
+
+  test("multimodal_video is a shuffle-free per-partition pipeline") {
+    val plan = formatted(graft.multimodal.Multimodal.video(spark, dir))
+    assert(!plan.contains("Exchange"),
+      "frame decode must stay a zero-shuffle mapPartitions pipeline")
+    assert(plan.contains("MapPartitions"), "decode should run per partition")
+  }
+
+  test("dsir: bucket model broadcasts back; per-doc fold is doc-keyed") {
+    val plan = formatted(graft.text.Dsir.dsirSelection(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row totals / 256-row lambda frames must broadcast, not cartesian")
+    assert(plan.contains("BroadcastExchange"), "the lambda table must broadcast")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      "the per-doc weight fold must aggregate by doc_id")
+    spark.catalog.clearCache()
+  }
 }
