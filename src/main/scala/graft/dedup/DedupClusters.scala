@@ -77,10 +77,16 @@ object DedupClusters {
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .localCheckpoint(false)
 
-    // active vertices = docs touched by at least one near-dup edge
+    // active vertices = docs touched by at least one near-dup edge.
+    // Per-round localCheckpoint, not persist: persist caches EXECUTION but
+    // the logical plan still grows a join+union+agg layer per round, and
+    // Catalyst re-analyzes the whole tree on every round's count — the
+    // semdedup loop measured 6.4 s for round 7 alone (vs 0.4 s flat with
+    // truncated lineage). Label frames are tiny (edge-touched docs), so
+    // the checkpoint blocks are trivial and the ContextCleaner releases
+    // them as rounds fall out of scope.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).persist()
-    var pinned = labels // the frame actually persisted (labels may be a view)
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -94,10 +100,8 @@ object DedupClusters {
       val next = labels.select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
         .unionByName(msgs)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"), max("old").as("old"))
-        .persist()
+        .localCheckpoint(false)
       val changed = next.filter(col("cluster_id") =!= col("old")).count()
-      pinned.unpersist()
-      pinned = next
       labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       i += 1
@@ -106,19 +110,17 @@ object DedupClusters {
       val msg = s"label propagation hit maxIters=$maxIters before converging — " +
         "components wider than the iteration budget are split; raise maxIters"
       if (strict) {
-        pinned.unpersist()
         throw new IllegalStateException(s"[dedup_clusters] $msg")
       }
       System.err.println(s"[dedup_clusters] WARNING: $msg")
     }
 
     // component sizes from the (tiny) label frame, then cut lineage so the
-    // iterative persist chain can be released
+    // iterative checkpoint chain can be released
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
     val dupLabels = labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("__sz"))
       .localCheckpoint(true)
-    pinned.unpersist()
 
     // everyone else is a singleton cluster of itself
     val out = Tables.documents(spark, dir).select(col("doc_id"))
