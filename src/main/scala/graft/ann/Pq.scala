@@ -113,20 +113,46 @@ object Pq {
     val feats = Ann.ivfProj(emb, "embedding").persist()
     val (codes, model) = fitSharedCodebook(feats, nCodes, subSpaces)
 
-    // per-query ADC tables: a[m][j] = d²(query subvector m, codeword j) —
-    // codeword coords are driver-side literals, so the whole M×16 table is
-    // one codegen'd projection over the 10 query rows
-    val qarr = feats.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id") +: (0 until subSpaces).map { m =>
-        array((0 until nCodes).map { j =>
-          (0 until subDim).map { i =>
-            val diff = col(s"x${subDim * m + i}").cast("double") -
-              lit(model.centers(j)(i))
-            diff * diff
-          }.reduce(_ + _)
-        }: _*).as(s"a$m")
-      }: _*)
+    // per-query ADC tables: a[m][j] = d²(query subvector m, codeword j).
+    // Computed on the DRIVER from the collected query features (bounded:
+    // the 10-row query set) with the identical left-assoc IEEE arithmetic
+    // the oracle replays — an expression form generated a ~5000-line
+    // wholestage class that FAILED janino's method limit and re-attempted
+    // compilation on every execution (measured 8-40 s/call at sf0.1; the
+    // literal table makes the call sub-second). In a real deployment the
+    // ADC table is client-side query prep anyway.
+    val qRows = feats.filter(col("vec_id") < 10)
+      .select(col("vec_id") +:
+        (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)
+      .collect() // bounded: one row per query
     feats.unpersist()
+    val qarr = {
+      val rows = qRows.map { r =>
+        val tables = (0 until subSpaces).map { m =>
+          (0 until nCodes).map { j =>
+            var acc = 0.0
+            var i = 0
+            while (i < subDim) { // left-assoc: ((d0²+d1²)+d2²)+…
+              val diff = r.getLong(1 + subDim * m + i).toDouble -
+                model.centers(j)(i)
+              val sq = diff * diff
+              acc = if (i == 0) sq else acc + sq
+              i += 1
+            }
+            acc
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: tables)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType) +:
+          (0 until subSpaces).map(m => org.apache.spark.sql.types.StructField(
+            s"a$m", org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    }
 
     // ADC scan: M array lookups + M−1 adds per corpus vector, then the
     // query-keyed shortlist window
