@@ -581,6 +581,9 @@ object Oracles {
     "incremental_neardup" -> graft.dedup.IncrementalDedup.incrementalNearDupOracle,
     "semdedup" -> graft.dedup.SemDeDup.semDedupOracle(),
     "ann_pq" -> graft.ann.Pq.annPqOracle(),
+    // index contents are the deterministic fit, so the persisted path
+    // replays the identical oracle
+    "ann_pq_indexed" -> graft.ann.Pq.annPqOracle(),
     // stream/batch parity (id-ordered micro-batches) makes the streaming
     // sink's decisions equal the whole-batch detector's bit-for-bit, so
     // the replay rides the batch oracle

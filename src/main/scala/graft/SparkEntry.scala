@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_ivf"          -> ((s, d) => graft.ann.Ann.annIvfTopK(s, d)),
     "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
     "ann_pq"           -> ((s, d) => graft.ann.Pq.annPq(s, d)),
+    "ann_pq_indexed"   -> ((s, d) => graft.ann.Pq.annPqIndexed(s, d)),
     // the ANN lambda arc: settled fit + assign-only exactly-once appends
     "ann_ivf_append"   -> ((s, d) => graft.ann.Ann.annIvfAppend(s, d)),
     // streaming twin: the appended fifth through the foreachBatch sink as

@@ -101,61 +101,50 @@ object Pq {
     (codes, model)
   }
 
-  def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
-             nCodes: Int = CodeBook, shortlist: Int = 0,
-             subSpaces: Int = SubSpaces): DataFrame = {
+  /** Per-query ADC tables: a[m][j] = d²(query subvector m, codeword j).
+    * Computed on the DRIVER from the collected query features (bounded:
+    * the 10-row query set) with the identical left-assoc IEEE arithmetic
+    * the oracle replays — an expression form generated a ~5000-line
+    * wholestage class that FAILED janino's method limit and re-attempted
+    * compilation on every execution (measured 8-40 s/call at sf0.1; the
+    * literal table makes the call sub-second). In a real deployment the
+    * ADC table is client-side query prep anyway. */
+  private def adcTables(spark: SparkSession,
+                        qRows: Array[org.apache.spark.sql.Row],
+                        centers: Array[Array[Double]],
+                        nCodes: Int, subSpaces: Int): DataFrame = {
     val subDim = Ann.IvfDims / subSpaces
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val rerank =
-      if (shortlist > 0) shortlist
-      else adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
-    val feats = Ann.ivfProj(emb, "embedding").persist()
-    val (codes, model) = fitSharedCodebook(feats, nCodes, subSpaces)
-
-    // per-query ADC tables: a[m][j] = d²(query subvector m, codeword j).
-    // Computed on the DRIVER from the collected query features (bounded:
-    // the 10-row query set) with the identical left-assoc IEEE arithmetic
-    // the oracle replays — an expression form generated a ~5000-line
-    // wholestage class that FAILED janino's method limit and re-attempted
-    // compilation on every execution (measured 8-40 s/call at sf0.1; the
-    // literal table makes the call sub-second). In a real deployment the
-    // ADC table is client-side query prep anyway.
-    val qRows = feats.filter(col("vec_id") < 10)
-      .select(col("vec_id") +:
-        (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)
-      .collect() // bounded: one row per query
-    feats.unpersist()
-    val qarr = {
-      val rows = qRows.map { r =>
-        val tables = (0 until subSpaces).map { m =>
-          (0 until nCodes).map { j =>
-            var acc = 0.0
-            var i = 0
-            while (i < subDim) { // left-assoc: ((d0²+d1²)+d2²)+…
-              val diff = r.getLong(1 + subDim * m + i).toDouble -
-                model.centers(j)(i)
-              val sq = diff * diff
-              acc = if (i == 0) sq else acc + sq
-              i += 1
-            }
-            acc
+    val rows = qRows.map { r =>
+      val tables = (0 until subSpaces).map { m =>
+        (0 until nCodes).map { j =>
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) { // left-assoc: ((d0²+d1²)+d2²)+…
+            val diff = r.getLong(1 + subDim * m + i).toDouble - centers(j)(i)
+            val sq = diff * diff
+            acc = if (i == 0) sq else acc + sq
+            i += 1
           }
+          acc
         }
-        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: tables)
       }
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType) +:
-          (0 until subSpaces).map(m => org.apache.spark.sql.types.StructField(
-            s"a$m", org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType))))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: tables)
     }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType) +:
+        (0 until subSpaces).map(m => org.apache.spark.sql.types.StructField(
+          s"a$m", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
 
-    // ADC scan: M array lookups + M−1 adds per corpus vector, then the
-    // query-keyed shortlist window
+  /** The ADC scan + exact re-rank tail shared by the fit-per-session and
+    * persisted-index paths: M array lookups + M−1 adds per corpus vector,
+    * the query-keyed shortlist window, then fixed-point cosine over the
+    * shortlist. Bit-identical for the same (codes, qarr) however obtained. */
+  private def pqScore(emb: DataFrame, codes: DataFrame, qarr: DataFrame,
+                      subSpaces: Int, rerank: Int, k: Int): DataFrame = {
     val approx = (0 until subSpaces).map { m =>
       element_at(col(s"a$m"), col(s"c$m").cast("int") + 1)
     }.reduce(_ + _)
@@ -166,8 +155,6 @@ object Pq {
       .withColumn("__r", row_number().over(ws))
       .filter(col("__r") <= rerank)
       .select(col("query_id"), col("vec_id"))
-
-    // exact re-rank of the shortlist
     val qEmb = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))
@@ -181,9 +168,123 @@ object Pq {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
+             nCodes: Int = CodeBook, shortlist: Int = 0,
+             subSpaces: Int = SubSpaces): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val rerank =
+      if (shortlist > 0) shortlist
+      else adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
+    val feats = Ann.ivfProj(emb, "embedding").persist()
+    val (codes, model) = fitSharedCodebook(feats, nCodes, subSpaces)
+    val qRows = feats.filter(col("vec_id") < 10)
+      .select(col("vec_id") +:
+        (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)
+      .collect() // bounded: one row per query
+    feats.unpersist()
+    val qarr = adcTables(spark, qRows, model.centers, nCodes, subSpaces)
+    pqScore(emb, codes, qarr, subSpaces, rerank, k)
+  }
+
   /** Driver query. */
   def annPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     pqTopK(spark, dir, k)
+
+  // ------------------------------------------------- persisted PQ index
+
+  /** Persist the PQ index: the codes ARE the index (8 B/vector), plus the
+    * k×[[SubDim]] codebook and a staleness fingerprint — the ann_ivf_indexed
+    * recipe for the representation that actually ships at 100 TB (the coded
+    * corpus is written ONCE; every query is a broadcast-table scan over
+    * 32×-smaller data plus a shortlist re-rank). */
+  private[graft] def buildPqIndex(spark: SparkSession, dir: String,
+                                  indexDir: String, nCodes: Int = CodeBook,
+                                  subSpaces: Int = SubSpaces): Unit = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val feats = Ann.ivfProj(emb, "embedding").persist()
+    val (codes, model) = fitSharedCodebook(feats, nCodes, subSpaces)
+    feats.unpersist()
+    codes.sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    model.centers.toIndexedSeq.zipWithIndex
+      .map { case (g, j) => (j.toLong, g.toSeq) }
+      .toDF("j", "g")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
+    Seq((subSpaces, SubDim, nCodes, PqIters, fp.getLong(0),
+      if (fp.isNullAt(1)) -1L else fp.getLong(1)))
+      .toDF("sub_spaces", "sub_dim", "n_codes", "iters", "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** PQ top-k against a prebuilt index: codes + codebook read from disk
+    * (doubles round-trip parquet bit-exactly), the query-side projection is
+    * 10 rows — NO fit, no corpus-wide float math. Bit-identical to
+    * [[pqTopK]] for a fresh index over the same corpus. */
+  def pqTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
+                    k: Int = 10, shortlist: Int = 0): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val rerank =
+      if (shortlist > 0) shortlist
+      else adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
+    val meta = spark.read.parquet(s"$indexDir/meta").head
+    val subSpaces = meta.getAs[Int]("sub_spaces")
+    val nCodes = meta.getAs[Int]("n_codes")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val centers = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("j").collect() // bounded: nCodes rows
+      .map(r => r.getSeq[Double](1).toArray)
+    val qRows = Ann.ivfProj(emb.filter(col("vec_id") < 10), "embedding")
+      .select(col("vec_id") +:
+        (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)
+      .collect() // bounded: one row per query
+    val qarr = adcTables(spark, qRows, centers, nCodes, subSpaces)
+    pqScore(emb, codes, qarr, subSpaces, rerank, k)
+  }
+
+  private val ensureMemo =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Test hook: simulate a process restart for the once-per-JVM
+    * staleness check (the Ann.resetEnsureMemo recipe). */
+  private[graft] def resetEnsureMemo(): Unit = ensureMemo.clear()
+
+  /** Build-once glue keyed by (dir, geometry) under java.io.tmpdir — the
+    * ensureIvfIndex recipe verbatim: meta carries the build-time corpus
+    * fingerprint (count + max vec_id); a mismatch or unreadable meta
+    * rebuilds instead of wedging. */
+  private[graft] def ensurePqIndex(spark: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(s"$dir|$SubSpaces|$CodeBook|$PqIters|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_pq_idx_$key").getAbsolutePath
+    if (ensureMemo.contains(idx)) return idx
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(p) && scala.util.Try {
+      val m = spark.read.parquet(s"$idx/meta").head
+      val fp = graft.Tables.embeddings(spark, dir)
+        .agg(count(lit(1)), max(col("vec_id"))).head
+      m.getAs[Long]("nvecs") == fp.getLong(0) &&
+        m.getAs[Long]("max_vec_id") ==
+          (if (fp.isNullAt(1)) -1L else fp.getLong(1))
+    }.getOrElse(false)
+    if (!fresh) buildPqIndex(spark, dir, idx)
+    if (ensureMemo.size > 64) ensureMemo.clear()
+    ensureMemo.add(idx)
+    idx
+  }
+
+  /** Driver query: the persisted-index PQ path — oracle-identical to
+    * ann_pq (same codes, same codebook, precomputed). */
+  def annPqIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    pqTopKIndexed(spark, dir, ensurePqIndex(spark, dir), k)
 
   /** DuckDB oracle: ONE DetKMeans replay over the stacked subvectors
     * (uid = vec_id·M + m), then the code pivot, the per-query

@@ -35,6 +35,36 @@ class PqSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the persisted index reproduces the inline path bit-for-bit") {
+    val inline = Pq.pqTopK(spark, dir, k = 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Pq.buildPqIndex(spark, dir, tmp)
+    val indexed = Pq.pqTopKIndexed(spark, dir, tmp, k = 10)
+    assert(inline.exceptAll(indexed).count() == 0 &&
+      indexed.exceptAll(inline).count() == 0)
+    // cos_sim doubles too: compare the full row set exactly
+    assert(inline.collect().map(_.toString).sorted
+      .sameElements(indexed.collect().map(_.toString).sorted))
+    spark.catalog.clearCache()
+  }
+
+  test("ensurePqIndex rebuilds when the corpus fingerprint mismatches") {
+    import spark.implicits._
+    val idx = Pq.ensurePqIndex(spark, dir)
+    // simulate an in-place corpus rewrite: doctor the persisted fingerprint
+    Seq((Pq.SubSpaces, Pq.SubDim, Pq.CodeBook, Pq.PqIters, -999L, -999L))
+      .toDF("sub_spaces", "sub_dim", "n_codes", "iters", "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
+    // the staleness check runs once per JVM (ensureMemo); a rewrite is
+    // only detectable from a fresh process — simulate that restart
+    Pq.resetEnsureMemo()
+    val idx2 = Pq.ensurePqIndex(spark, dir)
+    assert(idx2 == idx)
+    val m = spark.read.parquet(s"$idx2/meta").head
+    assert(m.getAs[Long]("nvecs") > 0L, "stale meta served instead of a rebuild")
+    spark.catalog.clearCache()
+  }
+
   test("every query returns k ranked rows; ranks are 1..k") {
     val out = Pq.pqTopK(spark, dir, k = 10).persist()
     val perQ = out.groupBy("query_id").agg(count(lit(1)).as("n"),
