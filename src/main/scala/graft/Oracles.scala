@@ -580,6 +580,7 @@ object Oracles {
     "incremental_dedup" -> graft.dedup.IncrementalDedup.incrementalDedupOracle,
     "incremental_neardup" -> graft.dedup.IncrementalDedup.incrementalNearDupOracle,
     "semdedup" -> graft.dedup.SemDeDup.semDedupOracle(),
+    "semdedup_incremental" -> graft.dedup.SemDeDup.semDedupIncrementalOracle(),
     "ann_pq" -> graft.ann.Pq.annPqOracle(),
     // index contents are the deterministic fit, so the persisted path
     // replays the identical oracle

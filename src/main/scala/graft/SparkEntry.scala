@@ -108,6 +108,7 @@ object SparkEntry {
     "incremental_dedup" -> ((s, d) => graft.dedup.IncrementalDedup.incrementalDedup(s, d)),
     "incremental_neardup" -> ((s, d) => graft.dedup.IncrementalDedup.incrementalNearDup(s, d)),
     "semdedup"         -> ((s, d) => graft.dedup.SemDeDup.semDedup(s, d)),
+    "semdedup_incremental" -> ((s, d) => graft.dedup.SemDeDup.semDedupIncremental(s, d)),
     "streaming_neardup_replay" -> ((s, d) => graft.streaming.StreamingNearDup.streamingNearDupReplay(s, d)),
     // LLM-pipeline: similarity search + multimodal (SURVEY §2 #25-28)
     "ann_topk"         -> ((s, d) => graft.ann.Ann.annTopK(s, d)),

@@ -182,6 +182,237 @@ object SemDeDup {
     labels
   }
 
+  // ------------------------------------------- incremental (batch vs settled)
+
+  /** The batch slice of the embeddings table standing in for "tonight's
+    * crawl" (the IncrementalDedup `src0` convention, by label here since
+    * embeddings carry no source column). */
+  val BatchLabel = 0
+
+  /** Incremental SEMANTIC dedup — the nightly embedding batch probed
+    * against the settled corpus WITHOUT re-deduping the corpus against
+    * itself: the [[graft.dedup.IncrementalDedup]] shape lifted to
+    * embedding space, with the frozen-geometry lambda rule from the IVF
+    * append arc (`ann_ivf_append`): the quantizer is fit on the SETTLED
+    * side only and arriving batches are argmin-assigned to its existing
+    * clusters — refits are periodic campaigns, not per-batch costs.
+    *
+    * Decisions per batch vector, precedence order:
+    *   - `drop_exact`       — identical q20 vector exists in the settled
+    *                          corpus (keeper = min settled vec_id);
+    *   - `drop_exact_batch` — first seen in THIS batch (keeper = min batch
+    *                          vec_id with the same vector);
+    *   - `drop_near_corpus` — cosine ≥ τ with a settled vector in the
+    *                          batch vector's assigned cluster (keeper =
+    *                          best match: max cos, tie min vec_id);
+    *   - `drop_near_batch`  — cosine ≥ τ with a smaller-id batch rep in
+    *                          the same cluster;
+    *   - `keep`             — semantically new content.
+    *
+    * Scale shape: both sides collapse to distinct-vector reps before any
+    * pairing (the replicated-corpus bound); the settled side reduces to
+    * (qe → min id) + the per-cluster rep lists — in production those ARE
+    * the persisted semantic index, so the corpus is never self-joined;
+    * the probe joins batch reps against same-cluster settled reps only
+    * (candidate volume = batch × cluster density, the IVF-probe bound).
+    * Cluster-scoped probing misses straddling near-dups by the same
+    * contract as [[semDedup]] itself — nClusters is the recall/cost knob. */
+  def semDedupIncremental(spark: SparkSession, dir: String,
+                          nClusters: Int = 8, tau: Double = DefaultTau,
+                          ordered: Boolean = true): DataFrame = {
+    import graft.ann.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("int").as("label"), col("embedding"))
+      .withColumn("__qe", Ann.quantize(col("embedding")))
+    val settled = emb.filter(col("label") =!= BatchLabel)
+    val batch = emb.filter(col("label") === BatchLabel)
+
+    // exact layer (vector identity = the q20 array)
+    val corpusKeepers = settled.groupBy("__qe")
+      .agg(min(col("vec_id")).as("corpus_keeper"))
+    val batchW = batch.withColumn("batch_keeper",
+      min(col("vec_id")).over(Window.partitionBy(col("__qe"))))
+      .join(corpusKeepers, Seq("__qe"), "left")
+      .localCheckpoint(false)
+
+    // near layer runs on REPS that survived the exact layer
+    val settledReps = settled
+      .withColumn("__rep", min(col("vec_id")).over(Window.partitionBy(col("__qe"))))
+      .filter(col("vec_id") === col("__rep"))
+      .select(col("vec_id"), col("embedding"))
+    val batchReps = batchW
+      .filter(col("vec_id") === col("batch_keeper") && col("corpus_keeper").isNull)
+      .select(col("vec_id"), col("embedding"))
+
+    // frozen quantizer: fit on settled reps only; batch reps assigned with
+    // the model's argmin rule (ties to the smallest centroid id)
+    val xs = (0 until IvfDims).map(i => s"x$i")
+    val sFeats = Ann.ivfProj(settledReps, "embedding").persist()
+    val (sAssigned, model) = graft.ml.DetKMeans.fitCached(
+      sFeats, "vec_id", xs, nClusters, IvfIters, standardize = false)
+    val sSlim = sAssigned.select(col("vec_id").as("s_id"), col("cluster"),
+      col("embedding").as("s_emb")).localCheckpoint(false)
+    sFeats.unpersist()
+    val bAssigned = graft.ml.DetKMeans.assign(
+      Ann.ivfProj(batchReps, "embedding"), xs, model)
+      .select(col("vec_id").as("b_id"), col("cluster"),
+        col("embedding").as("b_emb")).localCheckpoint(false)
+
+    // best settled match per batch rep (max cos, tie min settled id)
+    val corpusBest = bAssigned.join(sSlim, Seq("cluster"))
+      .withColumn("__cos", Ann.fixedPointCosine(col("b_emb"), col("s_emb")))
+      .filter(col("__cos") >= tau)
+      .groupBy("b_id")
+      .agg(max(struct(col("__cos").as("c"), (-col("s_id")).as("nid"))).as("__m"))
+      .select(col("b_id"), col("__m.c").as("corpus_cos"),
+        (-col("__m.nid")).as("corpus_match"))
+    // best smaller-id batch-rep match
+    val bb = bAssigned.select(col("b_id").as("o_id"), col("cluster"),
+      col("b_emb").as("o_emb"))
+    val batchBest = bAssigned.join(bb, Seq("cluster"))
+      .filter(col("o_id") < col("b_id"))
+      .withColumn("__cos", Ann.fixedPointCosine(col("b_emb"), col("o_emb")))
+      .filter(col("__cos") >= tau)
+      .groupBy("b_id")
+      .agg(max(struct(col("__cos").as("c"), (-col("o_id")).as("nid"))).as("__m"))
+      .select(col("b_id"), col("__m.c").as("batch_cos"),
+        (-col("__m.nid")).as("batch_match"))
+    val repDecisions = bAssigned.select(col("b_id"), col("cluster"))
+      .join(corpusBest, Seq("b_id"), "left")
+      .join(batchBest, Seq("b_id"), "left")
+
+    // fan back: every batch vector gets its decision by precedence
+    val out = batchW
+      .join(repDecisions.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("decision",
+        when(col("corpus_keeper").isNotNull, "drop_exact")
+          .when(col("batch_keeper") < col("vec_id"), "drop_exact_batch")
+          .when(col("corpus_match").isNotNull, "drop_near_corpus")
+          .when(col("batch_match").isNotNull, "drop_near_batch")
+          .otherwise("keep"))
+      .withColumn("keeper_id",
+        when(col("decision") === "drop_exact", col("corpus_keeper"))
+          .when(col("decision") === "drop_exact_batch", col("batch_keeper"))
+          .when(col("decision") === "drop_near_corpus", col("corpus_match"))
+          .when(col("decision") === "drop_near_batch", col("batch_match"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("best_cos",
+        when(col("decision") === "drop_near_corpus", col("corpus_cos"))
+          .when(col("decision") === "drop_near_batch", col("batch_cos"))
+          .otherwise(lit(null).cast("double")))
+      .select(col("vec_id"), col("decision"), col("keeper_id"), col("best_cos"))
+    if (ordered) out.orderBy("vec_id") else out
+  }
+
+  /** DuckDB oracle for [[semDedupIncremental]]: exact layer over qe
+    * identity, the settled-rep DetKMeans replay, batch assignment via the
+    * same argmin struct rule, per-side best-match aggregates, precedence
+    * CASE — every step the exact arithmetic the engine runs. */
+  def semDedupIncrementalOracle(nClusters: Int = 8,
+                                tau: Double = DefaultTau): String = {
+    val pre =
+      s"""qv AS MATERIALIZED (
+         |  SELECT vec_id, label, qe,
+         |    list_sum(list_transform(qe, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+         |        FROM embeddings)
+         |), ck AS MATERIALIZED (
+         |  SELECT qe, MIN(vec_id) AS corpus_keeper FROM qv
+         |  WHERE label <> $BatchLabel GROUP BY qe
+         |), bw AS MATERIALIZED (
+         |  SELECT b.vec_id, b.qe, b.nrm,
+         |    MIN(b.vec_id) OVER (PARTITION BY b.qe) AS batch_keeper,
+         |    ck.corpus_keeper
+         |  FROM (SELECT * FROM qv WHERE label = $BatchLabel) b
+         |  LEFT JOIN ck USING (qe)
+         |), srep AS MATERIALIZED (
+         |  SELECT vec_id, qe, nrm FROM (
+         |    SELECT vec_id, qe, nrm,
+         |      MIN(vec_id) OVER (PARTITION BY qe) AS rep
+         |    FROM qv WHERE label <> $BatchLabel)
+         |  WHERE vec_id = rep
+         |), f AS (
+         |  SELECT vec_id,
+         |""".stripMargin +
+        (0 until IvfDims).map(d =>
+          s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+            s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
+          .mkString(",\n") +
+        "\n  FROM srep)"
+    val d2 = (0 until IvfDims).map(i => s"(b.z$i - c.g$i) * (b.z$i - c.g$i)")
+      .reduce((acc, x) => s"($acc + $x)")
+    val cosExpr =
+      """CASE WHEN a.nrm * b.nrm = 0.0 THEN NULL
+        |      ELSE list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
+        |             i -> a.qe[i] * b.qe[i])) / sqrt(a.nrm * b.nrm) END""".stripMargin
+    "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
+      k = nClusters, iters = IvfIters, standardize = false) + ",\n" +
+      s"""brep AS MATERIALIZED (
+         |  SELECT vec_id, qe, nrm FROM bw
+         |  WHERE vec_id = batch_keeper AND corpus_keeper IS NULL
+         |), bz AS MATERIALIZED (
+         |  SELECT vec_id,
+         |""".stripMargin +
+      (0 until IvfDims).map(d =>
+        s"    CAST(CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+          s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS DOUBLE) AS z$d")
+        .mkString(",\n") +
+      s"""
+         |  FROM brep
+         |), bassign AS MATERIALIZED (
+         |  SELECT b.vec_id AS b_id,
+         |    (min({'d': $d2, 'j': c.cluster})).j AS cluster
+         |  FROM bz b CROSS JOIN c$IvfIters c
+         |  GROUP BY b.vec_id
+         |), cbest AS MATERIALIZED (
+         |  SELECT b_id, (max({'c': cos, 'nid': -s_id})).c AS corpus_cos,
+         |    -(max({'c': cos, 'nid': -s_id})).nid AS corpus_match
+         |  FROM (
+         |    SELECT ba.b_id, a.vec_id AS s_id, $cosExpr AS cos
+         |    FROM bassign ba
+         |    JOIN afin sf ON sf.cluster = ba.cluster
+         |    JOIN srep a ON a.vec_id = sf.vec_id
+         |    JOIN qv b ON b.vec_id = ba.b_id)
+         |  WHERE cos >= $tau
+         |  GROUP BY b_id
+         |), bbest AS MATERIALIZED (
+         |  SELECT b_id, (max({'c': cos, 'nid': -o_id})).c AS batch_cos,
+         |    -(max({'c': cos, 'nid': -o_id})).nid AS batch_match
+         |  FROM (
+         |    SELECT ba.b_id, o.b_id AS o_id, $cosExpr AS cos
+         |    FROM bassign ba
+         |    JOIN bassign o ON o.cluster = ba.cluster AND o.b_id < ba.b_id
+         |    JOIN qv a ON a.vec_id = o.b_id
+         |    JOIN qv b ON b.vec_id = ba.b_id)
+         |  WHERE cos >= $tau
+         |  GROUP BY b_id
+         |), dec AS (
+         |  SELECT bw.vec_id,
+         |    CASE WHEN bw.corpus_keeper IS NOT NULL THEN 'drop_exact'
+         |         WHEN bw.batch_keeper < bw.vec_id THEN 'drop_exact_batch'
+         |         WHEN cbest.corpus_match IS NOT NULL THEN 'drop_near_corpus'
+         |         WHEN bbest.batch_match IS NOT NULL THEN 'drop_near_batch'
+         |         ELSE 'keep' END AS decision,
+         |    bw.corpus_keeper, bw.batch_keeper,
+         |    cbest.corpus_cos, cbest.corpus_match,
+         |    bbest.batch_cos, bbest.batch_match
+         |  FROM bw
+         |  LEFT JOIN cbest ON cbest.b_id = bw.vec_id
+         |  LEFT JOIN bbest ON bbest.b_id = bw.vec_id
+         |)
+         |SELECT vec_id, decision,
+         |  CASE decision WHEN 'drop_exact' THEN corpus_keeper
+         |                WHEN 'drop_exact_batch' THEN batch_keeper
+         |                WHEN 'drop_near_corpus' THEN corpus_match
+         |                WHEN 'drop_near_batch' THEN batch_match END AS keeper_id,
+         |  CASE decision WHEN 'drop_near_corpus' THEN corpus_cos
+         |                WHEN 'drop_near_batch' THEN batch_cos END AS best_cos
+         |FROM dec
+         |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle: the full replay — collapse, spherical features, the
     * DetKMeans CTE chain, left-assoc d², pairwise q20 cosine within
     * cluster, recursive-CTE components, and the (d² DESC, vec_id) keeper

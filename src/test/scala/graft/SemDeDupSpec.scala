@@ -81,6 +81,52 @@ class SemDeDupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental: exact twins drop by precedence, novel vectors keep") {
+    import spark.implicits._
+    def unit(axis: Int) = Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val v = Array.tabulate(64)(i => math.cos(0.23 * (i + 1)).toFloat)
+    val near = v.clone(); near(0) = v(0) + 0.01f // cos >> τ with v
+    // settled corpus (label 1): v plus spread-out fillers; batch (label 0):
+    // an exact copy of v, twin copies of one new vector, a near-dup of v,
+    // and a genuinely novel orthogonal vector
+    val rows =
+      Seq((0L, v, 1)) ++ (1L to 8L).map(i => (i, unit(8 * i.toInt % 64), 1)) ++
+        Seq(
+          (100L, v, 0),              // exact copy of settled 0
+          (101L, unit(5), 0),        // novel... but unit(5)? settled has unit(8),unit(16)... unit(40) etc
+          (102L, unit(5), 0),        // twin of 101
+          (103L, near, 0))           // near-dup of settled 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SemDeDup.semDedupIncremental(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4) // only the batch slice is decided
+    assert(out(100L).getString(1) == "drop_exact" && out(100L).getLong(2) == 0L)
+    assert(out(102L).getString(1) == "drop_exact_batch" && out(102L).getLong(2) == 101L)
+    // near-dup of settled 0: drops against the corpus iff it lands in 0's
+    // cluster (the cluster-scoped contract) — with this geometry it must
+    assert(out(103L).getString(1) == "drop_near_corpus" && out(103L).getLong(2) == 0L)
+    assert(out(103L).getDouble(3) > 0.9)
+    // 101: unit(5) is orthogonal to every settled vector → keep
+    assert(out(101L).getString(1) == "keep" && out(101L).isNullAt(2))
+    spark.catalog.clearCache()
+  }
+
+  test("incremental decisions cover exactly the batch slice") {
+    val out = SemDeDup.semDedupIncremental(spark, TestSpark.sfDir).persist()
+    val batchN = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("label") === SemDeDup.BatchLabel).count()
+    assert(out.count() == batchN)
+    // keepers of near decisions are never in the batch's own dropped set
+    val bad = out.filter(col("decision") === "drop_near_corpus")
+      .join(out.select(col("vec_id").as("keeper_id")), Seq("keeper_id"), "left_semi")
+      .count()
+    assert(bad == 0, "a corpus keeper id collided with a batch vector id")
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("a replicated corpus collapses: same components as the distinct one") {
     import spark.implicits._
     // every vector duplicated 3x under new ids — the collapse must put each
