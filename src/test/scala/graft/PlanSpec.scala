@@ -436,6 +436,16 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semdedup_incremental: cluster-keyed probe joins, no cartesian") {
+    val plan = formatted(
+      graft.dedup.SemDeDup.semDedupIncremental(spark, dir, ordered = false))
+    assert(!plan.contains("CartesianProduct"),
+      "batch-vs-settled probe must stay cluster-keyed, never a cartesian")
+    assert(!plan.contains("SinglePartition") || !plan.contains("Window ["),
+      "a decision window collapsed to one partition")
+    spark.catalog.clearCache()
+  }
+
   test("ann_pq: ADC scan broadcasts the query tables; windows stay query-keyed") {
     val plan = formatted(graft.ann.Pq.annPq(spark, dir))
     assert(!plan.contains("CartesianProduct"),
