@@ -234,10 +234,27 @@ object Pq {
     val meta = spark.read.parquet(s"$indexDir/meta").head
     val subSpaces = meta.getAs[Int]("sub_spaces")
     val nCodes = meta.getAs[Int]("n_codes")
+    // fail-fast geometry validation (advice-r14): an index built under a
+    // different geometry read through this direct (non-ensure) path would
+    // otherwise mis-decode codes SILENTLY — sub_dim must agree with the
+    // current projection width, and the codebook actually read must carry
+    // exactly n_codes rows of sub_dim-wide centroids.
+    require(subSpaces > 0 && Ann.IvfDims % subSpaces == 0,
+      s"PQ index at $indexDir: sub_spaces=$subSpaces does not divide the " +
+        s"projection width ${Ann.IvfDims}")
+    val metaSubDim = meta.getAs[Int]("sub_dim")
+    require(metaSubDim == Ann.IvfDims / subSpaces,
+      s"PQ index at $indexDir: meta sub_dim=$metaSubDim != " +
+        s"${Ann.IvfDims}/$subSpaces — built under a different geometry; rebuild")
     val codes = spark.read.parquet(s"$indexDir/codes")
     val centers = spark.read.parquet(s"$indexDir/codebook")
       .orderBy("j").collect() // bounded: nCodes rows
       .map(r => r.getSeq[Double](1).toArray)
+    require(centers.length == nCodes,
+      s"PQ index at $indexDir: codebook has ${centers.length} rows but meta " +
+        s"says n_codes=$nCodes — inconsistent index; rebuild")
+    require(centers.forall(_.length == metaSubDim),
+      s"PQ index at $indexDir: codebook centroid width != sub_dim=$metaSubDim")
     val qRows = Ann.ivfProj(emb.filter(col("vec_id") < 10), "embedding")
       .select(col("vec_id") +:
         (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)

@@ -78,15 +78,21 @@ object DedupClusters {
       .localCheckpoint(false)
 
     // active vertices = docs touched by at least one near-dup edge.
-    // Per-round localCheckpoint, not persist: persist caches EXECUTION but
+    // Per-round lineage cut, not persist: persist caches EXECUTION but
     // the logical plan still grows a join+union+agg layer per round, and
     // Catalyst re-analyzes the whole tree on every round's count — the
     // semdedup loop measured 6.4 s for round 7 alone (vs 0.4 s flat with
     // truncated lineage). Label frames are tiny (edge-touched docs), so
     // the checkpoint blocks are trivial and the ContextCleaner releases
-    // them as rounds fall out of scope.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint(false)
+    // them as rounds fall out of scope. The cut trades lineage recovery
+    // for flat rounds — localCheckpoint blocks are non-replicated, so on a
+    // real cluster an executor loss mid-loop fails the job instead of
+    // recomputing; Checkpoints.cut therefore upgrades to a RELIABLE
+    // checkpoint whenever the session has a checkpoint dir configured
+    // (advice-r14; see graft.tools.Checkpoints).
+    var labels = graft.tools.Checkpoints.cut(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -97,10 +103,10 @@ object DedupClusters {
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"),
           lit(null).cast(labels.schema("cluster_id").dataType).as("old"))
-      val next = labels.select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
-        .unionByName(msgs)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"), max("old").as("old"))
-        .localCheckpoint(false)
+      val next = graft.tools.Checkpoints.cut(
+        labels.select(col("doc_id"), col("cluster_id"), col("cluster_id").as("old"))
+          .unionByName(msgs)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"), max("old").as("old")))
       val changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels = next.select("doc_id", "cluster_id")
       converged = changed == 0

@@ -66,7 +66,7 @@ object SemDeDup {
     * component's members; `is_keeper` marks the paper-rule survivor. */
   def semDedup(spark: SparkSession, dir: String,
                nClusters: Int = 8, tau: Double = DefaultTau,
-               maxIters: Int = 10, ordered: Boolean = true): DataFrame = {
+               maxIters: Int = 1000, ordered: Boolean = true): DataFrame = {
     import graft.ann.Ann
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -142,43 +142,53 @@ object SemDeDup {
   }
 
   /** Min-label propagation over an undirected rep-edge list: returns
-    * (rep_id, component) for every edge-touched rep. Bounded-iteration
-    * loop (the DedupClusters shape); τ-cliques within one k-means cluster
-    * converge in a handful of rounds. */
+    * (rep_id, component) for every edge-touched rep. Runs UNTIL CONVERGED
+    * (τ-cliques within one k-means cluster converge in a handful of
+    * rounds; rounds are cheap once lineage is truncated per round), and
+    * THROWS if `maxIters` is hit first — a warning here would let a
+    * component with diameter > the budget silently under-merge while the
+    * oracle's recursive CTE fully converges, failing the hash gate with
+    * no diagnosable cause (advice-r14; the DedupClusters strict
+    * contract). `maxIters` is a runaway safety rail, not a quality knob. */
   private def propagateMin(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("rb").as("ra"), col("ra").as("rb")))
       .select(col("ra").as("src"), col("rb").as("dst"))
       .localCheckpoint(false)
-    // each round's frame is localCheckpoint'ed, not just persisted: persist
+    // each round's frame has its lineage CUT, not just persisted: persist
     // caches EXECUTION but the logical plan still grows a join+union+agg
     // layer per round, and Catalyst re-analyzes the whole tree on every
     // round's count — measured 6.4 s for round 7 alone (vs 0.4 s flat with
     // truncated lineage) on a 344-edge graph. The label frames are tiny
     // (edge-touched reps), so the checkpoint blocks are trivially small and
     // the ContextCleaner releases them as rounds fall out of scope.
-    var labels = edges.select(col("src").as("rep_id")).distinct()
-      .withColumn("component", col("rep_id")).localCheckpoint(false)
+    // Checkpoints.cut picks reliable-vs-local per the session's checkpoint
+    // dir (executor-loss recovery on clusters — see its scaladoc).
+    var labels = graft.tools.Checkpoints.cut(
+      edges.select(col("src").as("rep_id")).distinct()
+        .withColumn("component", col("rep_id")))
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged) {
       val msgs = edges.join(labels, edges("src") === labels("rep_id"))
         .select(col("dst").as("rep_id"), col("component"),
           lit(null).cast("long").as("old"))
-      val next = labels
+      val next = graft.tools.Checkpoints.cut(labels
         .select(col("rep_id"), col("component"), col("component").as("old"))
         .unionByName(msgs)
         .groupBy("rep_id")
-        .agg(min("component").as("component"), max("old").as("old"))
-        .localCheckpoint(false)
+        .agg(min("component").as("component"), max("old").as("old")))
       val changed = next.filter(col("component") =!= col("old")).count()
       labels = next.select("rep_id", "component")
       converged = changed == 0
       i += 1
+      if (!converged && i >= maxIters)
+        throw new IllegalStateException(s"[semdedup] label propagation hit " +
+          s"the maxIters=$maxIters safety rail before converging — " +
+          "min-label propagation converges within the widest component's " +
+          "diameter, so this indicates a pathological edge graph (raise " +
+          "maxIters only if such a component is genuinely expected)")
     }
-    if (!converged)
-      System.err.println(s"[semdedup] WARNING: label propagation hit " +
-        s"maxIters=$maxIters before converging — raise maxIters")
     labels
   }
 

@@ -65,6 +65,30 @@ class PqSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the direct indexed path fails fast on a geometry mismatch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_geom").toString
+    Pq.buildPqIndex(spark, dir, tmp)
+    // an index written under a FUTURE geometry (different sub_dim) must
+    // throw through pqTopKIndexed, not silently mis-decode (advice-r14)
+    Seq((Pq.SubSpaces, Pq.SubDim + 1, Pq.CodeBook, Pq.PqIters, 1L, 1L))
+      .toDF("sub_spaces", "sub_dim", "n_codes", "iters", "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    val e = intercept[IllegalArgumentException] {
+      Pq.pqTopKIndexed(spark, dir, tmp, k = 10)
+    }
+    assert(e.getMessage.contains("different geometry"))
+    // and a codebook/meta row-count disagreement fails too
+    Seq((Pq.SubSpaces, Pq.SubDim, Pq.CodeBook + 7, Pq.PqIters, 1L, 1L))
+      .toDF("sub_spaces", "sub_dim", "n_codes", "iters", "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.pqTopKIndexed(spark, dir, tmp, k = 10)
+    }
+    assert(e2.getMessage.contains("inconsistent index"))
+    spark.catalog.clearCache()
+  }
+
   test("every query returns k ranked rows; ranks are 1..k") {
     val out = Pq.pqTopK(spark, dir, k = 10).persist()
     val perQ = out.groupBy("query_id").agg(count(lit(1)).as("n"),
