@@ -582,6 +582,7 @@ object Oracles {
     "semdedup" -> graft.dedup.SemDeDup.semDedupOracle(),
     "semdedup_incremental" -> graft.dedup.SemDeDup.semDedupIncrementalOracle(),
     "ann_pq" -> graft.ann.Pq.annPqOracle(),
+    "ann_ivfpq" -> graft.ann.IvfPq.ivfPqOracle(),
     // index contents are the deterministic fit, so the persisted path
     // replays the identical oracle
     "ann_pq_indexed" -> graft.ann.Pq.annPqOracle(),
@@ -701,6 +702,10 @@ object Oracles {
 
     // top-k corpus vocabulary with doc frequencies + mass shares
     "vocab_topk" -> graft.text.TextOps.vocabTopKOracle(),
+    "bpe_vocab" -> graft.text.Bpe.bpeMergesOracle(),
+    "event_funnel" -> graft.operators.Funnel.eventFunnelOracle,
+    "event_attribution" -> graft.operators.Funnel.attributionOracle,
+    "graph_pagerank" -> graft.operators.GraphOps.pageRankOracle(),
     "dsir_selection" -> graft.text.Dsir.dsirSelectionOracle(),
     "tfidf_topterms" -> graft.text.TextOps.tfidfTopTermsOracle(),
     "doc_fingerprint" ->

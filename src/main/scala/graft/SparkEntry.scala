@@ -73,6 +73,9 @@ object SparkEntry {
     // streaming batch analogs + CDC + as-of (reference: src/streaming/)
     "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
     "events_sessions"  -> ((s, d) => Events.sessions(s, d)),
+    "event_funnel"     -> ((s, d) => Funnel.eventFunnel(s, d)),
+    "event_attribution" -> ((s, d) => Funnel.attribution(s, d)),
+    "graph_pagerank"   -> ((s, d) => GraphOps.pageRank(s, d)),
     "events_json"      -> ((s, d) => Events.jsonStats(s, d)),
     "cdc_apply"        -> ((s, d) => Cdc.cdcApply(s, d)),
     "incremental_events" -> ((s, d) => Incremental.incrementalEvents(s, d)),
@@ -87,6 +90,7 @@ object SparkEntry {
     "lang_id"          -> ((s, d) => graft.text.TextOps.langId(s, d)),
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
     "vocab_topk"       -> ((s, d) => graft.text.TextOps.vocabTopK(s, d)),
+    "bpe_vocab"        -> ((s, d) => graft.text.Bpe.bpeMerges(s, d)),
     "dsir_selection"   -> ((s, d) => graft.text.Dsir.dsirSelection(s, d)),
     "tfidf_topterms"   -> ((s, d) => graft.text.TextOps.tfidfTopTerms(s, d)),
     "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),
@@ -120,6 +124,7 @@ object SparkEntry {
     "ann_ivf_indexed"  -> ((s, d) => graft.ann.Ann.annIvfIndexed(s, d)),
     "ann_pq"           -> ((s, d) => graft.ann.Pq.annPq(s, d)),
     "ann_pq_indexed"   -> ((s, d) => graft.ann.Pq.annPqIndexed(s, d)),
+    "ann_ivfpq"        -> ((s, d) => graft.ann.IvfPq.annIvfPq(s, d)),
     // the ANN lambda arc: settled fit + assign-only exactly-once appends
     "ann_ivf_append"   -> ((s, d) => graft.ann.Ann.annIvfAppend(s, d)),
     // streaming twin: the appended fifth through the foreachBatch sink as

@@ -1,0 +1,298 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVFADC — the inverted-file + product-quantization composite (Jégou,
+  * Douze, Schmid 2011, §IV "combination with an inverted file system"):
+  * the fourth ANN family, and the one production systems actually deploy
+  * at billion-vector scale (FAISS `IVFx,PQy`). IVF alone still scans full
+  * 256 B vectors in the probed lists; PQ alone still ADC-scans the WHOLE
+  * corpus. The composite does neither: a coarse quantizer routes the
+  * query to `nProbe` inverted lists, and within those lists vectors are
+  * ranked by ADC over 8 B RESIDUAL codes — per query, ~nProbe/nLists of
+  * the corpus at 1/32 the bytes.
+  *
+  * Residual encoding is the paper's key move: PQ codes the OFFSET from
+  * the assigned coarse centroid, not the raw vector. Residuals
+  * concentrate near the origin, so the same 16×16 codebook spends its
+  * codewords on a tighter distribution. On the ISOTROPIC synthetic
+  * embeddings the coarse clusters barely concentrate, so the measured
+  * edge is small (shortlist-50 recall@10: 0.87 residual vs 0.86 raw at
+  * sf0.01 — IvfPqSpec asserts matches-or-beats); on real clustered
+  * corpora the gap is the reason IVFADC is the deployed default.
+  * Shipped-default recall@10 measures 0.97 at sf0.01 (IvfPqSpec).
+  *
+  * Exact-replay recipe, every stage engine-replayable:
+  *  - coarse quantizer = the IVF geometry verbatim ([[Ann.ivfProj]] +
+  *    raw-space [[graft.ml.DetKMeans]], the ann_ivf oracle's fit);
+  *  - residuals are EXACT INTEGERS: the coarse centroid is
+  *    floor-quantized per dimension (`floor(g_i)` — one portable double
+  *    op), so `r_i = x_i − floor(g_i)` stays at the q20 integer scale and
+  *    the residual codebook trains through the same decimal-exact
+  *    DetKMeans sums as every other fit (an exact mean would make
+  *    residuals non-integer rationals; sub-unit centroid error at the
+  *    2^20 scale is noise, and faiss quantizes coarse centroids to
+  *    float32 for the same reason);
+  *  - the shared residual codebook is [[Pq]]'s single-fit form (one
+  *    oracle replay, not M — the CTE-budget lesson);
+  *  - per-(query, probed-list) ADC tables are driver-built constants
+  *    (the Pq codegen-budget lesson: ~70 rows of 16×16 doubles, IEEE
+  *    left-assoc identical to the oracle's UNION-ALL form);
+  *  - the ADC scan joins codes to the broadcast tables ON THE LIST ID —
+  *    the inverted-file restriction is the join itself, no filter pass;
+  *  - exact fixed-point-cosine re-rank over the adaptive shortlist.
+  *
+  * Scale shape: fit + encode are one-time (persisted-index variants of
+  * the siblings apply verbatim); the per-query scan is
+  * (nProbe/nLists)·n code rows × 16 array lookups, shuffle-free (codes
+  * join a broadcast), and the only window is the per-query shortlist. */
+object IvfPq {
+
+  /** Coarse geometry: the ann_ivf defaults (8 lists, probe 7 = nLists−1,
+    * the measured ≥0.9-recall floor); residual PQ geometry: the ann_pq
+    * defaults (16 subspaces × 16 codewords = 8 B/vector). */
+  val NLists = 8
+
+  /** (query_id, vec_id, cos_sim, rank) top-k per query — the standard ANN
+    * surface. Recall = IVF's probed-list coverage × the residual-ADC
+    * shortlist quality; both knobs exposed. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
+                nLists: Int = NLists, nProbe: Int = 0,
+                nCodes: Int = Pq.CodeBook, subSpaces: Int = Pq.SubSpaces,
+                shortlist: Int = 0): DataFrame = {
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val subDim = Ann.IvfDims / subSpaces
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val rerank =
+      if (shortlist > 0) shortlist
+      else Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
+    val xs = (0 until Ann.IvfDims).map(i => s"x$i")
+    val feats = Ann.ivfProj(emb, "embedding").persist()
+
+    // 1. coarse quantizer (the ann_ivf fit, cached across queries)
+    val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
+      feats, "vec_id", xs, nLists, Ann.IvfIters, standardize = false)
+
+    // 2. floor-quantized coarse centroids (LONG) → exact integer residuals
+    val fc: Array[Array[Long]] =
+      cmodel.centers.map(_.map(g => math.floor(g).toLong))
+    import spark.implicits._
+    val fcDf = fc.toIndexedSeq.zipWithIndex
+      .map { case (row, c) => (c.toLong, row.toSeq) }.toDF("cluster", "fcv")
+    val resid = assigned.select(col("vec_id") +: col("cluster") +: xs.map(col): _*)
+      .join(broadcast(fcDf), "cluster")
+      .select(col("vec_id") +:
+        (0 until Ann.IvfDims).map(i =>
+          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")): _*)
+      .persist() // the shared-codebook fit stacks this frame subSpaces×
+
+    // 3. shared residual codebook + per-vector codes (the ann_pq fit)
+    val (codes, pmodel) = Pq.fitSharedCodebook(resid, nCodes, subSpaces)
+    val codesWithList = codes
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .localCheckpoint(false) // scanned once per query batch; 18 narrow cols
+
+    // 4. driver-side query prep (bounded: 10 query rows × nProbe lists).
+    //    Probe selection replays the oracle's (d², cluster) ranking with
+    //    the same left-assoc IEEE arithmetic; ADC tables are the Pq
+    //    driver-constant recipe per probed list.
+    val qRows = feats.filter(col("vec_id") < 10)
+      .select(col("vec_id") +: xs.map(col): _*).collect()
+    resid.unpersist()
+    feats.unpersist()
+    val qarrRows = qRows.flatMap { r =>
+      val qx = Array.tabulate(Ann.IvfDims)(i => r.getLong(1 + i))
+      val byDist = (0 until nLists).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < Ann.IvfDims) { // left-assoc: ((d0²+d1²)+d2²)+…
+          val diff = qx(i).toDouble - cmodel.centers(c)(i)
+          val sq = diff * diff
+          acc = if (i == 0) sq else acc + sq
+          i += 1
+        }
+        (acc, c)
+      }.sortBy { case (d, c) => (d, c) }.take(probes)
+      byDist.map { case (_, list) =>
+        val qr = Array.tabulate(Ann.IvfDims)(i => qx(i) - fc(list)(i))
+        val tables = (0 until subSpaces).map { m =>
+          (0 until nCodes).map { j =>
+            var acc = 0.0
+            var i = 0
+            while (i < subDim) { // left-assoc, ascending dims
+              val diff = qr(subDim * m + i).toDouble - pmodel.centers(j)(i)
+              val sq = diff * diff
+              acc = if (i == 0) sq else acc + sq
+              i += 1
+            }
+            acc
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: list.toLong +: tables)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType) +:
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType) +:
+        (0 until subSpaces).map(m => org.apache.spark.sql.types.StructField(
+          s"a$m", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    val qarr = spark.createDataFrame(
+      spark.sparkContext.parallelize(qarrRows.toSeq, 1), schema)
+
+    // 5. inverted-file ADC scan: the cluster join IS the list restriction
+    val approx = (0 until subSpaces).map { m =>
+      element_at(col(s"a$m"), col(s"c$m").cast("int") + 1)
+    }.reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
+    val short = codesWithList.join(broadcast(qarr), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", approx)
+      .withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // 6. exact re-rank over the shortlist
+    val qEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    short.join(emb, "vec_id")
+      .join(broadcast(qEmb), "query_id")
+      .withColumn("cos_sim", Ann.fixedPointCosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Driver query. */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ivfPqTopK(spark, dir, k)
+
+  /** DuckDB oracle: the ann_ivf coarse-fit replay, the floor-centroid /
+    * integer-residual CTEs, ONE prefix-"p" DetKMeans replay over the
+    * stacked residual subvectors, the probe ranking, the per-(query, list)
+    * UNION-ALL ADC table, the M-join left-assoc ADC sum restricted to the
+    * candidate's own list, the adaptive shortlist window, and the exact
+    * q20 re-rank. */
+  def ivfPqOracle(k: Int = 10, nLists: Int = NLists, nProbe: Int = 0,
+                  nCodes: Int = Pq.CodeBook, subSpaces: Int = Pq.SubSpaces): String = {
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val subDim = Ann.IvfDims / subSpaces
+    val D = Ann.IvfDims
+    // coarse pre: identical to annIvfOracle's qv/f head
+    val pre =
+      """qv AS MATERIALIZED (
+        |  SELECT vec_id, qe,
+        |    list_sum(list_transform(qe, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+        |        FROM embeddings)
+        |), f AS (
+        |  SELECT vec_id,
+        |""".stripMargin +
+        (0 until D).map(d =>
+          s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+            s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
+          .mkString(",\n") +
+        "\n  FROM qv)"
+    val coarse = graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = D,
+      k = nLists, iters = Ann.IvfIters, standardize = false)
+    val fcCols = (0 until D).map(i => s"CAST(floor(g$i) AS BIGINT) AS fc$i").mkString(", ")
+    val rCols = (0 until D).map(i => s"a.x$i - fc.fc$i AS r$i").mkString(", ")
+    val pfCols = (0 until subDim).map { d =>
+      "    CASE " + (0 until subSpaces).map(m =>
+        s"WHEN m = $m THEN r${subDim * m + d}").mkString(" ") + s" END AS x$d"
+    }.mkString(",\n")
+    val pfPre =
+      s"""pf AS MATERIALIZED (
+         |  SELECT vec_id * $subSpaces + m AS uid,
+         |$pfCols
+         |  FROM rf CROSS JOIN (SELECT unnest(range(0, $subSpaces)) AS m) sub)""".stripMargin
+    val pfit = graft.ml.DetKMeans.oracleCtes(pfPre, "uid", nFeats = subDim,
+      k = nCodes, iters = Pq.PqIters, standardize = false, prefix = "p")
+    val d2q = (0 until D).map(i => s"(q.z$i - c.g$i) * (q.z$i - c.g$i)")
+      .reduce((a, x) => s"($a + $x)")
+    val qrCols = (0 until D).map(i => s"q.x$i - fc.fc$i AS r$i").mkString(", ")
+    val qdArms = (0 until subSpaces).map { m =>
+      val d2 = (0 until subDim).map { i =>
+        s"(CAST(r${subDim * m + i} AS DOUBLE) - c.g$i) * (CAST(r${subDim * m + i} AS DOUBLE) - c.g$i)"
+      }.reduce((a, x) => s"($a + $x)")
+      s"  SELECT query_id, list_id, $m AS m, c.cluster AS j, $d2 AS d2\n" +
+        s"  FROM qr CROSS JOIN pc${Pq.PqIters} c"
+    }.mkString("\n  UNION ALL\n")
+    val codePivot = (0 until subSpaces).map(m =>
+      s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val adcSum = (0 until subSpaces).map(m => s"q$m.d2")
+      .reduce((a, x) => s"($a + $x)")
+    val adcJoins = (0 until subSpaces).map { m =>
+      if (m == 0) s"JOIN qd q0 ON q0.m = 0 AND q0.j = cd.c0 AND q0.list_id = cl.cluster"
+      else s"JOIN qd q$m ON q$m.m = $m AND q$m.j = cd.c$m AND " +
+        s"q$m.query_id = q0.query_id AND q$m.list_id = cl.cluster"
+    }.mkString("\n  ")
+    "WITH " + coarse + ",\n" +
+      s"""fc AS MATERIALIZED (SELECT cluster, $fcCols FROM c${Ann.IvfIters}),
+         |cl AS MATERIALIZED (SELECT vec_id, cluster FROM afin),
+         |rf AS MATERIALIZED (SELECT a.vec_id, $rCols FROM afin a JOIN fc ON a.cluster = fc.cluster),
+         |""".stripMargin +
+      pfit + ",\n" +
+      s"""pcodes AS MATERIALIZED (
+         |  SELECT uid // $subSpaces AS vec_id, uid % $subSpaces AS m, cluster AS code
+         |  FROM pafin
+         |), cd AS MATERIALIZED (
+         |  SELECT vec_id, $codePivot FROM pcodes GROUP BY 1
+         |), prb AS MATERIALIZED (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.query_id, c.cluster AS list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2q, c.cluster) AS rn
+         |    FROM (SELECT vec_id AS query_id, * FROM afin WHERE vec_id < 10) q
+         |    CROSS JOIN c${Ann.IvfIters} c)
+         |  WHERE rn <= $probes
+         |), qr AS MATERIALIZED (
+         |  SELECT p.query_id, p.list_id, $qrCols
+         |  FROM prb p
+         |  JOIN fc ON fc.cluster = p.list_id
+         |  JOIN (SELECT vec_id AS query_id, * FROM afin WHERE vec_id < 10) q
+         |    ON q.query_id = p.query_id
+         |), qd AS MATERIALIZED (
+         |$qdArms
+         |), adc AS MATERIALIZED (
+         |  SELECT q0.query_id, cd.vec_id, $adcSum AS approx
+         |  FROM cd
+         |  JOIN cl ON cl.vec_id = cd.vec_id
+         |  $adcJoins
+         |  WHERE cd.vec_id <> q0.query_id
+         |), sl AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+         |    FROM adc)
+         |  WHERE rn <= GREATEST(200, (SELECT COUNT(*) FROM embeddings) // 10)
+         |), nn AS (
+         |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM qv
+         |), pp AS (
+         |  SELECT sl.query_id, sl.vec_id,
+         |    list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
+         |      i -> a.qe[i] * b.qe[i])) AS dot,
+         |    a.nrm AS nrm, b.nrm AS q_nrm
+         |  FROM sl
+         |  JOIN nn a ON a.vec_id = sl.vec_id
+         |  JOIN nn b ON b.vec_id = sl.query_id
+         |), ss AS (
+         |  SELECT query_id, vec_id,
+         |    CASE WHEN nrm * q_nrm = 0.0 THEN NULL ELSE dot / sqrt(nrm * q_nrm) END AS cos_sim
+         |  FROM pp
+         |), rr AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS "rank"
+         |  FROM ss
+         |)
+         |SELECT query_id, vec_id, cos_sim, "rank" FROM rr WHERE "rank" <= $k
+         |ORDER BY query_id, "rank"""".stripMargin
+  }
+}

@@ -78,7 +78,7 @@ object Pq {
     * frame keyed by uid = vec_id·M + m, and fit the shared codebook.
     * Returns (codes: vec_id, c0..c{M-1}; the model). `feats` must carry
     * x0..x63 from [[Ann.ivfProj]]. */
-  private def fitSharedCodebook(feats: DataFrame, nCodes: Int, subSpaces: Int)
+  private[ann] def fitSharedCodebook(feats: DataFrame, nCodes: Int, subSpaces: Int)
       : (DataFrame, graft.ml.DetKMeans.Model) = {
     val subDim = Ann.IvfDims / subSpaces
     val stacked = (0 until subSpaces).map { m =>

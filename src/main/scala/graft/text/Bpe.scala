@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning (Sennrich, Haddow, Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — learn
+  * the top-N merge operations over the corpus, the training half of the
+  * tokenizer every LLM data pipeline ships. The reference tokenizes with
+  * a FIXED vocabulary (`src/etl` token counting); learning the vocabulary
+  * from the corpus is the published complement.
+  *
+  * The paper's own formulation is the scale story: BPE trains on the
+  * WORD-FREQUENCY table, not the raw corpus. One corpus pass aggregates
+  * (word → count); every iteration after that operates on the distinct
+  * words' symbol sequences weighted by count — a VOCAB-BOUNDED frame
+  * (≈ |vocabulary| × avg word length rows) that is the same size at
+  * sf0.001 and at 100 TB. The per-round windows never touch corpus-sized
+  * data, so 20 rounds cost the same at any scale; only the initial
+  * word-count groupBy scales with the corpus (and is one shuffle).
+  *
+  * Merge semantics, pinned identically on both engines:
+  *  - words = the vocab_topk whitespace tokenization (lower, trim,
+  *    split \s+), each word's symbols = its characters + a final `</w>`
+  *    end-of-word marker (the paper's boundary symbol);
+  *  - pair statistics count ALL adjacent symbol pairs, weighted by word
+  *    frequency (the paper's get_stats — overlapping occurrences within
+  *    a word each count);
+  *  - the winning pair maximizes count, ties broken (left ASC, right
+  *    ASC) — a pinned total order both engines share;
+  *  - merge application is greedy leftmost non-overlapping: within a run
+  *    of consecutive matches, every second match merges (the window
+  *    formulation below — match runs are grouped by idx − running-match
+  *    count, and a match survives iff its offset in the run is even);
+  *  - iterations continue for exactly `numMerges` rounds — the corpus
+  *    must support them (the engine throws otherwise, the strict
+  *    contract).
+  *
+  * Output = the learned merge table (merge_rank, lhs, rhs, pair_count) —
+  * exact integers and strings, hash-gated against a DuckDB replay of the
+  * same 20 unrolled rounds. */
+object Bpe {
+
+  val NumMerges = 20
+
+  /** (merge_rank, lhs, rhs, pair_count): the learned BPE merges in
+    * priority order. */
+  def bpeMerges(spark: SparkSession, dir: String,
+                numMerges: Int = NumMerges): DataFrame = {
+    // one corpus-scale pass: word frequencies (the vocab_topk tokenizer)
+    val words = graft.Tables.documents(spark, dir)
+      .withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
+      .select(explode(col("__tokens")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    mergesFromWords(spark, words, numMerges)
+  }
+
+  /** The iterative learner over an explicit (word, n) frequency table —
+    * the unit-testable core (plant words, check merge mechanics). */
+  private[graft] def mergesFromWords(spark: SparkSession, words: DataFrame,
+                                     numMerges: Int): DataFrame = {
+    // symbol sequences: characters + the </w> boundary marker
+    val syms0 = words
+      .select(col("word"), col("n"),
+        posexplode(concat(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          array(lit("</w>")))).as(Seq("pos", "sym")))
+      .select(col("word"), col("n"), (col("pos") + 1).cast("long").as("pos"), col("sym"))
+    var syms = graft.tools.Checkpoints.cut(syms0)
+
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    while (r <= numMerges) {
+      // pair statistics, weighted by word frequency
+      val top = syms
+        .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeMerges: corpus exhausted after ${r - 1} merges (asked for $numMerges)")
+      val a = top(0).getString(0); val b = top(0).getString(1)
+      merges += ((r.toLong, a, b, top(0).getLong(2)))
+      // greedy leftmost non-overlapping application of (a, b) → ab
+      val applied = syms
+        .withColumn("idx", row_number().over(wOrd).cast("long"))
+        .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        .withColumn("m", col("sym") === lit(a) && col("nxt") === lit(b))
+        .withColumn("cum", sum(when(col("m"), 1L).otherwise(0L)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("grp", when(col("m"), col("idx") - col("cum")))
+        .withColumn("runmin", min(when(col("m"), col("idx"))).over(
+          Window.partitionBy(col("word"), col("grp"))))
+        .withColumn("kept", col("m") && (col("idx") - col("runmin")) % 2 === 0)
+        .withColumn("dropped", lag(col("kept"), 1).over(
+          Window.partitionBy(col("word")).orderBy(col("idx"))))
+        .filter(!coalesce(col("dropped"), lit(false)))
+        .select(col("word"), col("n"), col("idx").as("pos"),
+          when(col("kept"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
+            .as("sym"))
+      syms = graft.tools.Checkpoints.cut(applied)
+      r += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** DuckDB oracle: the identical rounds unrolled — per round a weighted
+    * pair count, an ORDER-BY-LIMIT-1 winner, and the same five-window
+    * greedy application; the merge table unions the winners. */
+  def bpeMergesOracle(numMerges: Int = NumMerges): String = {
+    val b = new StringBuilder
+    b ++= """WITH w0 AS MATERIALIZED (
+            |  SELECT word, COUNT(*) AS n FROM (
+            |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+            |    FROM documents)
+            |  WHERE len(word) > 0 GROUP BY 1
+            |), s0 AS MATERIALIZED (
+            |  SELECT word, n, CAST(i AS BIGINT) AS pos,
+            |    CASE WHEN i <= len(word) THEN substr(word, CAST(i AS INT), 1) ELSE '</w>' END AS sym
+            |  FROM w0, unnest(range(1, len(word) + 2)) AS t(i)
+            |)""".stripMargin
+    for (t <- 1 to numMerges) {
+      val p = t - 1
+      b ++= s""",
+              |p$t AS MATERIALIZED (
+              |  SELECT sym, nxt, SUM(n) AS cnt FROM (
+              |    SELECT n, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+              |    FROM s$p)
+              |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+              |), t$t AS MATERIALIZED (
+              |  SELECT sym AS a, nxt AS b, cnt FROM p$t ORDER BY cnt DESC, sym, nxt LIMIT 1
+              |), s$t AS MATERIALIZED (
+              |  SELECT word, n, idx AS pos,
+              |    CASE WHEN kept THEN sym || nxt ELSE sym END AS sym
+              |  FROM (
+              |    SELECT *, lag(kept) OVER (PARTITION BY word ORDER BY idx) AS dropped
+              |    FROM (
+              |      SELECT *, m AND ((idx - MIN(CASE WHEN m THEN idx END)
+              |          OVER (PARTITION BY word, grp)) % 2 = 0) AS kept
+              |      FROM (
+              |        SELECT *, CASE WHEN m THEN idx - cum END AS grp
+              |        FROM (
+              |          SELECT word, n, idx, sym, nxt, m,
+              |            SUM(CASE WHEN m THEN 1 ELSE 0 END) OVER
+              |              (PARTITION BY word ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum
+              |          FROM (
+              |            SELECT word, n,
+              |              CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS idx,
+              |              sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+              |              sym = (SELECT a FROM t$t)
+              |                AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT b FROM t$t) AS m
+              |            FROM s$p)
+              |        )))
+              |  ) WHERE NOT COALESCE(dropped, FALSE)
+              |)""".stripMargin
+    }
+    b ++= "\nSELECT * FROM (\n" +
+      (1 to numMerges).map(t =>
+        s"  SELECT CAST($t AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM t$t")
+        .mkString("\n  UNION ALL\n") +
+      "\n)\nORDER BY merge_rank"
+    b.toString
+  }
+}

@@ -472,4 +472,46 @@ class PlanSpec extends AnyFunSuite {
       "the per-doc weight fold must aggregate by doc_id")
     spark.catalog.clearCache()
   }
+
+  test("ann_ivfpq: list-restricted ADC scan broadcasts; windows query-keyed") {
+    val plan = formatted(graft.ann.IvfPq.annIvfPq(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "the per-(query, list) ADC table must broadcast-join on cluster, not cartesian")
+    assert(plan.contains("BroadcastExchange"), "qarr must ride a broadcast")
+    assert(plan.contains("hashpartitioning(query_id"),
+      "shortlist/re-rank windows must shuffle by query_id")
+    spark.catalog.clearCache()
+  }
+
+  test("event_funnel: ONE Exchange + ONE Sort carries the whole window cascade") {
+    val plan = formatted(graft.operators.Funnel.eventFunnel(spark, dir))
+    // the op list repeats each node; count unique "(N) Exchange" headers —
+    // one user-keyed shuffle for the three cascade windows, one
+    // SinglePartition collapse for the 1-row summary aggregate
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).toSet.size
+    assert(exchanges <= 2, s"funnel cascade planned $exchanges exchanges (want 2)")
+    val sorts = """\(\d+\) Sort""".r.findAllIn(plan).toSet.size
+    assert(sorts <= 2, s"funnel cascade planned $sorts sorts (want ≤2: cascade + 4-row output)")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "the cascade must partition by user_id")
+  }
+
+  test("event_attribution: conv-keyed rank windows, no cartesian") {
+    val plan = formatted(graft.operators.Funnel.attribution(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "touch join must stay user-keyed, never a cartesian")
+    assert(plan.contains("hashpartitioning(conv_id"),
+      "per-conversion rank windows must shuffle by conv_id")
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition, "),
+      "an attribution window collapsed to one partition")
+  }
+
+  test("graph_pagerank: keyed propagation joins, no cartesian, no global sort mid-loop") {
+    val plan = formatted(
+      graft.operators.GraphOps.pageRank(spark, dir, ordered = false))
+    assert(!plan.contains("CartesianProduct"),
+      "rank propagation must join on the node key")
+    assert(!plan.contains("SinglePartition"),
+      "unordered pagerank must not collapse to one partition")
+  }
 }
