@@ -703,6 +703,8 @@ object Oracles {
     // top-k corpus vocabulary with doc frequencies + mass shares
     "vocab_topk" -> graft.text.TextOps.vocabTopKOracle(),
     "bpe_vocab" -> graft.text.Bpe.bpeMergesOracle(),
+    "ngram_perplexity" -> graft.text.Perplexity.perplexityOracle,
+    "entity_resolution" -> graft.operators.EntityRes.resolvePartsOracle(),
     "event_funnel" -> graft.operators.Funnel.eventFunnelOracle,
     "event_attribution" -> graft.operators.Funnel.attributionOracle,
     "graph_pagerank" -> graft.operators.GraphOps.pageRankOracle(),

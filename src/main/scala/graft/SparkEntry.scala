@@ -91,6 +91,8 @@ object SparkEntry {
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
     "vocab_topk"       -> ((s, d) => graft.text.TextOps.vocabTopK(s, d)),
     "bpe_vocab"        -> ((s, d) => graft.text.Bpe.bpeMerges(s, d)),
+    "ngram_perplexity" -> ((s, d) => graft.text.Perplexity.perplexityBuckets(s, d)),
+    "entity_resolution" -> ((s, d) => EntityRes.resolveParts(s, d)),
     "dsir_selection"   -> ((s, d) => graft.text.Dsir.dsirSelection(s, d)),
     "tfidf_topterms"   -> ((s, d) => graft.text.TextOps.tfidfTopTerms(s, d)),
     "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),
