@@ -583,6 +583,9 @@ object Oracles {
     "semdedup_incremental" -> graft.dedup.SemDeDup.semDedupIncrementalOracle(),
     "ann_pq" -> graft.ann.Pq.annPqOracle(),
     "ann_ivfpq" -> graft.ann.IvfPq.ivfPqOracle(),
+    // the persisted-index path is bit-identical to the inline fit by
+    // contract (IvfPqSpec), so it rides the same replay
+    "ann_ivfpq_indexed" -> graft.ann.IvfPq.ivfPqOracle(),
     // index contents are the deterministic fit, so the persisted path
     // replays the identical oracle
     "ann_pq_indexed" -> graft.ann.Pq.annPqOracle(),
@@ -706,6 +709,9 @@ object Oracles {
     "ngram_perplexity" -> graft.text.Perplexity.perplexityOracle,
     "entity_resolution" -> graft.operators.EntityRes.resolvePartsOracle(),
     "event_funnel" -> graft.operators.Funnel.eventFunnelOracle,
+    // batch-boundary invariance (ts-ordered ingest + monotone min state)
+    // lets the streaming replay ride the batch oracle verbatim
+    "streaming_funnel_replay" -> graft.operators.Funnel.eventFunnelOracle,
     "event_attribution" -> graft.operators.Funnel.attributionOracle,
     "graph_pagerank" -> graft.operators.GraphOps.pageRankOracle(),
     "dsir_selection" -> graft.text.Dsir.dsirSelectionOracle(),

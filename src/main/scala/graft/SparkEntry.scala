@@ -74,6 +74,8 @@ object SparkEntry {
     "events_windowed"  -> ((s, d) => Events.windowedAgg(s, d)),
     "events_sessions"  -> ((s, d) => Events.sessions(s, d)),
     "event_funnel"     -> ((s, d) => Funnel.eventFunnel(s, d)),
+    "streaming_funnel_replay" -> ((s, d) =>
+      graft.streaming.StreamingFunnel.streamingFunnelReplay(s, d)),
     "event_attribution" -> ((s, d) => Funnel.attribution(s, d)),
     "graph_pagerank"   -> ((s, d) => GraphOps.pageRank(s, d)),
     "events_json"      -> ((s, d) => Events.jsonStats(s, d)),
@@ -127,6 +129,7 @@ object SparkEntry {
     "ann_pq"           -> ((s, d) => graft.ann.Pq.annPq(s, d)),
     "ann_pq_indexed"   -> ((s, d) => graft.ann.Pq.annPqIndexed(s, d)),
     "ann_ivfpq"        -> ((s, d) => graft.ann.IvfPq.annIvfPq(s, d)),
+    "ann_ivfpq_indexed" -> ((s, d) => graft.ann.IvfPq.annIvfPqIndexed(s, d)),
     // the ANN lambda arc: settled fit + assign-only exactly-once appends
     "ann_ivf_append"   -> ((s, d) => graft.ann.Ann.annIvfAppend(s, d)),
     // streaming twin: the appended fifth through the foreachBatch sink as

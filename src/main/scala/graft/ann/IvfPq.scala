@@ -63,7 +63,6 @@ object IvfPq {
                 nCodes: Int = Pq.CodeBook, subSpaces: Int = Pq.SubSpaces,
                 shortlist: Int = 0): DataFrame = {
     val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
-    val subDim = Ann.IvfDims / subSpaces
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val rerank =
@@ -77,8 +76,7 @@ object IvfPq {
       feats, "vec_id", xs, nLists, Ann.IvfIters, standardize = false)
 
     // 2. floor-quantized coarse centroids (LONG) → exact integer residuals
-    val fc: Array[Array[Long]] =
-      cmodel.centers.map(_.map(g => math.floor(g).toLong))
+    val fc = floorCentroids(cmodel.centers)
     import spark.implicits._
     val fcDf = fc.toIndexedSeq.zipWithIndex
       .map { case (row, c) => (c.toLong, row.toSeq) }.toDF("cluster", "fcv")
@@ -95,21 +93,42 @@ object IvfPq {
       .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
       .localCheckpoint(false) // scanned once per query batch; 18 narrow cols
 
-    // 4. driver-side query prep (bounded: 10 query rows × nProbe lists).
-    //    Probe selection replays the oracle's (d², cluster) ranking with
-    //    the same left-assoc IEEE arithmetic; ADC tables are the Pq
-    //    driver-constant recipe per probed list.
     val qRows = feats.filter(col("vec_id") < 10)
       .select(col("vec_id") +: xs.map(col): _*).collect()
     resid.unpersist()
     feats.unpersist()
+    scoreWithArtifacts(spark, emb, codesWithList, cmodel.centers, fc,
+      pmodel.centers, qRows, nLists, probes, nCodes, subSpaces, rerank, k)
+  }
+
+  private def floorCentroids(centers: Array[Array[Double]]): Array[Array[Long]] =
+    centers.map(_.map(g => math.floor(g).toLong))
+
+  /** Steps 4-6 shared by the fit-per-session and persisted-index paths:
+    * driver-side probe ranking + per-(query, list) ADC tables, the
+    * broadcast list-restricted ADC scan, the adaptive shortlist window,
+    * and the exact fixed-point-cosine re-rank. Bit-identical for the same
+    * (codesWithList, coarse centers, codebook) however obtained. */
+  private def scoreWithArtifacts(spark: SparkSession, emb: DataFrame,
+                                 codesWithList: DataFrame,
+                                 coarse: Array[Array[Double]],
+                                 fc: Array[Array[Long]],
+                                 pcenters: Array[Array[Double]],
+                                 qRows: Array[org.apache.spark.sql.Row],
+                                 nLists: Int, probes: Int, nCodes: Int,
+                                 subSpaces: Int, rerank: Int, k: Int): DataFrame = {
+    val subDim = Ann.IvfDims / subSpaces
+    // 4. driver-side query prep (bounded: 10 query rows × nProbe lists).
+    //    Probe selection replays the oracle's (d², cluster) ranking with
+    //    the same left-assoc IEEE arithmetic; ADC tables are the Pq
+    //    driver-constant recipe per probed list.
     val qarrRows = qRows.flatMap { r =>
       val qx = Array.tabulate(Ann.IvfDims)(i => r.getLong(1 + i))
       val byDist = (0 until nLists).map { c =>
         var acc = 0.0
         var i = 0
         while (i < Ann.IvfDims) { // left-assoc: ((d0²+d1²)+d2²)+…
-          val diff = qx(i).toDouble - cmodel.centers(c)(i)
+          val diff = qx(i).toDouble - coarse(c)(i)
           val sq = diff * diff
           acc = if (i == 0) sq else acc + sq
           i += 1
@@ -123,7 +142,7 @@ object IvfPq {
             var acc = 0.0
             var i = 0
             while (i < subDim) { // left-assoc, ascending dims
-              val diff = qr(subDim * m + i).toDouble - pmodel.centers(j)(i)
+              val diff = qr(subDim * m + i).toDouble - pcenters(j)(i)
               val sq = diff * diff
               acc = if (i == 0) sq else acc + sq
               i += 1
@@ -174,6 +193,147 @@ object IvfPq {
   /** Driver query. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     ivfPqTopK(spark, dir, k)
+
+  // --------------------------------------------- persisted IVFADC index
+
+  /** Persist the IVFADC index: `codes` (vec_id, cluster, c0..c{M-1} —
+    * list id + 8 B of residual codes per vector, sorted within partitions
+    * on the list id for rowgroup pruning on the probe join), `coarse`
+    * (the nLists×64 centroid doubles — parquet round-trips them
+    * bit-exactly; floor-centroids re-derive identically at read), the
+    * residual `codebook`, and `meta` (geometry + corpus fingerprint,
+    * written LAST as the commit marker). The two fits happen ONCE here —
+    * the representation that actually ships at 100 TB: every query after
+    * is a broadcast ADC-table scan over the probed lists' codes plus the
+    * shortlist re-rank, no corpus-wide float math, no fit. */
+  private[graft] def buildIvfPqIndex(spark: SparkSession, dir: String,
+                                     indexDir: String, nLists: Int = NLists,
+                                     nCodes: Int = Pq.CodeBook,
+                                     subSpaces: Int = Pq.SubSpaces): Unit = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val xs = (0 until Ann.IvfDims).map(i => s"x$i")
+    val feats = Ann.ivfProj(emb, "embedding").persist()
+    val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
+      feats, "vec_id", xs, nLists, Ann.IvfIters, standardize = false)
+    val fc = floorCentroids(cmodel.centers)
+    val fcDf = fc.toIndexedSeq.zipWithIndex
+      .map { case (row, c) => (c.toLong, row.toSeq) }.toDF("cluster", "fcv")
+    val resid = assigned.select(col("vec_id") +: col("cluster") +: xs.map(col): _*)
+      .join(broadcast(fcDf), "cluster")
+      .select(col("vec_id") +:
+        (0 until Ann.IvfDims).map(i =>
+          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")): _*)
+      .persist()
+    val (codes, pmodel) = Pq.fitSharedCodebook(resid, nCodes, subSpaces)
+    codes.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    resid.unpersist()
+    feats.unpersist()
+    cmodel.centers.toIndexedSeq.zipWithIndex
+      .map { case (g, c) => (c.toLong, g.toSeq) }
+      .toDF("c_id", "g")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/coarse")
+    pmodel.centers.toIndexedSeq.zipWithIndex
+      .map { case (g, j) => (j.toLong, g.toSeq) }
+      .toDF("j", "g")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
+    Seq((nLists, subSpaces, Ann.IvfDims / subSpaces, nCodes, Pq.PqIters,
+      fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1)))
+      .toDF("n_lists", "sub_spaces", "sub_dim", "n_codes", "iters",
+        "nvecs", "max_vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** IVFADC top-k against a prebuilt index — NO fit, no corpus-wide float
+    * math; bit-identical to [[ivfPqTopK]] for a fresh index over the same
+    * corpus. Fails fast on geometry drift (the Pq advice-r14 contract). */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
+                       k: Int = 10, nProbe: Int = 0,
+                       shortlist: Int = 0): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val meta = spark.read.parquet(s"$indexDir/meta").head
+    val nLists = meta.getAs[Int]("n_lists")
+    val subSpaces = meta.getAs[Int]("sub_spaces")
+    val nCodes = meta.getAs[Int]("n_codes")
+    require(subSpaces > 0 && Ann.IvfDims % subSpaces == 0,
+      s"IVFADC index at $indexDir: sub_spaces=$subSpaces does not divide " +
+        s"the projection width ${Ann.IvfDims}")
+    val metaSubDim = meta.getAs[Int]("sub_dim")
+    require(metaSubDim == Ann.IvfDims / subSpaces,
+      s"IVFADC index at $indexDir: meta sub_dim=$metaSubDim != " +
+        s"${Ann.IvfDims}/$subSpaces — built under a different geometry; rebuild")
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val rerank =
+      if (shortlist > 0) shortlist
+      else Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
+    val codesWithList = spark.read.parquet(s"$indexDir/codes")
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+      .orderBy("c_id").collect() // bounded: nLists rows
+      .map(r => r.getSeq[Double](1).toArray)
+    require(coarse.length == nLists,
+      s"IVFADC index at $indexDir: coarse table has ${coarse.length} rows " +
+        s"but meta says n_lists=$nLists — inconsistent index; rebuild")
+    val pcenters = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("j").collect() // bounded: nCodes rows
+      .map(r => r.getSeq[Double](1).toArray)
+    require(pcenters.length == nCodes,
+      s"IVFADC index at $indexDir: codebook has ${pcenters.length} rows " +
+        s"but meta says n_codes=$nCodes — inconsistent index; rebuild")
+    require(pcenters.forall(_.length == metaSubDim),
+      s"IVFADC index at $indexDir: codebook centroid width != sub_dim=$metaSubDim")
+    val xs = (0 until Ann.IvfDims).map(i => s"x$i")
+    val qRows = Ann.ivfProj(emb.filter(col("vec_id") < 10), "embedding")
+      .select(col("vec_id") +: xs.map(col): _*).collect()
+    scoreWithArtifacts(spark, emb, codesWithList, coarse,
+      floorCentroids(coarse), pcenters, qRows, nLists, probes, nCodes,
+      subSpaces, rerank, k)
+  }
+
+  private val ensureMemo =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Test hook: simulate a process restart for the once-per-JVM
+    * staleness check. */
+  private[graft] def resetEnsureMemo(): Unit = ensureMemo.clear()
+
+  /** Build-once glue keyed by (dir, geometry) under java.io.tmpdir — the
+    * ensurePqIndex recipe verbatim: meta carries the build-time corpus
+    * fingerprint; a mismatch or unreadable meta rebuilds instead of
+    * wedging. */
+  private[graft] def ensureIvfPqIndex(spark: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val key = md.digest(
+      s"$dir|$NLists|${Pq.SubSpaces}|${Pq.CodeBook}|${Pq.PqIters}|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivfpq_idx_$key").getAbsolutePath
+    if (ensureMemo.contains(idx)) return idx
+    val p = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(p) && scala.util.Try {
+      val m = spark.read.parquet(s"$idx/meta").head
+      val fp = graft.Tables.embeddings(spark, dir)
+        .agg(count(lit(1)), max(col("vec_id"))).head
+      m.getAs[Long]("nvecs") == fp.getLong(0) &&
+        m.getAs[Long]("max_vec_id") ==
+          (if (fp.isNullAt(1)) -1L else fp.getLong(1))
+    }.getOrElse(false)
+    if (!fresh) buildIvfPqIndex(spark, dir, idx)
+    if (ensureMemo.size > 64) ensureMemo.clear()
+    ensureMemo.add(idx)
+    idx
+  }
+
+  /** Driver query: the persisted-index IVFADC path — oracle-identical to
+    * ann_ivfpq (same lists, same codes, same codebooks, precomputed). */
+  def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ivfPqTopKIndexed(spark, dir, ensureIvfPqIndex(spark, dir), k)
 
   /** DuckDB oracle: the ann_ivf coarse-fit replay, the floor-centroid /
     * integer-residual CTEs, ONE prefix-"p" DetKMeans replay over the

@@ -69,6 +69,14 @@ object Funnel {
       min(col("__q2")).as("t2"),
       min(col("__q3")).as("t3"),
       min(col("__q4")).as("t4"))
+    summarizeSteps(u)
+  }
+
+  /** The 4-row summary stage over a per-user (t1..t4) step-time frame —
+    * shared by the batch cascade and the streaming state replay
+    * ([[graft.streaming.StreamingFunnel]]), so both emit bit-identical
+    * summaries for equal state. */
+  private[graft] def summarizeSteps(u: DataFrame): DataFrame = {
     def lagSum(a: String, b: String) = coalesce(sum(
       when(col(b).isNotNull,
         unix_timestamp(col(b)) - unix_timestamp(col(a)))), lit(0L))
