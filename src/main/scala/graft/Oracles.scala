@@ -586,6 +586,10 @@ object Oracles {
     // the persisted-index path is bit-identical to the inline fit by
     // contract (IvfPqSpec), so it rides the same replay
     "ann_ivfpq_indexed" -> graft.ann.IvfPq.ivfPqOracle(),
+    "ann_ivfpq_append" -> graft.ann.IvfPq.ivfPqAppendOracle(),
+    // batch-independent assign-only appends: the streaming replay rides
+    // the two-batch append oracle verbatim
+    "streaming_ivfpq_append_replay" -> graft.ann.IvfPq.ivfPqAppendOracle(),
     // index contents are the deterministic fit, so the persisted path
     // replays the identical oracle
     "ann_pq_indexed" -> graft.ann.Pq.annPqOracle(),
@@ -706,6 +710,7 @@ object Oracles {
     // top-k corpus vocabulary with doc frequencies + mass shares
     "vocab_topk" -> graft.text.TextOps.vocabTopKOracle(),
     "bpe_vocab" -> graft.text.Bpe.bpeMergesOracle(),
+    "bpe_encode" -> graft.text.Bpe.bpeEncodeOracle(),
     "ngram_perplexity" -> graft.text.Perplexity.perplexityOracle,
     "entity_resolution" -> graft.operators.EntityRes.resolvePartsOracle(),
     "event_funnel" -> graft.operators.Funnel.eventFunnelOracle,

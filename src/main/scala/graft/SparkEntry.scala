@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_fingerprint"  -> ((s, d) => graft.text.TextOps.fingerprints(s, d)),
     "vocab_topk"       -> ((s, d) => graft.text.TextOps.vocabTopK(s, d)),
     "bpe_vocab"        -> ((s, d) => graft.text.Bpe.bpeMerges(s, d)),
+    "bpe_encode"       -> ((s, d) => graft.text.Bpe.bpeEncode(s, d)),
     "ngram_perplexity" -> ((s, d) => graft.text.Perplexity.perplexityBuckets(s, d)),
     "entity_resolution" -> ((s, d) => EntityRes.resolveParts(s, d)),
     "dsir_selection"   -> ((s, d) => graft.text.Dsir.dsirSelection(s, d)),
@@ -130,6 +131,9 @@ object SparkEntry {
     "ann_pq_indexed"   -> ((s, d) => graft.ann.Pq.annPqIndexed(s, d)),
     "ann_ivfpq"        -> ((s, d) => graft.ann.IvfPq.annIvfPq(s, d)),
     "ann_ivfpq_indexed" -> ((s, d) => graft.ann.IvfPq.annIvfPqIndexed(s, d)),
+    "ann_ivfpq_append" -> ((s, d) => graft.ann.IvfPq.annIvfPqAppend(s, d)),
+    "streaming_ivfpq_append_replay" -> ((s, d) =>
+      graft.streaming.StreamingIvfPqIndex.streamingIvfPqAppendReplay(s, d)),
     // the ANN lambda arc: settled fit + assign-only exactly-once appends
     "ann_ivf_append"   -> ((s, d) => graft.ann.Ann.annIvfAppend(s, d)),
     // streaming twin: the appended fifth through the foreachBatch sink as

@@ -209,10 +209,17 @@ object IvfPq {
   private[graft] def buildIvfPqIndex(spark: SparkSession, dir: String,
                                      indexDir: String, nLists: Int = NLists,
                                      nCodes: Int = Pq.CodeBook,
-                                     subSpaces: Int = Pq.SubSpaces): Unit = {
+                                     subSpaces: Int = Pq.SubSpaces): Unit =
+    buildIvfPqIndexFrom(spark,
+      graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      indexDir, nLists, nCodes, subSpaces)
+
+  private[graft] def buildIvfPqIndexFrom(spark: SparkSession, emb0: DataFrame,
+                                         indexDir: String, nLists: Int = NLists,
+                                         nCodes: Int = Pq.CodeBook,
+                                         subSpaces: Int = Pq.SubSpaces): Unit = {
     import spark.implicits._
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
+    val emb = emb0.select(col("vec_id"), col("embedding"))
     val xs = (0 until Ann.IvfDims).map(i => s"x$i")
     val feats = Ann.ivfProj(emb, "embedding").persist()
     val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
@@ -335,6 +342,131 @@ object IvfPq {
   def annIvfPqIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     ivfPqTopKIndexed(spark, dir, ensureIvfPqIndex(spark, dir), k)
 
+  // ------------------------------------------ exactly-once append ingest
+
+  /** Append a micro-batch of embeddings to a prebuilt IVFADC index with
+    * FROZEN geometry (the ann_ivf_append lambda rule, fourth index
+    * family): batch vectors are argmin-assigned to the existing coarse
+    * lists and encoded against the existing residual codebook — refits
+    * are periodic compaction campaigns, not per-batch costs. Exactly-once
+    * by the write-then-mark protocol; assign-only appends never mutate
+    * the settled codes, so there is no in-place fold to crash. */
+  def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
+                         batch: DataFrame, batchId: Long): Unit = {
+    val root = s"$indexDir/appends"
+    if (graft.streaming.ExactlyOnce.isCommitted(spark, root, batchId)) return
+    val meta = spark.read.parquet(s"$indexDir/meta").head
+    val nLists = meta.getAs[Int]("n_lists")
+    val subSpaces = meta.getAs[Int]("sub_spaces")
+    val subDim = Ann.IvfDims / subSpaces
+    val coarseDf = spark.read.parquet(s"$indexDir/coarse")
+    val coarse = coarseDf.orderBy("c_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(coarse.length == nLists, s"IVFADC index at $indexDir: " +
+      s"coarse table has ${coarse.length} rows, meta says $nLists")
+    val fc = floorCentroids(coarse)
+    val cbDf = spark.read.parquet(s"$indexDir/codebook")
+
+    val feats = Ann.ivfProj(
+      batch.select(col("vec_id"), col("embedding")), "embedding")
+    // frozen coarse argmin (raw mode: z ≡ x as double), ties to min list
+    val d2c = (0 until Ann.IvfDims).map { i =>
+      (col(s"x$i").cast("double") - element_at(col("g"), i + 1)) *
+        (col(s"x$i").cast("double") - element_at(col("g"), i + 1))
+    }.reduce(_ + _)
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("__d2"), col("c_id"))
+    val withList = feats.crossJoin(broadcast(coarseDf))
+      .withColumn("__d2", d2c)
+      .withColumn("__r", row_number().over(wv))
+      .filter(col("__r") === 1)
+      .select(col("vec_id") +: col("c_id").as("cluster") +:
+        (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)
+    // exact-integer residuals vs the SAME floor centroids the build used
+    import spark.implicits._
+    val fcDf = fc.toIndexedSeq.zipWithIndex
+      .map { case (row, c) => (c.toLong, row.toSeq) }.toDF("cluster", "fcv")
+    val resid = withList.join(broadcast(fcDf), "cluster")
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until Ann.IvfDims).map(i =>
+          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")): _*)
+    // frozen codebook argmin per subvector (stacked frame + broadcast
+    // codebook — never a literal-distance projection: the codegen-budget
+    // lesson), ties to min codeword
+    val stacked = (0 until subSpaces).map { m =>
+      resid.select(
+        (col("vec_id") * subSpaces + lit(m)).as("uid") +:
+          (0 until subDim).map(i => col(s"x${subDim * m + i}").as(s"x$i")): _*)
+    }.reduce(_ unionByName _)
+    val d2s = (0 until subDim).map { i =>
+      (col(s"x$i").cast("double") - element_at(col("g"), i + 1)) *
+        (col(s"x$i").cast("double") - element_at(col("g"), i + 1))
+    }.reduce(_ + _)
+    val wu = Window.partitionBy(col("uid")).orderBy(col("__d2"), col("j"))
+    val codes = stacked.crossJoin(broadcast(cbDf))
+      .withColumn("__d2", d2s)
+      .withColumn("__r", row_number().over(wu))
+      .filter(col("__r") === 1)
+      .select(expr(s"uid div $subSpaces").as("vec_id"),
+        (col("uid") % subSpaces).as("m"), col("j").as("code"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("code"))).as("c0"),
+        (1 until subSpaces).map(m =>
+          max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
+    codes.join(withList.select(col("vec_id"), col("cluster")), "vec_id")
+      .sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(s"$root/batch=$batchId/codes")
+    graft.streaming.ExactlyOnce.commit(spark, root, batchId)
+  }
+
+  /** [[ivfPqTopKIndexed]] over base ∪ committed appended codes — the read
+    * side of the append arc; uncommitted (crashed) append dirs are
+    * invisible by the marker protocol. */
+  def ivfPqTopKIndexedWithAppends(spark: SparkSession, dir: String,
+                                  indexDir: String, k: Int = 10,
+                                  nProbe: Int = 0): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val meta = spark.read.parquet(s"$indexDir/meta").head
+    val nLists = meta.getAs[Int]("n_lists")
+    val subSpaces = meta.getAs[Int]("sub_spaces")
+    val nCodes = meta.getAs[Int]("n_codes")
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val rerank = Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
+    val base = spark.read.parquet(s"$indexDir/codes")
+    val appended = graft.streaming.ExactlyOnce
+      .committedBatches(spark, s"$indexDir/appends")
+    val codesWithList =
+      if (appended.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(appended.map(_ + "/codes"): _*))
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+      .orderBy("c_id").collect().map(r => r.getSeq[Double](1).toArray)
+    val pcenters = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("j").collect().map(r => r.getSeq[Double](1).toArray)
+    val xs = (0 until Ann.IvfDims).map(i => s"x$i")
+    val qRows = Ann.ivfProj(emb.filter(col("vec_id") < 10), "embedding")
+      .select(col("vec_id") +: xs.map(col): _*).collect()
+    scoreWithArtifacts(spark, emb, codesWithList, coarse,
+      floorCentroids(coarse), pcenters, qRows, nLists, probes, nCodes,
+      subSpaces, rerank, k)
+  }
+
+  /** Driver query: the full IVFADC lambda arc as one gateable value — the
+    * settled corpus (vec_id % 5 ≠ 4) builds the index; the remaining
+    * fifth arrives as two assign-only appends through the exactly-once
+    * protocol; top-k comes back over the WHOLE corpus (appended vectors
+    * both findable and queryable — queries 4 and 9 are appended ids). */
+  def annIvfPqAppend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = graft.streaming.ReplayScratch.dir("ivfpq_append_idx")
+    buildIvfPqIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx)
+    appendToIvfPqIndex(spark, idx, emb.filter(col("vec_id") % 10 === 4), 0L)
+    appendToIvfPqIndex(spark, idx, emb.filter(col("vec_id") % 10 === 9), 1L)
+    ivfPqTopKIndexedWithAppends(spark, dir, idx, k)
+  }
+
   /** DuckDB oracle: the ann_ivf coarse-fit replay, the floor-centroid /
     * integer-residual CTEs, ONE prefix-"p" DetKMeans replay over the
     * stacked residual subvectors, the probe ranking, the per-(query, list)
@@ -428,6 +560,167 @@ object IvfPq {
          |  JOIN cl ON cl.vec_id = cd.vec_id
          |  $adcJoins
          |  WHERE cd.vec_id <> q0.query_id
+         |), sl AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+         |    FROM adc)
+         |  WHERE rn <= GREATEST(200, (SELECT COUNT(*) FROM embeddings) // 10)
+         |), nn AS (
+         |  SELECT vec_id, qe, list_sum(list_transform(qe, v -> v * v)) AS nrm FROM qv
+         |), pp AS (
+         |  SELECT sl.query_id, sl.vec_id,
+         |    list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
+         |      i -> a.qe[i] * b.qe[i])) AS dot,
+         |    a.nrm AS nrm, b.nrm AS q_nrm
+         |  FROM sl
+         |  JOIN nn a ON a.vec_id = sl.vec_id
+         |  JOIN nn b ON b.vec_id = sl.query_id
+         |), ss AS (
+         |  SELECT query_id, vec_id,
+         |    CASE WHEN nrm * q_nrm = 0.0 THEN NULL ELSE dot / sqrt(nrm * q_nrm) END AS cos_sim
+         |  FROM pp
+         |), rr AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS "rank"
+         |  FROM ss
+         |)
+         |SELECT query_id, vec_id, cos_sim, "rank" FROM rr WHERE "rank" <= $k
+         |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** DuckDB oracle replaying [[annIvfPqAppend]] end-to-end: both fits
+    * over the SETTLED subset only (vec_id % 5 ≠ 4), frozen-geometry
+    * argmin assignment of the appended fifth to lists AND codewords
+    * (row_number windows with the fit's (distance, id) tie-break), then
+    * the standard ADC tail over settled ∪ appended codes. Raw-space mode
+    * throughout, so z ≡ CAST(x AS DOUBLE) serves queries and appends
+    * alike. Batch-independent appends ⇒ the streaming replay rides this
+    * verbatim. */
+  def ivfPqAppendOracle(k: Int = 10, nLists: Int = NLists, nProbe: Int = 0,
+                        nCodes: Int = Pq.CodeBook,
+                        subSpaces: Int = Pq.SubSpaces): String = {
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val subDim = Ann.IvfDims / subSpaces
+    val D = Ann.IvfDims
+    val pre =
+      """qv AS (
+        |  SELECT vec_id, qe,
+        |    list_sum(list_transform(qe, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1048576.0)) AS qe
+        |        FROM embeddings)
+        |), fall AS MATERIALIZED (
+        |  SELECT vec_id,
+        |""".stripMargin +
+        (0 until D).map(d =>
+          s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
+            s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
+          .mkString(",\n") +
+        "\n  FROM qv\n), f AS (SELECT * FROM fall WHERE vec_id % 5 <> 4)"
+    val coarse = graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = D,
+      k = nLists, iters = Ann.IvfIters, standardize = false)
+    val fcCols = (0 until D).map(i => s"CAST(floor(g$i) AS BIGINT) AS fc$i").mkString(", ")
+    val rCols = (0 until D).map(i => s"a.x$i - fc.fc$i AS r$i").mkString(", ")
+    val pfCols = (0 until subDim).map { d =>
+      "    CASE " + (0 until subSpaces).map(m =>
+        s"WHEN m = $m THEN r${subDim * m + d}").mkString(" ") + s" END AS x$d"
+    }.mkString(",\n")
+    val pfPre =
+      s"""pf AS MATERIALIZED (
+         |  SELECT vec_id * $subSpaces + m AS uid,
+         |$pfCols
+         |  FROM rf CROSS JOIN (SELECT unnest(range(0, $subSpaces)) AS m) sub)""".stripMargin
+    val pfit = graft.ml.DetKMeans.oracleCtes(pfPre, "uid", nFeats = subDim,
+      k = nCodes, iters = Pq.PqIters, standardize = false, prefix = "p")
+    // raw-space frozen distances: z ≡ CAST(x AS DOUBLE)
+    val d2x = (0 until D).map(i =>
+      s"(CAST(a.x$i AS DOUBLE) - c.g$i) * (CAST(a.x$i AS DOUBLE) - c.g$i)")
+      .reduce((acc, x) => s"($acc + $x)")
+    val d2qx = (0 until D).map(i =>
+      s"(CAST(q.x$i AS DOUBLE) - c.g$i) * (CAST(q.x$i AS DOUBLE) - c.g$i)")
+      .reduce((acc, x) => s"($acc + $x)")
+    val d2sub = (0 until subDim).map(i =>
+      s"(CAST(s.x$i AS DOUBLE) - c.g$i) * (CAST(s.x$i AS DOUBLE) - c.g$i)")
+      .reduce((acc, x) => s"($acc + $x)")
+    val qrCols = (0 until D).map(i => s"q.x$i - fc.fc$i AS r$i").mkString(", ")
+    val qdArms = (0 until subSpaces).map { m =>
+      val d2 = (0 until subDim).map { i =>
+        s"(CAST(r${subDim * m + i} AS DOUBLE) - c.g$i) * (CAST(r${subDim * m + i} AS DOUBLE) - c.g$i)"
+      }.reduce((acc, x) => s"($acc + $x)")
+      s"  SELECT query_id, list_id, $m AS m, c.cluster AS j, $d2 AS d2\n" +
+        s"  FROM qr CROSS JOIN pc${Pq.PqIters} c"
+    }.mkString("\n  UNION ALL\n")
+    val codePivot = (0 until subSpaces).map(m =>
+      s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(", ")
+    val adcSum = (0 until subSpaces).map(m => s"q$m.d2")
+      .reduce((acc, x) => s"($acc + $x)")
+    val adcJoins = (0 until subSpaces).map { m =>
+      if (m == 0) s"JOIN qd q0 ON q0.m = 0 AND q0.j = cd2.c0 AND q0.list_id = cl2.cluster"
+      else s"JOIN qd q$m ON q$m.m = $m AND q$m.j = cd2.c$m AND " +
+        s"q$m.query_id = q0.query_id AND q$m.list_id = cl2.cluster"
+    }.mkString("\n  ")
+    "WITH " + coarse + ",\n" +
+      s"""fc AS MATERIALIZED (SELECT cluster, $fcCols FROM c${Ann.IvfIters}),
+         |rf AS MATERIALIZED (SELECT a.vec_id, $rCols FROM afin a JOIN fc ON a.cluster = fc.cluster),
+         |""".stripMargin +
+      pfit + ",\n" +
+      s"""pcodes AS MATERIALIZED (
+         |  SELECT uid // $subSpaces AS vec_id, uid % $subSpaces AS m, cluster AS code
+         |  FROM pafin
+         |), cd AS MATERIALIZED (
+         |  SELECT vec_id, $codePivot FROM pcodes GROUP BY 1
+         |), az AS MATERIALIZED (
+         |  SELECT * FROM fall WHERE vec_id % 5 = 4
+         |), al AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT a.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $d2x, c.cluster) AS rn
+         |    FROM az a CROSS JOIN c${Ann.IvfIters} c)
+         |  WHERE rn = 1
+         |), arf AS MATERIALIZED (
+         |  SELECT a.vec_id, $rCols
+         |  FROM az a JOIN al ON al.vec_id = a.vec_id
+         |  JOIN fc ON fc.cluster = al.cluster
+         |), asub AS MATERIALIZED (
+         |  SELECT vec_id * $subSpaces + m AS uid,
+         |$pfCols
+         |  FROM arf CROSS JOIN (SELECT unnest(range(0, $subSpaces)) AS m) sub
+         |), ac AS MATERIALIZED (
+         |  SELECT uid, code FROM (
+         |    SELECT s.uid, c.cluster AS code,
+         |      row_number() OVER (PARTITION BY s.uid ORDER BY $d2sub, c.cluster) AS rn
+         |    FROM asub s CROSS JOIN pc${Pq.PqIters} c)
+         |  WHERE rn = 1
+         |), acd AS MATERIALIZED (
+         |  SELECT vec_id, $codePivot FROM (
+         |    SELECT uid // $subSpaces AS vec_id, uid % $subSpaces AS m, code FROM ac)
+         |  GROUP BY 1
+         |), cl2 AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM afin
+         |  UNION ALL SELECT vec_id, cluster FROM al
+         |), cd2 AS MATERIALIZED (
+         |  SELECT * FROM cd UNION ALL SELECT * FROM acd
+         |), prb AS MATERIALIZED (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.query_id, c.cluster AS list_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2qx, c.cluster) AS rn
+         |    FROM (SELECT vec_id AS query_id, * FROM fall WHERE vec_id < 10) q
+         |    CROSS JOIN c${Ann.IvfIters} c)
+         |  WHERE rn <= $probes
+         |), qr AS MATERIALIZED (
+         |  SELECT p.query_id, p.list_id, $qrCols
+         |  FROM prb p
+         |  JOIN fc ON fc.cluster = p.list_id
+         |  JOIN (SELECT vec_id AS query_id, * FROM fall WHERE vec_id < 10) q
+         |    ON q.query_id = p.query_id
+         |), qd AS MATERIALIZED (
+         |$qdArms
+         |), adc AS MATERIALIZED (
+         |  SELECT q0.query_id, cd2.vec_id, $adcSum AS approx
+         |  FROM cd2
+         |  JOIN cl2 ON cl2.vec_id = cd2.vec_id
+         |  $adcJoins
+         |  WHERE cd2.vec_id <> q0.query_id
          |), sl AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id,

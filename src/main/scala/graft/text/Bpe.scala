@@ -61,6 +61,15 @@ object Bpe {
     * the unit-testable core (plant words, check merge mechanics). */
   private[graft] def mergesFromWords(spark: SparkSession, words: DataFrame,
                                      numMerges: Int): DataFrame = {
+    val (merges, _) = learn(spark, words, numMerges)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The learning loop: returns (merge list, final symbol frame). */
+  private def learn(spark: SparkSession, words: DataFrame,
+                    numMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     // symbol sequences: characters + the </w> boundary marker
     val syms0 = words
       .select(col("word"), col("n"),
@@ -105,15 +114,89 @@ object Bpe {
       syms = graft.tools.Checkpoints.cut(applied)
       r += 1
     }
-    import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
-      .orderBy("merge_rank")
+    (merges.toSeq, syms)
   }
+
+  /** BPE ENCODE — the operational other half of merge learning: apply the
+    * learned merges and report per-document subword token counts plus the
+    * corpus compression they buy. Same scale shape as learning: merges
+    * apply on the DISTINCT-WORD frame (vocab-bounded — each word is
+    * encoded once however often it occurs), and per-document counts come
+    * back through one (doc, word)-grain join against the encoded lengths.
+    * Output: (doc_id, n_words, n_chars, n_bpe_tokens, saved_ppm) where
+    * saved_ppm = 10^6 − bpe_tokens·10^6 // (chars+words) (chars+words =
+    * the pre-merge symbol count incl. the `</w>` markers, floor div). */
+  def bpeEncode(spark: SparkSession, dir: String,
+                numMerges: Int = NumMerges): DataFrame = {
+    val docWords = graft.Tables.documents(spark, dir)
+      .withColumn("__tokens", expr("""split(lower(trim(text)), '\\s+')"""))
+      .select(col("doc_id"), explode(col("__tokens")).as("word"))
+      .filter(length(col("word")) > 0)
+    val words = docWords.groupBy("word").agg(count(lit(1)).as("n"))
+    // learn + apply on the SAME frame: encodedLengths rides the learner's
+    // final symbol state, so encode costs no extra corpus pass
+    val (merges, finalSyms) = learn(spark, words, numMerges)
+    val encLen = finalSyms.groupBy("word").agg(count(lit(1)).as("enc_len"))
+    merges // force the learning loop before the join plan builds
+    val perDoc = docWords.join(encLen, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("enc_len")).as("n_bpe_tokens"))
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("saved_ppm",
+        when(col("n_chars") + col("n_words") > 0,
+          lit(1000000L) - expr("(n_bpe_tokens * 1000000) div (n_chars + n_words)"))
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the same unrolled learning rounds,
+    * then word-encoded lengths off the final symbol state and the
+    * (doc, word) join-back. */
+  def bpeEncodeOracle(numMerges: Int = NumMerges): String =
+    learnCtes(numMerges) + s""",
+      |enc AS MATERIALIZED (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS enc_len FROM s$numMerges GROUP BY 1
+      |), dw AS (
+      |  SELECT doc_id, t.tok AS word
+      |  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+      |  WHERE len(t.tok) > 0
+      |), pd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |    CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+      |    CAST(SUM(enc_len) AS BIGINT) AS n_bpe_tokens
+      |  FROM dw JOIN enc USING (word) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(pd.n_words, 0) AS n_words,
+      |  COALESCE(pd.n_chars, 0) AS n_chars,
+      |  COALESCE(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  CASE WHEN COALESCE(pd.n_chars, 0) + COALESCE(pd.n_words, 0) > 0
+      |    THEN 1000000 - (COALESCE(pd.n_bpe_tokens, 0) * 1000000)
+      |           // (COALESCE(pd.n_chars, 0) + COALESCE(pd.n_words, 0))
+      |    ELSE 0 END AS saved_ppm
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB oracle: the identical rounds unrolled — per round a weighted
     * pair count, an ORDER-BY-LIMIT-1 winner, and the same five-window
     * greedy application; the merge table unions the winners. */
-  def bpeMergesOracle(numMerges: Int = NumMerges): String = {
+  def bpeMergesOracle(numMerges: Int = NumMerges): String =
+    learnCtes(numMerges) + "\nSELECT * FROM (\n" +
+      (1 to numMerges).map(t =>
+        s"  SELECT CAST($t AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM t$t")
+        .mkString("\n  UNION ALL\n") +
+      "\n)\nORDER BY merge_rank"
+
+  /** The unrolled learning-round CTE chain `WITH w0 … s{numMerges}` shared
+    * by the merge-table and encode oracles. */
+  private def learnCtes(numMerges: Int): String = {
     val b = new StringBuilder
     b ++= """WITH w0 AS MATERIALIZED (
             |  SELECT word, COUNT(*) AS n FROM (
@@ -160,11 +243,6 @@ object Bpe {
               |  ) WHERE NOT COALESCE(dropped, FALSE)
               |)""".stripMargin
     }
-    b ++= "\nSELECT * FROM (\n" +
-      (1 to numMerges).map(t =>
-        s"  SELECT CAST($t AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM t$t")
-        .mkString("\n  UNION ALL\n") +
-      "\n)\nORDER BY merge_rank"
     b.toString
   }
 }

@@ -55,6 +55,23 @@ class BpeSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(3) > 0))
   }
 
+  test("encode: merges only ever SHRINK the symbol count, never below word count") {
+    val out = graft.text.Bpe.bpeEncode(spark, dir).persist()
+    // pre-merge symbols = chars + one </w> per word; encoded length is
+    // between n_words (fully merged) and that ceiling
+    assert(out.filter(col("n_bpe_tokens") > col("n_chars") + col("n_words"))
+      .count() == 0, "encoding inflated a document")
+    assert(out.filter(col("n_words") > 0 && col("n_bpe_tokens") < col("n_words"))
+      .count() == 0, "a word encoded below one token")
+    // the corpus as a whole must actually save something with 20 merges
+    val agg = out.agg(sum("n_bpe_tokens"), sum("n_chars"), sum("n_words")).head
+    assert(agg.getLong(0) < agg.getLong(1) + agg.getLong(2),
+      "20 merges saved nothing corpus-wide")
+    assert(out.filter(col("saved_ppm") < 0).count() == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("strict contract: impossible merge budget throws") {
     val e = intercept[IllegalArgumentException] {
       Bpe.mergesFromWords(spark, planted(("ab", 1L)), 10).collect()

@@ -506,6 +506,30 @@ class PlanSpec extends AnyFunSuite {
       "an attribution window collapsed to one partition")
   }
 
+  test("ngram_perplexity: no cartesian; tercile rank stays pid-distributed") {
+    // the scoring fold sits BEHIND the rank's localCheckpoint boundary, so
+    // the final explain starts at the checkpoint RDD — what it CAN pin is
+    // the tercile stage: the distributed __pid rank (never a global
+    // single-partition window) and broadcast offset fix-up
+    val plan = formatted(graft.text.Perplexity.perplexityBuckets(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "tercile bucketing must join on keys, never a cartesian")
+    assert(plan.contains("hashpartitioning(__pid"),
+      "the tercile rank must be the distributed per-partition form")
+    assert(plan.contains("BroadcastExchange"),
+      "the rank offset table must broadcast")
+    spark.catalog.clearCache()
+  }
+
+  test("entity_resolution: no cartesian; rank stays range-partitioned") {
+    val plan = formatted(graft.operators.EntityRes.resolveParts(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "sorted-neighborhood candidates must join on the rank key")
+    assert(plan.contains("rangepartitioning"),
+      "the name rank must be the distributed range-partitioned form")
+    spark.catalog.clearCache()
+  }
+
   test("graph_pagerank: keyed propagation joins, no cartesian, no global sort mid-loop") {
     val plan = formatted(
       graft.operators.GraphOps.pageRank(spark, dir, ordered = false))
