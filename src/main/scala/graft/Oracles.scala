@@ -719,6 +719,8 @@ object Oracles {
     "streaming_funnel_replay" -> graft.operators.Funnel.eventFunnelOracle,
     "event_attribution" -> graft.operators.Funnel.attributionOracle,
     "graph_pagerank" -> graft.operators.GraphOps.pageRankOracle(),
+    "graph_pagerank_incremental" ->
+      graft.operators.GraphOps.pageRankIncrementalOracle(),
     "dsir_selection" -> graft.text.Dsir.dsirSelectionOracle(),
     "tfidf_topterms" -> graft.text.TextOps.tfidfTopTermsOracle(),
     "doc_fingerprint" ->

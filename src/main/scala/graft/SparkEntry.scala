@@ -78,6 +78,7 @@ object SparkEntry {
       graft.streaming.StreamingFunnel.streamingFunnelReplay(s, d)),
     "event_attribution" -> ((s, d) => Funnel.attribution(s, d)),
     "graph_pagerank"   -> ((s, d) => GraphOps.pageRank(s, d)),
+    "graph_pagerank_incremental" -> ((s, d) => GraphOps.pageRankIncremental(s, d)),
     "events_json"      -> ((s, d) => Events.jsonStats(s, d)),
     "cdc_apply"        -> ((s, d) => Cdc.cdcApply(s, d)),
     "incremental_events" -> ((s, d) => Incremental.incrementalEvents(s, d)),

@@ -41,6 +41,28 @@ class GraphOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("incremental warm-start beats a cold start at the same round budget") {
+    val full = GraphOps.pageRank(spark, dir, ordered = false)
+      .select(col("node_type"), col("node_key"), col("rank").as("rf"))
+    def dist(df: org.apache.spark.sql.DataFrame) =
+      df.join(full, Seq("node_type", "node_key"))
+        .agg(sum(abs(col("rank") - col("rf")))).head.getLong(0)
+    val warm = dist(GraphOps.pageRankIncremental(spark, dir, ordered = false))
+    val cold = dist(GraphOps.pageRank(spark, dir,
+      iters = GraphOps.DeltaIters, ordered = false))
+    info(s"L1 distance to the 10-round fixpoint: warm=$warm cold=$cold")
+    assert(warm < cold,
+      s"warm-start ($warm) should land closer than a cold start ($cold)")
+  }
+
+  test("incremental output covers the union graph exactly once per node") {
+    val out = GraphOps.pageRankIncremental(spark, dir).persist()
+    val fullNodes = GraphOps.pageRank(spark, dir, ordered = false).count()
+    assert(out.count() == fullNodes)
+    assert(out.select("node_type", "node_key").distinct().count() == fullNodes)
+    out.unpersist()
+  }
+
   test("power iteration contracts: adjacent-iteration deltas decay") {
     // the bipartite graph oscillates with period 2 (every edge crosses
     // sides), damped at 0.85 per round — so adjacent-iteration deltas
