@@ -713,6 +713,8 @@ object Oracles {
     "bpe_encode" -> graft.text.Bpe.bpeEncodeOracle(),
     "ngram_perplexity" -> graft.text.Perplexity.perplexityOracle,
     "entity_resolution" -> graft.operators.EntityRes.resolvePartsOracle(),
+    "entity_resolution_multipass" ->
+      graft.operators.EntityRes.resolvePartsMultipassOracle(),
     "event_funnel" -> graft.operators.Funnel.eventFunnelOracle,
     // batch-boundary invariance (ts-ordered ingest + monotone min state)
     // lets the streaming replay ride the batch oracle verbatim

@@ -97,6 +97,7 @@ object SparkEntry {
     "bpe_encode"       -> ((s, d) => graft.text.Bpe.bpeEncode(s, d)),
     "ngram_perplexity" -> ((s, d) => graft.text.Perplexity.perplexityBuckets(s, d)),
     "entity_resolution" -> ((s, d) => EntityRes.resolveParts(s, d)),
+    "entity_resolution_multipass" -> ((s, d) => EntityRes.resolvePartsMultipass(s, d)),
     "dsir_selection"   -> ((s, d) => graft.text.Dsir.dsirSelection(s, d)),
     "tfidf_topterms"   -> ((s, d) => graft.text.TextOps.tfidfTopTerms(s, d)),
     "curation_keep"    -> ((s, d) => graft.text.Curation.qualityKeep(s, d)),

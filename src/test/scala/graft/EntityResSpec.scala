@@ -58,6 +58,23 @@ class EntityResSpec extends AnyFunSuite {
       s"only $close of $all multi-name entities have an edge within Tau")
   }
 
+  test("multipass is monotone: every single-pass merge survives, entities never grow") {
+    val single = EntityRes.resolveParts(spark, dir)
+      .select(col("p_partkey"), col("entity_id").as("e1"))
+    val multi = EntityRes.resolvePartsMultipass(spark, dir)
+      .select(col("p_partkey"), col("entity_id").as("e2"))
+    val j = single.join(multi, "p_partkey").persist()
+    // same-entity under single-pass => same-entity under multipass
+    val broken = j.as("a").join(j.as("b"),
+        col("a.e1") === col("b.e1") && col("a.e2") =!= col("b.e2")).count()
+    assert(broken == 0, "multipass split a single-pass entity")
+    val n1 = j.select("e1").distinct().count()
+    val n2 = j.select("e2").distinct().count()
+    info(s"entities: single-pass $n1, multipass $n2")
+    assert(n2 <= n1)
+    j.unpersist()
+  }
+
   test("generic connectedComponents: chain merges, strict rail throws") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
