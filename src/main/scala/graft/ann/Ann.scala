@@ -554,6 +554,16 @@ object Ann {
     * (vec_id, list_id) table instead of refitting — the in-memory
     * DetKMeans LRU only helps within one JVM. Doubles round-trip parquet
     * bit-exactly, so the indexed probe is bit-identical to the fit path. */
+  /** Cheap corpus content digest for index-staleness fingerprints: XOR of
+    * per-row xxhash64(vec_id, embedding). Order-independent, overflow-free,
+    * and sensitive to in-place content rewrites that preserve (count,
+    * max vec_id) — the aliasing hole advice-r15 flagged in the ensure*
+    * recipes. One columnar pass, runs once per JVM per index dir. */
+  private[graft] def corpusDigest(emb: DataFrame): Long = {
+    val r = emb.agg(expr("bit_xor(xxhash64(vec_id, embedding))")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
                     nLists: Int = 8): Unit =
     buildIvfIndexFrom(spark, Tables.embeddings(spark, dir), indexDir, nLists)
@@ -588,8 +598,9 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
     Seq((nLists, IvfDims, IvfIters, fp.getLong(0),
-      if (fp.isNullAt(1)) -1L else fp.getLong(1)))
-      .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id")
+      if (fp.isNullAt(1)) -1L else fp.getLong(1), corpusDigest(emb)))
+      .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id",
+        "content_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -824,13 +835,14 @@ object Ann {
     // as stale so the index rebuilds instead of wedging.
     val fresh = fs.exists(p) && scala.util.Try {
       val meta = spark.read.parquet(s"$idx/meta")
-      meta.columns.contains("nvecs") && {
+      meta.columns.contains("content_digest") && {
         val m = meta.head
-        val fp = Tables.embeddings(spark, dir)
-          .agg(count(lit(1)), max(col("vec_id"))).head
+        val live = Tables.embeddings(spark, dir)
+        val fp = live.agg(count(lit(1)), max(col("vec_id"))).head
         m.getAs[Long]("nvecs") == fp.getLong(0) &&
           m.getAs[Long]("max_vec_id") ==
-            (if (fp.isNullAt(1)) -1L else fp.getLong(1))
+            (if (fp.isNullAt(1)) -1L else fp.getLong(1)) &&
+          m.getAs[Long]("content_digest") == corpusDigest(live)
       }
     }.getOrElse(false)
     if (!fresh) buildIvfIndex(spark, dir, idx, nLists)

@@ -249,20 +249,20 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
     Seq((nLists, subSpaces, Ann.IvfDims / subSpaces, nCodes, Pq.PqIters,
-      fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1)))
+      fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1),
+      Ann.corpusDigest(emb)))
       .toDF("n_lists", "sub_spaces", "sub_dim", "n_codes", "iters",
-        "nvecs", "max_vec_id")
+        "nvecs", "max_vec_id", "content_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
-  /** IVFADC top-k against a prebuilt index — NO fit, no corpus-wide float
-    * math; bit-identical to [[ivfPqTopK]] for a fresh index over the same
-    * corpus. Fails fast on geometry drift (the Pq advice-r14 contract). */
-  def ivfPqTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
-                       k: Int = 10, nProbe: Int = 0,
-                       shortlist: Int = 0): DataFrame = {
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
+  /** Read + geometry-validate an index's meta row — shared by the
+    * fit-free probe, the append writer, and the append-aware reader
+    * (advice-r15: appending against a geometry-drifted index must fail
+    * fast, never silently write corrupt codes into durable index state).
+    * Returns (nLists, subSpaces, subDim, nCodes). */
+  private def readValidatedMeta(
+      spark: SparkSession, indexDir: String): (Int, Int, Int, Int) = {
     val meta = spark.read.parquet(s"$indexDir/meta").head
     val nLists = meta.getAs[Int]("n_lists")
     val subSpaces = meta.getAs[Int]("sub_spaces")
@@ -274,25 +274,50 @@ object IvfPq {
     require(metaSubDim == Ann.IvfDims / subSpaces,
       s"IVFADC index at $indexDir: meta sub_dim=$metaSubDim != " +
         s"${Ann.IvfDims}/$subSpaces — built under a different geometry; rebuild")
+    (nLists, subSpaces, metaSubDim, nCodes)
+  }
+
+  /** Collect + validate the coarse-centroid table (bounded: nLists rows). */
+  private def loadCoarse(spark: SparkSession, indexDir: String,
+                         nLists: Int): Array[Array[Double]] = {
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+      .orderBy("c_id").collect().map(r => r.getSeq[Double](1).toArray)
+    require(coarse.length == nLists,
+      s"IVFADC index at $indexDir: coarse table has ${coarse.length} rows " +
+        s"but meta says n_lists=$nLists — inconsistent index; rebuild")
+    coarse
+  }
+
+  /** Collect + validate the residual codebook (bounded: nCodes rows). */
+  private def loadCodebook(spark: SparkSession, indexDir: String,
+                           nCodes: Int, subDim: Int): Array[Array[Double]] = {
+    val pcenters = spark.read.parquet(s"$indexDir/codebook")
+      .orderBy("j").collect().map(r => r.getSeq[Double](1).toArray)
+    require(pcenters.length == nCodes,
+      s"IVFADC index at $indexDir: codebook has ${pcenters.length} rows " +
+        s"but meta says n_codes=$nCodes — inconsistent index; rebuild")
+    require(pcenters.forall(_.length == subDim),
+      s"IVFADC index at $indexDir: codebook centroid width != sub_dim=$subDim")
+    pcenters
+  }
+
+  /** IVFADC top-k against a prebuilt index — NO fit, no corpus-wide float
+    * math; bit-identical to [[ivfPqTopK]] for a fresh index over the same
+    * corpus. Fails fast on geometry drift (the Pq advice-r14 contract). */
+  def ivfPqTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
+                       k: Int = 10, nProbe: Int = 0,
+                       shortlist: Int = 0): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val (nLists, subSpaces, metaSubDim, nCodes) =
+      readValidatedMeta(spark, indexDir)
     val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
     val rerank =
       if (shortlist > 0) shortlist
       else Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
     val codesWithList = spark.read.parquet(s"$indexDir/codes")
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
-      .orderBy("c_id").collect() // bounded: nLists rows
-      .map(r => r.getSeq[Double](1).toArray)
-    require(coarse.length == nLists,
-      s"IVFADC index at $indexDir: coarse table has ${coarse.length} rows " +
-        s"but meta says n_lists=$nLists — inconsistent index; rebuild")
-    val pcenters = spark.read.parquet(s"$indexDir/codebook")
-      .orderBy("j").collect() // bounded: nCodes rows
-      .map(r => r.getSeq[Double](1).toArray)
-    require(pcenters.length == nCodes,
-      s"IVFADC index at $indexDir: codebook has ${pcenters.length} rows " +
-        s"but meta says n_codes=$nCodes — inconsistent index; rebuild")
-    require(pcenters.forall(_.length == metaSubDim),
-      s"IVFADC index at $indexDir: codebook centroid width != sub_dim=$metaSubDim")
+    val coarse = loadCoarse(spark, indexDir, nLists)
+    val pcenters = loadCodebook(spark, indexDir, nCodes, metaSubDim)
     val xs = (0 until Ann.IvfDims).map(i => s"x$i")
     val qRows = Ann.ivfProj(emb.filter(col("vec_id") < 10), "embedding")
       .select(col("vec_id") +: xs.map(col): _*).collect()
@@ -325,11 +350,12 @@ object IvfPq {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = fs.exists(p) && scala.util.Try {
       val m = spark.read.parquet(s"$idx/meta").head
-      val fp = graft.Tables.embeddings(spark, dir)
-        .agg(count(lit(1)), max(col("vec_id"))).head
+      val live = graft.Tables.embeddings(spark, dir)
+      val fp = live.agg(count(lit(1)), max(col("vec_id"))).head
       m.getAs[Long]("nvecs") == fp.getLong(0) &&
         m.getAs[Long]("max_vec_id") ==
-          (if (fp.isNullAt(1)) -1L else fp.getLong(1))
+          (if (fp.isNullAt(1)) -1L else fp.getLong(1)) &&
+        m.getAs[Long]("content_digest") == Ann.corpusDigest(live)
     }.getOrElse(false)
     if (!fresh) buildIvfPqIndex(spark, dir, idx)
     if (ensureMemo.size > 64) ensureMemo.clear()
@@ -355,16 +381,15 @@ object IvfPq {
                          batch: DataFrame, batchId: Long): Unit = {
     val root = s"$indexDir/appends"
     if (graft.streaming.ExactlyOnce.isCommitted(spark, root, batchId)) return
-    val meta = spark.read.parquet(s"$indexDir/meta").head
-    val nLists = meta.getAs[Int]("n_lists")
-    val subSpaces = meta.getAs[Int]("sub_spaces")
-    val subDim = Ann.IvfDims / subSpaces
+    val (nLists, subSpaces, subDim, nCodes) =
+      readValidatedMeta(spark, indexDir)
     val coarseDf = spark.read.parquet(s"$indexDir/coarse")
     val coarse = coarseDf.orderBy("c_id").collect()
       .map(r => r.getSeq[Double](1).toArray)
     require(coarse.length == nLists, s"IVFADC index at $indexDir: " +
       s"coarse table has ${coarse.length} rows, meta says $nLists")
     val fc = floorCentroids(coarse)
+    loadCodebook(spark, indexDir, nCodes, subDim) // fail-fast validation
     val cbDf = spark.read.parquet(s"$indexDir/codebook")
 
     val feats = Ann.ivfProj(
@@ -427,10 +452,8 @@ object IvfPq {
                                   nProbe: Int = 0): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val meta = spark.read.parquet(s"$indexDir/meta").head
-    val nLists = meta.getAs[Int]("n_lists")
-    val subSpaces = meta.getAs[Int]("sub_spaces")
-    val nCodes = meta.getAs[Int]("n_codes")
+    val (nLists, subSpaces, subDim, nCodes) =
+      readValidatedMeta(spark, indexDir)
     val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
     val rerank = Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
     val base = spark.read.parquet(s"$indexDir/codes")
@@ -440,10 +463,8 @@ object IvfPq {
       if (appended.isEmpty) base
       else base.unionByName(
         spark.read.parquet(appended.map(_ + "/codes"): _*))
-    val coarse = spark.read.parquet(s"$indexDir/coarse")
-      .orderBy("c_id").collect().map(r => r.getSeq[Double](1).toArray)
-    val pcenters = spark.read.parquet(s"$indexDir/codebook")
-      .orderBy("j").collect().map(r => r.getSeq[Double](1).toArray)
+    val coarse = loadCoarse(spark, indexDir, nLists)
+    val pcenters = loadCodebook(spark, indexDir, nCodes, subDim)
     val xs = (0 until Ann.IvfDims).map(i => s"x$i")
     val qRows = Ann.ivfProj(emb.filter(col("vec_id") < 10), "embedding")
       .select(col("vec_id") +: xs.map(col): _*).collect()

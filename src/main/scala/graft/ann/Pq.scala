@@ -215,8 +215,9 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
     Seq((subSpaces, SubDim, nCodes, PqIters, fp.getLong(0),
-      if (fp.isNullAt(1)) -1L else fp.getLong(1)))
-      .toDF("sub_spaces", "sub_dim", "n_codes", "iters", "nvecs", "max_vec_id")
+      if (fp.isNullAt(1)) -1L else fp.getLong(1), Ann.corpusDigest(emb)))
+      .toDF("sub_spaces", "sub_dim", "n_codes", "iters", "nvecs",
+        "max_vec_id", "content_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -286,11 +287,12 @@ object Pq {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = fs.exists(p) && scala.util.Try {
       val m = spark.read.parquet(s"$idx/meta").head
-      val fp = graft.Tables.embeddings(spark, dir)
-        .agg(count(lit(1)), max(col("vec_id"))).head
+      val live = graft.Tables.embeddings(spark, dir)
+      val fp = live.agg(count(lit(1)), max(col("vec_id"))).head
       m.getAs[Long]("nvecs") == fp.getLong(0) &&
         m.getAs[Long]("max_vec_id") ==
-          (if (fp.isNullAt(1)) -1L else fp.getLong(1))
+          (if (fp.isNullAt(1)) -1L else fp.getLong(1)) &&
+        m.getAs[Long]("content_digest") == Ann.corpusDigest(live)
     }.getOrElse(false)
     if (!fresh) buildPqIndex(spark, dir, idx)
     if (ensureMemo.size > 64) ensureMemo.clear()

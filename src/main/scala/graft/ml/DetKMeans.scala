@@ -61,7 +61,7 @@ object DetKMeans {
     * deterministic — a cached and a fresh model are identical, so cached
     * scoring is oracle-indistinguishable from refitting. Bounded: LRU over
     * [[MaxModels]] entries of k×d doubles each. */
-  private val MaxModels = 16 // r15: 4 thrashed across a 171-query sweep
+  private[graft] val MaxModels = 16 // r15: 4 thrashed across a 171-query sweep
   // (coarse IVF + PQ codebook + IVFADC pair + clustering suite = ~8 live
   // fits); entries are k×d doubles (≤ 8 KB), so 16 is still trivial
   private val models =

@@ -63,7 +63,9 @@ object GraphOps {
     // out-degree rides the edge list so iterations touch ONE prebuilt frame
     val edgesD = graft.tools.Checkpoints.cut(edges.join(outdeg, "src"))
 
-    val n = edgesD.select(col("src")).distinct().count()
+    // outdeg already has exactly one row per node (it groups the doubled
+    // edge list by src) — counting it avoids a second distinct over |E|
+    val n = outdeg.count()
     require(n > 0, "pageRank on an empty graph")
     val init = RankBase / n
     val teleport = (RankBase * 15L) / (100L * n)

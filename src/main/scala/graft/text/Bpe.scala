@@ -135,9 +135,8 @@ object Bpe {
     val words = docWords.groupBy("word").agg(count(lit(1)).as("n"))
     // learn + apply on the SAME frame: encodedLengths rides the learner's
     // final symbol state, so encode costs no extra corpus pass
-    val (merges, finalSyms) = learn(spark, words, numMerges)
+    val (_, finalSyms) = learn(spark, words, numMerges)
     val encLen = finalSyms.groupBy("word").agg(count(lit(1)).as("enc_len"))
-    merges // force the learning loop before the join plan builds
     val perDoc = docWords.join(encLen, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

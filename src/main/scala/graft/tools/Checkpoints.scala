@@ -20,16 +20,46 @@ import org.apache.spark.sql.DataFrame
   * whenever the session has `sparkContext.setCheckpointDir` configured,
   * and falls back to `localCheckpoint` only when it doesn't.
   *
+  * DEPLOYMENT REQUIREMENT (advice-r15): Spark only garbage-collects
+  * reliable checkpoint files when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * FALSE) is set at SparkContext creation. The converge-until-done loops
+  * ([[graft.dedup.SemDeDup]], [[graft.operators.GraphOps]],
+  * [[graft.dedup.DedupClusters]]) create one checkpoint per round up to
+  * maxIters=1000 — without the cleaner flag that is unbounded
+  * checkpoint-dir growth on exactly the cluster deployments the reliable
+  * branch exists for. Set the flag on any session that configures a
+  * checkpoint dir; [[cut]] warns once per JVM if it is missing. (Files
+  * are also bounded by the checkpoint dir's storage lifecycle policy —
+  * most object stores can expire the prefix — but the cleaner flag is
+  * the in-band fix.)
+  *
   * Both flavours are requested lazily (`eager = false`): the frames in
   * these loops are materialized by the round's own `count()` action, so an
   * eager extra job per round would be pure overhead.
   */
 object Checkpoints {
 
+  @volatile private var warnedLeak = false
+
   /** Truncate `df`'s lineage: reliable `checkpoint` when a checkpoint dir
     * is configured on the session (cluster deployments), lazy
     * `localCheckpoint` otherwise (single-node / test harness). */
-  def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+  def cut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) {
+      if (!warnedLeak &&
+          !sc.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false)) {
+        warnedLeak = true
+        Console.err.println(
+          "[graft.tools.Checkpoints] WARNING: reliable checkpointing is " +
+            "active but spark.cleaner.referenceTracking.cleanCheckpoints " +
+            "is false — per-round checkpoint files under " +
+            s"${sc.getCheckpointDir.get} will accumulate unboundedly in " +
+            "converge-until-done loops. Set the flag at context creation.")
+      }
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
+  }
 }

@@ -105,15 +105,16 @@ class AnnSpec extends AnyFunSuite {
   test("IVF model cache is bounded — many distinct corpora don't accumulate") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
-    // six distinct tiny corpora (distinct plans via distinct literal data)
-    (0 until 6).foreach { c =>
+    // MaxModels + 2 distinct tiny corpora (distinct plans via distinct
+    // literal data) so the LRU eviction branch genuinely fires
+    (0 until graft.ml.DetKMeans.MaxModels + 2).foreach { c =>
       val corpus = (0 until 24).map(i =>
         (i.toLong, Array.fill(8)(rnd.nextFloat() + c))).toDF("vec_id", "embedding")
       val q = corpus.filter(col("vec_id") === 0L)
       Ann.ivfTopK(corpus, q, k = 3, nLists = 2, nProbe = 1).count()
     }
-    assert(Ann.ivfCacheSize <= 4,
-      s"IVF cache grew to ${Ann.ivfCacheSize} entries — eviction not working")
+    assert(Ann.ivfCacheSize <= graft.ml.DetKMeans.MaxModels,
+      s"IVF cache grew to ${Ann.ivfCacheSize} entries (bound ${graft.ml.DetKMeans.MaxModels}) — eviction not working")
   }
 
   test("persisted IVF index: warm path is bit-identical to the fit path") {
