@@ -46,11 +46,43 @@ object Bench {
       .foreach(t => Tables.read(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
 
+    // ---- ambient controls (r14 item #7, landed r16): a PINNED set of
+    // three micro-queries that no operator change ever touches — pure CPU
+    // (hash over a range), scan+agg (lineitem), and one shuffle (groupBy).
+    // Run once per sweep; their min-across-sweeps is emitted, plus
+    // ambient_factor = geometric mean of (measured / reference), where the
+    // reference constants are this box's idle-state r16 measurements at
+    // sf0.1. Cross-round comparison becomes mechanical: divide a query's
+    // raw ratio by the rounds' ambient_factor ratio to remove co-tenant
+    // noise. Controls are sf-dependent through the two table controls, so
+    // compare ambient_factor only between runs at the SAME sf dir.
+    import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
+    val controls: Seq[(String, () => Unit)] = Seq(
+      ("ctl_cpu", () => spark.range(20000000L).select(fsum(xxhash64(col("id"))))
+        .write.mode("overwrite").format("noop").save()),
+      ("ctl_scan", () => Tables.read(spark, sfDir, "lineitem")
+        .select(fsum(col("l_extendedprice") * col("l_quantity")))
+        .write.mode("overwrite").format("noop").save()),
+      ("ctl_shuffle", () => Tables.read(spark, sfDir, "lineitem")
+        .groupBy(col("l_partkey")).count()
+        .write.mode("overwrite").format("noop").save()))
+    // idle-box reference seconds (r16, local[4] sf0.1) — keep in lockstep
+    // with the control definitions above
+    val ctlRef = Map("ctl_cpu" -> 0.35, "ctl_scan" -> 0.10, "ctl_shuffle" -> 0.55)
+
     val names = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy(_._1)
     // sweeps(s)(i) = time of query i in sweep s, None on failure
+    val ctlSweeps = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
     val sweeps: Seq[(Double, Seq[Option[Double]])] = (1 to runs).map { _ =>
+      ctlSweeps += controls.map { case (_, fn) =>
+        val c0 = System.nanoTime()
+        fn()
+        val dt = (System.nanoTime() - c0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
       val s0 = System.nanoTime()
       val times = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -94,7 +126,13 @@ object Bench {
     val total = results.collect { case (_, v, _, true) => v }.sum
     val totalMin = results.collect { case (_, _, m, true) => m }.sum
     val sweepTotals = sweeps.map(s => num(s._1)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"sweep_wall_sec":$sweepTotals,"protocol":"min-across-$runs-sweeps","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
+    val ctlMin = controls.indices.map(i => ctlSweeps.map(_(i)).min)
+    val ctlJson = controls.zip(ctlMin)
+      .map { case ((n, _), v) => "\"" + n + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val ambient = math.exp(controls.zip(ctlMin).map { case ((n, _), v) =>
+      math.log(math.max(1e-3, v) / ctlRef(n)) }.sum / controls.size)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"sweep_wall_sec":$sweepTotals,"protocol":"min-across-$runs-sweeps","controls":$ctlJson,"ambient_factor":${num(ambient)},"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)
   }

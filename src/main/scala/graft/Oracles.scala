@@ -475,6 +475,22 @@ object Oracles {
          |FROM p LEFT JOIN ib USING (doc_id)""".stripMargin
     },
 
+    // MJPEG decode: the engine walks the RIFF tree and runs every '00dc'
+    // JPEG payload through javax.imageio; the gated columns are the
+    // DECODED geometry (count/width/height/pixels), which the synthesis
+    // fixes in closed form — so a decoder that fails, miscounts frames or
+    // returns wrong dimensions hash-mismatches. Pixel means are IDCT-
+    // implementation-defined and deliberately not gated (MultimodalSpec).
+    "multimodal_mjpeg" ->
+      s"""SELECT doc_id,
+         |  CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+         |  CAST(${graft.multimodal.Multimodal.JpegDim} AS BIGINT) AS width,
+         |  CAST(${graft.multimodal.Multimodal.JpegDim} AS BIGINT) AS height,
+         |  CAST(${graft.multimodal.Multimodal.JpegDim} * ${graft.multimodal.Multimodal.JpegDim} * (2 + doc_id % 3) AS BIGINT) AS n_units
+         |FROM documents""".stripMargin,
+
+    "ets_forecast" -> graft.operators.EtsForecast.etsForecastOracle(),
+
     "basket_features" ->
       s"""SELECT l_orderkey,
         |  COUNT(*) AS basket_size,

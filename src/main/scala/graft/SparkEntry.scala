@@ -148,6 +148,8 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     "multimodal_signal" -> ((s, d) => graft.multimodal.Multimodal.signal(s, d)),
     "multimodal_video" -> ((s, d) => graft.multimodal.Multimodal.video(s, d)),
+    "multimodal_mjpeg" -> ((s, d) => graft.multimodal.Multimodal.mjpeg(s, d)),
+    "ets_forecast"     -> ((s, d) => graft.operators.EtsForecast.etsForecast(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)
     "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d)),
 

@@ -430,20 +430,84 @@ object Ann {
   val IvfDims = 64
   val IvfIters = 10
 
-  /** Shipped probe default, scaled with the list count: nProbe = nLists − 1.
+  /** Shipped probe default, scaled with the list count — piecewise on the
+    * two MEASURED regimes (tools/RecallProbe, isotropic worst case):
     *
-    * Why so high: the synthetic test embeddings are ISOTROPIC (uniform on
-    * the sphere), the worst case for any partition-based ANN — true top-k
-    * neighborhoods barely concentrate, so measured recall ≈ probed corpus
-    * fraction (r14 curve at sf0.01/sf0.1, nLists=8: 0.57/0.67 @ 3 probes,
-    * 0.82/0.85 @ 5, 0.96/0.98 @ 7; nLists=16 tracks the same coverage
-    * line). nLists−1 is the cheapest default that measures ≥ 0.9 recall@10
-    * at every gated SF on that worst case (0.96 @ sf0.01, 0.98 @ sf0.1 —
-    * ann_recall is the driver-gated measurement). On real clustered
-    * corpora the same geometry concentrates and nProbe can drop along the
-    * measured curve — the knob stays exposed; the DEFAULT is sized for the
-    * honest worst case, not the friendly one. */
-  def ivfDefaultProbe(nLists: Int): Int = math.max(1, nLists - 1)
+    *  - nLists ≤ 8 (the min-clamp regime, n ≤ 64): 7/8 coverage
+    *    (nLists − max(1, nLists/8)), the r14 rule — at 8 coarse lists
+    *    recall ≈ coverage (0.96/0.98 measured at 7/8), so nothing
+    *    cheaper clears 0.9;
+    *  - nLists > 8 (size-derived ⌈√n⌉ geometry): 3/4 coverage. The r16
+    *    ladder at the derived geometry measures recall ABOVE coverage —
+    *    with more, smaller lists the query's probe RANKING concentrates
+    *    the true neighbors into the nearest lists even on isotropic
+    *    data. Measured @ 3/4: 0.96 (sf0.001, 23 lists), 0.98 (sf0.01,
+    *    23), 0.97 (sf0.1, 45); 5/8 measured 0.87 at sf0.001 — below the
+    *    floor, which is why the default is 3/4 and not cheaper. Still a
+    *    14% probe-cost cut vs the old 7/8 rule, with ≥ 0.96 margin.
+    *
+    * On real clustered corpora recall concentrates further and nProbe can
+    * drop along the measured curve — with size-derived lists the knob is
+    * finally fine-grained enough to express 1% coverage without a refit;
+    * the DEFAULT is sized for the honest isotropic worst case. */
+  def ivfDefaultProbe(nLists: Int): Int =
+    if (nLists <= 8) math.max(1, nLists - math.max(1, nLists / 8))
+    else math.max(1, (3 * nLists) / 4)
+
+  /** Size-derived list count (advice r14/r15, closed r16): the smallest
+    * p with p·p ≥ n — an exact-integer ⌈√n⌉ (float sqrt + ±1 correction,
+    * so an exact power flips on neither engine) — clamped to [8, 65536].
+    * √n is the FAISS nlist sizing: fit cost n·√n, probe candidates
+    * n/√n·probes; both stay subquadratic at any corpus. `n` is the
+    * DISTINCT projected-vector count: replicated rows add no geometry, so
+    * a 100×-replicated corpus keeps its 1× list count (and its 1× oracle
+    * replay cost) while a genuinely larger corpus gets more lists. */
+  def nListsFor(n: Long): Int = {
+    val p0 = math.sqrt(math.max(0L, n).toDouble).toLong
+    val p =
+      if ((p0 - 1) * (p0 - 1) >= n) p0 - 1
+      else if (p0 * p0 >= n) p0
+      else p0 + 1
+    math.min(65536L, math.max(8L, p)).toInt
+  }
+
+  /** Distinct projected-vector count of an [[ivfProj]] frame — the `n`
+    * that [[nListsFor]] sizes from, memoized via [[cachedCount]]. */
+  private[graft] def distinctFeatCount(feats: DataFrame): Long =
+    cachedCount(feats
+      .select((0 until IvfDims).map(i => col(s"x$i")): _*).distinct())
+
+  /** Size-derived list count for a testdata dir's embeddings corpus —
+    * the one derivation the builders, ensure-keys and specs all share. */
+  private[graft] def derivedLists(spark: SparkSession, dir: String): Int =
+    nListsFor(distinctFeatCount(ivfProj(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding")))
+
+  /** The [[nListsFor]]+[[ivfDefaultProbe]] rules as DuckDB CTEs over an
+    * `n`-producing scalar subquery (usually a COUNT DISTINCT over the fit
+    * frame). Emits `${P}geo0/${P}geo1/${P}geo`; consumers read
+    * `(SELECT k FROM ${P}geo)` (list count) and `(SELECT p FROM ${P}geo)`
+    * (probe count). Same float-sqrt-plus-correction integer rule as the
+    * Scala side, so the geometry can never drift between engines. */
+  private[graft] def geoCtes(nSql: String, prefix: String = ""): String = {
+    val P = prefix
+    s"""${P}geo0 AS MATERIALIZED (SELECT CAST(($nSql) AS BIGINT) AS n),
+       |${P}geo1 AS (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS p0 FROM ${P}geo0),
+       |${P}geo AS MATERIALIZED (
+       |  SELECT k, GREATEST(1, CASE WHEN k <= 8 THEN k - GREATEST(1, k // 8)
+       |                             ELSE (3 * k) // 4 END) AS p FROM (
+       |    SELECT LEAST(65536, GREATEST(8,
+       |      CASE WHEN (p0 - 1) * (p0 - 1) >= n THEN p0 - 1
+       |           WHEN p0 * p0 >= n THEN p0 ELSE p0 + 1 END)) AS k
+       |    FROM ${P}geo1))""".stripMargin
+  }
+
+  /** `SELECT COUNT(*) FROM (SELECT DISTINCT x0..x63 FROM <f>)` — the SQL
+    * twin of [[distinctFeatCount]]. */
+  private[graft] def distinctFeatCountSql(fCte: String): String =
+    s"SELECT COUNT(*) FROM (SELECT DISTINCT " +
+      (0 until IvfDims).map(i => s"x$i").mkString(", ") + s" FROM $fCte)"
 
   /** q20-quantized embedding as exact longs. */
   private def qeLong(c: Column): Column = transform(quantize(c), x => x.cast("long"))
@@ -513,16 +577,19 @@ object Ann {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nProbe: Int = 0): DataFrame = {
-    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
+              nLists: Int = 0, nProbe: Int = 0): DataFrame = {
     // no seed parameter since r10: the deterministic fit consumes no
-    // randomness (md5-seeded maxmin init + fixed iterations)
+    // randomness (md5-rank init + fixed iterations)
     val spark = corpus.sparkSession
     val xs = (0 until IvfDims).map(i => s"x$i")
     val feats = ivfProj(corpus.select(col("vec_id"), col("embedding")), "embedding")
       .persist()
+    // nLists = 0 (the default) sizes the geometry from the corpus
+    val nl = if (nLists > 0) nLists else nListsFor(distinctFeatCount(feats))
+    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nl)
     val (assigned, model) = graft.ml.DetKMeans.fitCached(
-      feats, "vec_id", xs, nLists, IvfIters, standardize = false)
+      feats, "vec_id", xs, nl, IvfIters, standardize = false,
+      rankInit = true)
     val lists = assigned.select(col("vec_id"), col("cluster").as("list_id"))
     // the persist exists for the iterative fit; releasing here means the
     // one downstream list-assignment pass recomputes the cheap projection
@@ -565,19 +632,21 @@ object Ann {
   }
 
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
-                    nLists: Int = 8): Unit =
+                    nLists: Int = 0): Unit =
     buildIvfIndexFrom(spark, Tables.embeddings(spark, dir), indexDir, nLists)
 
   /** [[buildIvfIndex]] over an explicit corpus frame — the settled-subset
     * entry the append arc ([[annIvfAppend]]) and its spec build from. */
   private[graft] def buildIvfIndexFrom(spark: SparkSession, emb: DataFrame,
-                                       indexDir: String, nLists: Int = 8): Unit = {
+                                       indexDir: String, nLists: Int = 0): Unit = {
     ivfModelMemo.remove(indexDir) // a rebuild replaces mu/sigma in place
     val xs = (0 until IvfDims).map(i => s"x$i")
     val feats = ivfProj(emb.select(col("vec_id"), col("embedding")), "embedding")
       .persist()
+    val lists = if (nLists > 0) nLists else nListsFor(distinctFeatCount(feats))
     val (assigned, model) = graft.ml.DetKMeans.fitCached(
-      feats, "vec_id", xs, nLists, IvfIters, standardize = false)
+      feats, "vec_id", xs, lists, IvfIters, standardize = false,
+      rankInit = true)
     assigned.select(col("vec_id"), col("cluster").as("list_id"))
       .sortWithinPartitions("list_id")
       .write.mode("overwrite").parquet(s"$indexDir/lists")
@@ -597,7 +666,8 @@ object Ann {
     Seq((model.mu.toSeq, model.sigma.toSeq)).toDF("mu", "sigma")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
-    Seq((nLists, IvfDims, IvfIters, fp.getLong(0),
+    // EFFECTIVE list count (centers.length ≤ requested when n < k)
+    Seq((model.centers.length, IvfDims, IvfIters, fp.getLong(0),
       if (fp.isNullAt(1)) -1L else fp.getLong(1), corpusDigest(emb)))
       .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id",
         "content_digest")
@@ -723,7 +793,7 @@ object Ann {
     * final step), probe + exact re-score over the union — raw-space mode,
     * so z ≡ CAST(x AS DOUBLE) for every vector and one `zall` projection
     * serves queries and appended assignment alike. */
-  def annIvfAppendOracle(k: Int = 10, nLists: Int = 8, nProbe: Int = 7): String = {
+  def annIvfAppendOracle(k: Int = 10): String = {
     val xsel = (0 until IvfDims).map(d =>
       s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
         s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
@@ -739,14 +809,16 @@ object Ann {
          |  SELECT vec_id,
          |$xsel
          |  FROM qv
-         |), f AS (SELECT * FROM fall WHERE vec_id % 5 <> 4)""".stripMargin
+         |), f AS (SELECT * FROM fall WHERE vec_id % 5 <> 4),
+         |""".stripMargin + geoCtes(distinctFeatCountSql("f"))
     val zs = (0 until IvfDims).map(i => s"z$i")
     val d2 = (0 until IvfDims).map(i => s"(q.z$i - c.g$i) * (q.z$i - c.g$i)")
       .reduce((a, x) => s"($a + $x)")
     val d2a = (0 until IvfDims).map(i => s"(z$i - g$i) * (z$i - g$i)")
       .reduce((a, x) => s"($a + $x)")
     "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
-      k = nLists, iters = IvfIters, standardize = false) + ",\n" +
+      k = 0, iters = IvfIters, standardize = false,
+      rankInit = true, kRefSql = "(SELECT k FROM geo)") + ",\n" +
       s"""zall AS MATERIALIZED (
          |  SELECT vec_id, ${(0 until IvfDims).map(i => s"CAST(x$i AS DOUBLE) AS z$i").mkString(", ")}
          |  FROM fall
@@ -764,7 +836,7 @@ object Ann {
          |    SELECT q.query_id, c.cluster AS list_id,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2, c.cluster) AS rn
          |    FROM qzq q CROSS JOIN c$IvfIters c)
-         |  WHERE rn <= $nProbe
+         |  WHERE rn <= (SELECT p FROM geo)
          |), cnd AS (
          |  SELECT a.vec_id, p.query_id
          |  FROM alists a JOIN pr p ON a.cluster = p.list_id
@@ -818,12 +890,14 @@ object Ann {
     * A rewrite preserving both values still aliases (the PlanKey caveat).
     * The check runs once per JVM per index dir ([[ensureMemo]]). */
   private[graft] def ensureIvfIndex(spark: SparkSession, dir: String,
-                                    nLists: Int = 8): String = {
+                                    nLists: Int = 0): String = {
+    // nLists = 0 derives the size-derived geometry BEFORE keying, so the
+    // key (and the index layout behind it) is pinned to the derived value
+    val lists = if (nLists > 0) nLists else derivedLists(spark, dir)
     val md = java.security.MessageDigest.getInstance("MD5")
-    // "v2": r14 added the vectors/ leg to the index layout — a version in
-    // the key retires v1 dirs (valid meta, no vectors/) by never touching
-    // them rather than by a format sniff
-    val key = md.digest(s"$dir|$IvfDims|$IvfIters|$nLists|v2".getBytes("UTF-8"))
+    // "v3": r16 switched the coarse fit to rank init + size-derived lists —
+    // version retires v2 maxmin-fit dirs by never touching them
+    val key = md.digest(s"$dir|$IvfDims|$IvfIters|$lists|v3".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivf_idx_$key").getAbsolutePath
@@ -845,7 +919,7 @@ object Ann {
           m.getAs[Long]("content_digest") == corpusDigest(live)
       }
     }.getOrElse(false)
-    if (!fresh) buildIvfIndex(spark, dir, idx, nLists)
+    if (!fresh) buildIvfIndex(spark, dir, idx, lists)
     if (ensureMemo.size > MemoBound) ensureMemo.clear()
     ensureMemo.add(idx)
     idx
@@ -902,7 +976,7 @@ object Ann {
     * top-k tail (the annLshOracle tail). The driver's query set is
     * `vec_id < 10` ⊂ corpus, so query z-vectors come straight from
     * `afin`. */
-  def annIvfOracle(k: Int = 10, nLists: Int = 8, nProbe: Int = 7): String = {
+  def annIvfOracle(k: Int = 10): String = {
     val pre =
       """qv AS (
         |  SELECT vec_id, qe,
@@ -917,18 +991,19 @@ object Ann {
         s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
           s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
         .mkString(",\n") +
-      "\n  FROM qv)"
+      "\n  FROM qv),\n" + geoCtes(distinctFeatCountSql("f"))
     val d2 = (0 until IvfDims).map(i => s"(q.z$i - c.g$i) * (q.z$i - c.g$i)")
       .reduce((a, x) => s"($a + $x)")
     "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
-      k = nLists, iters = IvfIters, standardize = false) + ",\n" +
+      k = 0, iters = IvfIters, standardize = false,
+      rankInit = true, kRefSql = "(SELECT k FROM geo)") + ",\n" +
       s"""qzq AS MATERIALIZED (SELECT vec_id AS query_id, ${(0 until IvfDims).map(i => s"z$i").mkString(", ")} FROM afin WHERE vec_id < 10),
          |pr AS MATERIALIZED (
          |  SELECT query_id, list_id FROM (
          |    SELECT q.query_id, c.cluster AS list_id,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2, c.cluster) AS rn
          |    FROM qzq q CROSS JOIN c$IvfIters c)
-         |  WHERE rn <= $nProbe
+         |  WHERE rn <= (SELECT p FROM geo)
          |), cnd AS (
          |  SELECT a.vec_id, p.query_id
          |  FROM afin a JOIN pr p ON a.cluster = p.list_id

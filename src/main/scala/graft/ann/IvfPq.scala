@@ -50,19 +50,19 @@ import org.apache.spark.sql.functions._
   * join a broadcast), and the only window is the per-query shortlist. */
 object IvfPq {
 
-  /** Coarse geometry: the ann_ivf defaults (8 lists, probe 7 = nLists−1,
-    * the measured ≥0.9-recall floor); residual PQ geometry: the ann_pq
-    * defaults (16 subspaces × 16 codewords = 8 B/vector). */
-  val NLists = 8
+  /** Coarse geometry: the ann_ivf size-derived defaults
+    * ([[Ann.nListsFor]] over the distinct projected-vector count, probe =
+    * 7/8 coverage via [[Ann.ivfDefaultProbe]] — the measured ≥0.9-recall
+    * floor); residual PQ geometry: the ann_pq defaults (16 subspaces ×
+    * 16 codewords = 8 B/vector). */
 
   /** (query_id, vec_id, cos_sim, rank) top-k per query — the standard ANN
     * surface. Recall = IVF's probed-list coverage × the residual-ADC
     * shortlist quality; both knobs exposed. */
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 10,
-                nLists: Int = NLists, nProbe: Int = 0,
+                nLists: Int = 0, nProbe: Int = 0,
                 nCodes: Int = Pq.CodeBook, subSpaces: Int = Pq.SubSpaces,
                 shortlist: Int = 0): DataFrame = {
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val rerank =
@@ -70,10 +70,14 @@ object IvfPq {
       else Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
     val xs = (0 until Ann.IvfDims).map(i => s"x$i")
     val feats = Ann.ivfProj(emb, "embedding").persist()
+    val lists =
+      if (nLists > 0) nLists else Ann.nListsFor(Ann.distinctFeatCount(feats))
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(lists)
 
     // 1. coarse quantizer (the ann_ivf fit, cached across queries)
     val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
-      feats, "vec_id", xs, nLists, Ann.IvfIters, standardize = false)
+      feats, "vec_id", xs, lists, Ann.IvfIters, standardize = false,
+      rankInit = true)
 
     // 2. floor-quantized coarse centroids (LONG) → exact integer residuals
     val fc = floorCentroids(cmodel.centers)
@@ -98,7 +102,7 @@ object IvfPq {
     resid.unpersist()
     feats.unpersist()
     scoreWithArtifacts(spark, emb, codesWithList, cmodel.centers, fc,
-      pmodel.centers, qRows, nLists, probes, nCodes, subSpaces, rerank, k)
+      pmodel.centers, qRows, lists, probes, nCodes, subSpaces, rerank, k)
   }
 
   private def floorCentroids(centers: Array[Array[Double]]): Array[Array[Long]] =
@@ -207,7 +211,7 @@ object IvfPq {
     * is a broadcast ADC-table scan over the probed lists' codes plus the
     * shortlist re-rank, no corpus-wide float math, no fit. */
   private[graft] def buildIvfPqIndex(spark: SparkSession, dir: String,
-                                     indexDir: String, nLists: Int = NLists,
+                                     indexDir: String, nLists: Int = 0,
                                      nCodes: Int = Pq.CodeBook,
                                      subSpaces: Int = Pq.SubSpaces): Unit =
     buildIvfPqIndexFrom(spark,
@@ -215,15 +219,18 @@ object IvfPq {
       indexDir, nLists, nCodes, subSpaces)
 
   private[graft] def buildIvfPqIndexFrom(spark: SparkSession, emb0: DataFrame,
-                                         indexDir: String, nLists: Int = NLists,
+                                         indexDir: String, nLists: Int = 0,
                                          nCodes: Int = Pq.CodeBook,
                                          subSpaces: Int = Pq.SubSpaces): Unit = {
     import spark.implicits._
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val xs = (0 until Ann.IvfDims).map(i => s"x$i")
     val feats = Ann.ivfProj(emb, "embedding").persist()
+    val lists =
+      if (nLists > 0) nLists else Ann.nListsFor(Ann.distinctFeatCount(feats))
     val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
-      feats, "vec_id", xs, nLists, Ann.IvfIters, standardize = false)
+      feats, "vec_id", xs, lists, Ann.IvfIters, standardize = false,
+      rankInit = true)
     val fc = floorCentroids(cmodel.centers)
     val fcDf = fc.toIndexedSeq.zipWithIndex
       .map { case (row, c) => (c.toLong, row.toSeq) }.toDF("cluster", "fcv")
@@ -248,7 +255,8 @@ object IvfPq {
       .toDF("j", "g")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
-    Seq((nLists, subSpaces, Ann.IvfDims / subSpaces, nCodes, Pq.PqIters,
+    // EFFECTIVE list count (centers.length ≤ requested when n < k)
+    Seq((cmodel.centers.length, subSpaces, Ann.IvfDims / subSpaces, nCodes, Pq.PqIters,
       fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1),
       Ann.corpusDigest(emb)))
       .toDF("n_lists", "sub_spaces", "sub_dim", "n_codes", "iters",
@@ -339,9 +347,12 @@ object IvfPq {
     * fingerprint; a mismatch or unreadable meta rebuilds instead of
     * wedging. */
   private[graft] def ensureIvfPqIndex(spark: SparkSession, dir: String): String = {
+    // size-derived coarse geometry resolved BEFORE keying (the
+    // ensureIvfIndex recipe); "v2" retires v1 fixed-8 maxmin-fit dirs
+    val lists = Ann.derivedLists(spark, dir)
     val md = java.security.MessageDigest.getInstance("MD5")
     val key = md.digest(
-      s"$dir|$NLists|${Pq.SubSpaces}|${Pq.CodeBook}|${Pq.PqIters}|v1".getBytes("UTF-8"))
+      s"$dir|$lists|${Pq.SubSpaces}|${Pq.CodeBook}|${Pq.PqIters}|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivfpq_idx_$key").getAbsolutePath
@@ -357,7 +368,7 @@ object IvfPq {
           (if (fp.isNullAt(1)) -1L else fp.getLong(1)) &&
         m.getAs[Long]("content_digest") == Ann.corpusDigest(live)
     }.getOrElse(false)
-    if (!fresh) buildIvfPqIndex(spark, dir, idx)
+    if (!fresh) buildIvfPqIndex(spark, dir, idx, lists)
     if (ensureMemo.size > 64) ensureMemo.clear()
     ensureMemo.add(idx)
     idx
@@ -494,9 +505,8 @@ object IvfPq {
     * UNION-ALL ADC table, the M-join left-assoc ADC sum restricted to the
     * candidate's own list, the adaptive shortlist window, and the exact
     * q20 re-rank. */
-  def ivfPqOracle(k: Int = 10, nLists: Int = NLists, nProbe: Int = 0,
+  def ivfPqOracle(k: Int = 10,
                   nCodes: Int = Pq.CodeBook, subSpaces: Int = Pq.SubSpaces): String = {
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
     val subDim = Ann.IvfDims / subSpaces
     val D = Ann.IvfDims
     // coarse pre: identical to annIvfOracle's qv/f head
@@ -514,9 +524,10 @@ object IvfPq {
           s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
             s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
           .mkString(",\n") +
-        "\n  FROM qv)"
+        "\n  FROM qv),\n" + Ann.geoCtes(Ann.distinctFeatCountSql("f"))
     val coarse = graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = D,
-      k = nLists, iters = Ann.IvfIters, standardize = false)
+      k = 0, iters = Ann.IvfIters, standardize = false,
+      rankInit = true, kRefSql = "(SELECT k FROM geo)")
     val fcCols = (0 until D).map(i => s"CAST(floor(g$i) AS BIGINT) AS fc$i").mkString(", ")
     val rCols = (0 until D).map(i => s"a.x$i - fc.fc$i AS r$i").mkString(", ")
     val pfCols = (0 until subDim).map { d =>
@@ -566,7 +577,7 @@ object IvfPq {
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2q, c.cluster) AS rn
          |    FROM (SELECT vec_id AS query_id, * FROM afin WHERE vec_id < 10) q
          |    CROSS JOIN c${Ann.IvfIters} c)
-         |  WHERE rn <= $probes
+         |  WHERE rn <= (SELECT p FROM geo)
          |), qr AS MATERIALIZED (
          |  SELECT p.query_id, p.list_id, $qrCols
          |  FROM prb p
@@ -617,10 +628,9 @@ object IvfPq {
     * throughout, so z ≡ CAST(x AS DOUBLE) serves queries and appends
     * alike. Batch-independent appends ⇒ the streaming replay rides this
     * verbatim. */
-  def ivfPqAppendOracle(k: Int = 10, nLists: Int = NLists, nProbe: Int = 0,
+  def ivfPqAppendOracle(k: Int = 10,
                         nCodes: Int = Pq.CodeBook,
                         subSpaces: Int = Pq.SubSpaces): String = {
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
     val subDim = Ann.IvfDims / subSpaces
     val D = Ann.IvfDims
     val pre =
@@ -637,9 +647,11 @@ object IvfPq {
           s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
             s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
           .mkString(",\n") +
-        "\n  FROM qv\n), f AS (SELECT * FROM fall WHERE vec_id % 5 <> 4)"
+        "\n  FROM qv\n), f AS (SELECT * FROM fall WHERE vec_id % 5 <> 4),\n" +
+        Ann.geoCtes(Ann.distinctFeatCountSql("f"))
     val coarse = graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = D,
-      k = nLists, iters = Ann.IvfIters, standardize = false)
+      k = 0, iters = Ann.IvfIters, standardize = false,
+      rankInit = true, kRefSql = "(SELECT k FROM geo)")
     val fcCols = (0 until D).map(i => s"CAST(floor(g$i) AS BIGINT) AS fc$i").mkString(", ")
     val rCols = (0 until D).map(i => s"a.x$i - fc.fc$i AS r$i").mkString(", ")
     val pfCols = (0 until subDim).map { d =>
@@ -727,7 +739,7 @@ object IvfPq {
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2qx, c.cluster) AS rn
          |    FROM (SELECT vec_id AS query_id, * FROM fall WHERE vec_id < 10) q
          |    CROSS JOIN c${Ann.IvfIters} c)
-         |  WHERE rn <= $probes
+         |  WHERE rn <= (SELECT p FROM geo)
          |), qr AS MATERIALIZED (
          |  SELECT p.query_id, p.list_id, $qrCols
          |  FROM prb p

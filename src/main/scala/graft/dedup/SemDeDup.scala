@@ -34,10 +34,12 @@ import org.apache.spark.sql.functions._
   *     k×64 literal: constant-size at any corpus scale.
   *  3. PAIR within cluster only: the self-join shuffles on the cluster
   *     id, so the quadratic is bounded per cluster — `nClusters` is the
-  *     paper's own scale lever (they run 50k clusters on LAION; the
-  *     shipped default 8 matches the gate corpora the way ann_ivf's
-  *     nLists=8 does, and the knob is exposed). Scoring is the
-  *     codegen'd exact-integer cosine kernel (ArrayCosineQ20).
+  *     paper's own scale lever (they run 50k clusters on LAION). Since
+  *     r16 the default is SIZE-DERIVED: ⌈√n_reps⌉ clusters
+  *     ([[graft.ann.Ann.nListsFor]] over the collapsed rep count), so
+  *     within-cluster pairwise stays ~n^1.5 total instead of n²/8 at any
+  *     corpus; the knob stays exposed. Scoring is the codegen'd
+  *     exact-integer cosine kernel (ArrayCosineQ20).
   *  4. COMPONENTS: min-label propagation over the τ-edge graph
   *     (the dedup_clusters loop — components are cluster-scoped by
   *     construction, so width is cosine-clique-bounded and tiny).
@@ -65,7 +67,7 @@ object SemDeDup {
     * τ-edges (singletons: the row itself); `n_members` counts the
     * component's members; `is_keeper` marks the paper-rule survivor. */
   def semDedup(spark: SparkSession, dir: String,
-               nClusters: Int = 8, tau: Double = DefaultTau,
+               nClusters: Int = 0, tau: Double = DefaultTau,
                maxIters: Int = 1000, ordered: Boolean = true): DataFrame = {
     import graft.ann.Ann
     val emb = graft.Tables.embeddings(spark, dir)
@@ -88,8 +90,13 @@ object SemDeDup {
     //    the IVF quantizer recipe; fit scans 3+iters times, so persist)
     val xs = (0 until IvfDims).map(i => s"x$i")
     val feats = Ann.ivfProj(reps, "embedding").persist()
+    // nClusters = 0 (default) sizes from the collapsed rep count: reps are
+    // distinct by construction, so a plain count is the collapsed n
+    val kC = if (nClusters > 0) nClusters
+             else Ann.nListsFor(Ann.cachedCount(feats.select("rep_id")))
     val (assigned0, model) = graft.ml.DetKMeans.fitCached(
-      feats, "rep_id", xs, nClusters, IvfIters, standardize = false)
+      feats, "rep_id", xs, kC, IvfIters, standardize = false,
+      rankInit = true)
     // d² to the assigned centroid, left-associated like the oracle chain
     val centroids = {
       import spark.implicits._
@@ -228,7 +235,7 @@ object SemDeDup {
     * Cluster-scoped probing misses straddling near-dups by the same
     * contract as [[semDedup]] itself — nClusters is the recall/cost knob. */
   def semDedupIncremental(spark: SparkSession, dir: String,
-                          nClusters: Int = 8, tau: Double = DefaultTau,
+                          nClusters: Int = 0, tau: Double = DefaultTau,
                           ordered: Boolean = true): DataFrame = {
     import graft.ann.Ann
     val emb = graft.Tables.embeddings(spark, dir)
@@ -259,8 +266,12 @@ object SemDeDup {
     // the model's argmin rule (ties to the smallest centroid id)
     val xs = (0 until IvfDims).map(i => s"x$i")
     val sFeats = Ann.ivfProj(settledReps, "embedding").persist()
+    // size-derived from the SETTLED rep count (the frozen-quantizer frame)
+    val kC = if (nClusters > 0) nClusters
+             else Ann.nListsFor(Ann.cachedCount(sFeats.select("vec_id")))
     val (sAssigned, model) = graft.ml.DetKMeans.fitCached(
-      sFeats, "vec_id", xs, nClusters, IvfIters, standardize = false)
+      sFeats, "vec_id", xs, kC, IvfIters, standardize = false,
+      rankInit = true)
     val sSlim = sAssigned.select(col("vec_id").as("s_id"), col("cluster"),
       col("embedding").as("s_emb")).localCheckpoint(false)
     sFeats.unpersist()
@@ -319,8 +330,7 @@ object SemDeDup {
     * identity, the settled-rep DetKMeans replay, batch assignment via the
     * same argmin struct rule, per-side best-match aggregates, precedence
     * CASE — every step the exact arithmetic the engine runs. */
-  def semDedupIncrementalOracle(nClusters: Int = 8,
-                                tau: Double = DefaultTau): String = {
+  def semDedupIncrementalOracle(tau: Double = DefaultTau): String = {
     val pre =
       s"""qv AS MATERIALIZED (
          |  SELECT vec_id, label, qe,
@@ -350,7 +360,8 @@ object SemDeDup {
           s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
             s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
           .mkString(",\n") +
-        "\n  FROM srep)"
+        "\n  FROM srep),\n" +
+        graft.ann.Ann.geoCtes("SELECT COUNT(*) FROM f")
     val d2 = (0 until IvfDims).map(i => s"(b.z$i - c.g$i) * (b.z$i - c.g$i)")
       .reduce((acc, x) => s"($acc + $x)")
     val cosExpr =
@@ -358,7 +369,8 @@ object SemDeDup {
         |      ELSE list_sum(list_transform(range(1, LEAST(len(a.qe), len(b.qe)) + 1),
         |             i -> a.qe[i] * b.qe[i])) / sqrt(a.nrm * b.nrm) END""".stripMargin
     "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
-      k = nClusters, iters = IvfIters, standardize = false) + ",\n" +
+      k = 0, iters = IvfIters, standardize = false,
+      rankInit = true, kRefSql = "(SELECT k FROM geo)") + ",\n" +
       s"""brep AS MATERIALIZED (
          |  SELECT vec_id, qe, nrm FROM bw
          |  WHERE vec_id = batch_keeper AND corpus_keeper IS NULL
@@ -427,7 +439,7 @@ object SemDeDup {
     * DetKMeans CTE chain, left-assoc d², pairwise q20 cosine within
     * cluster, recursive-CTE components, and the (d² DESC, vec_id) keeper
     * window — every arithmetic step in the exact form the engine runs. */
-  def semDedupOracle(nClusters: Int = 8, tau: Double = DefaultTau): String = {
+  def semDedupOracle(tau: Double = DefaultTau): String = {
     val pre =
       """qv AS MATERIALIZED (
         |  SELECT vec_id, qe,
@@ -447,11 +459,13 @@ object SemDeDup {
           s"    CASE WHEN nrm IS NULL OR nrm = 0 THEN 0 ELSE " +
             s"CAST(round(COALESCE(qe[${d + 1}], 0) * 1048576.0 / sqrt(CAST(nrm AS DOUBLE))) AS BIGINT) END AS x$d")
           .mkString(",\n") +
-        "\n  FROM rp)"
+        "\n  FROM rp),\n" +
+        graft.ann.Ann.geoCtes("SELECT COUNT(*) FROM f")
     val d2 = (0 until IvfDims).map(i => s"(a.z$i - c.g$i) * (a.z$i - c.g$i)")
       .reduce((acc, x) => s"($acc + $x)")
     "WITH RECURSIVE " + graft.ml.DetKMeans.oracleCtes(pre, "rep_id",
-      nFeats = IvfDims, k = nClusters, iters = IvfIters, standardize = false) + ",\n" +
+      nFeats = IvfDims, k = 0, iters = IvfIters, standardize = false,
+      rankInit = true, kRefSql = "(SELECT k FROM geo)") + ",\n" +
       s"""dd AS MATERIALIZED (
          |  SELECT a.rep_id, a.cluster, $d2 AS d2
          |  FROM afin a JOIN c$IvfIters c ON a.cluster = c.cluster

@@ -65,9 +65,9 @@ object DetKMeans {
   // (coarse IVF + PQ codebook + IVFADC pair + clustering suite = ~8 live
   // fits); entries are k×d doubles (≤ 8 KB), so 16 is still trivial
   private val models =
-    new java.util.LinkedHashMap[(String, String, Int, Int, Boolean), Model](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String, Int, Int, Boolean, Boolean), Model](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int, Int, Boolean), Model]): Boolean =
+          e: java.util.Map.Entry[(String, String, Int, Int, Boolean, Boolean), Model]): Boolean =
         size() > MaxModels
     }
 
@@ -78,17 +78,18 @@ object DetKMeans {
     * get/put — concurrent cold fits of the same key produce identical
     * models (determinism), last put wins. */
   def fitCached(df: DataFrame, idCol: String, featCols: Seq[String],
-                k: Int, iters: Int, standardize: Boolean = true): (DataFrame, Model) = {
+                k: Int, iters: Int, standardize: Boolean = true,
+                rankInit: Boolean = false): (DataFrame, Model) = {
     // key on a NON-truncating plan digest ([[graft.PlanKey]]): the default
     // toString clips wide plans at spark.sql.debug.maxToStringFields, so
     // two different ~66-column projections (the IVF path) could collide on
     // the clipped string and serve the wrong cached model.
     val key = (graft.PlanKey.digest(df),
-      idCol + "|" + featCols.mkString(","), k, iters, standardize)
+      idCol + "|" + featCols.mkString(","), k, iters, standardize, rankInit)
     val hit = models.synchronized(models.get(key))
     if (hit != null) (assign(df, featCols, hit), hit)
     else {
-      val (out, m) = fit(df, idCol, featCols, k, iters, standardize)
+      val (out, m) = fit(df, idCol, featCols, k, iters, standardize, rankInit)
       models.synchronized(models.put(key, m))
       (out, m)
     }
@@ -110,8 +111,24 @@ object DetKMeans {
     * (long-valued). Constant features standardize with σ := 1 (both
     * engines share the rule). The caller should persist `df` if its lineage
     * is expensive — fit scans it 3 + iters times. */
+  /** `rankInit = true` replaces the maxmin init with RANK INIT: centers =
+    * the k md5-rank-smallest rows (cluster j = rank j+1), the same total
+    * order the maxmin seed already uses. Two reasons a consumer opts in
+    * (the size-derived IVF/SemDeDup families do):
+    *  - the maxmin init is O(n·k) per round × k rounds = O(n·k²), and its
+    *    DuckDB replay is 2 CTEs PER CENTER — at a size-derived k (√n) the
+    *    oracle chain would grow with the corpus (the CTE-budget lesson).
+    *    Rank init is one LIMIT on an existing ordering: O(1) CTEs, and k
+    *    becomes pure DATA (a scalar in `rn <= k`), never SQL structure;
+    *  - FAISS-style coarse quantizers use random-subset init + Lloyd
+    *    refinement anyway; the spread that maxmin buys matters for small
+    *    semantic k (customer segments), not for partition geometry.
+    * Duplicate rows among the k seeds leave duplicate centers; ties in
+    * assignment go to the smallest cluster id, so one twin starves and
+    * stays at its init position — wasted lists, never wrong results. */
   def fit(df: DataFrame, idCol: String, featCols: Seq[String],
-          k: Int, iters: Int, standardize: Boolean = true): (DataFrame, Model) = {
+          k: Int, iters: Int, standardize: Boolean = true,
+          rankInit: Boolean = false): (DataFrame, Model) = {
     val nF = featCols.length
 
     val (n, mu, sigma) =
@@ -184,14 +201,26 @@ object DetKMeans {
     // traded a small IVF recall@3 dip for a balanced, reproducible
     // partition — see AnnSpec's recall/coverage curve). Each round
     // is one treeAggregate pass over the cached points.
-    val seedRow = z
-      .withColumn("__h", md5(col(idCol).cast("string")))
-      .orderBy(col("__h"), col(idCol)).limit(1)
-      .select(zNames.map(col): _*)
-      .collect()                                               // 1 row
     var centers: Array[Array[Double]] =
-      seedRow.map(row => zNames.indices.map(i => row.getDouble(i)).toArray)
-    while (centers.length < k) {
+      if (rankInit) {
+        // rank init: the k md5-rank-smallest rows, in rank order (bounded
+        // collect: k rows of d doubles). Re-sorted driver-side so the
+        // center order is pinned by values, not by TakeOrdered internals.
+        z.withColumn("__h", md5(col(idCol).cast("string")))
+          .orderBy(col("__h"), col(idCol)).limit(k)
+          .select(col("__h") +: col(idCol).cast("long").as("__id") +: zNames.map(col): _*)
+          .collect()
+          .sortBy(r => (r.getString(0), r.getLong(1)))
+          .map(row => zNames.indices.map(i => row.getDouble(i + 2)).toArray)
+      } else {
+        val seedRow = z
+          .withColumn("__h", md5(col(idCol).cast("string")))
+          .orderBy(col("__h"), col(idCol)).limit(1)
+          .select(zNames.map(col): _*)
+          .collect()                                               // 1 row
+        seedRow.map(row => zNames.indices.map(i => row.getDouble(i)).toArray)
+      }
+    while (!rankInit && centers.length < k) {
       val ctrs = centers
       // (bestDmin, bestId, bestZ): the farthest point so far
       val far = ptsRdd.treeAggregate((-1.0, Long.MaxValue, null: Array[Double]))(
@@ -305,9 +334,19 @@ object DetKMeans {
     * hints and re-triggers the geometric blowup (measured by ann_pq's
     * first 16-codebook oracle: minutes instead of seconds at 500 rows).
     * The caller's `fCte` must then define `<prefix>f`. */
+  /** `rankInit` mirrors [[fit]]'s rank-init mode: c0 = the first k rows of
+    * the rk ordering — O(1) CTEs instead of 2 per center, which is what
+    * lets `kRefSql` exist at all. `kRefSql` (requires rankInit) replaces
+    * the literal k with a SQL scalar expression (e.g. a size-derived
+    * `(SELECT k FROM geo)`), making the cluster count runtime DATA — the
+    * caller defines the geo CTE inside its own `fCte`. */
   def oracleCtes(fCte: String, idCol: String, nFeats: Int,
                  k: Int, iters: Int, standardize: Boolean = true,
-                 prefix: String = ""): String = {
+                 prefix: String = "", rankInit: Boolean = false,
+                 kRefSql: String = ""): String = {
+    require(kRefSql.isEmpty || rankInit,
+      "kRefSql (runtime cluster count) requires rankInit — the maxmin " +
+        "init unrolls k into CTE structure and cannot take a runtime k")
     val P = prefix
     val xs = (0 until nFeats).map(i => s"x$i")
     val b = new StringBuilder
@@ -349,17 +388,23 @@ object DetKMeans {
     // maxmin rounds — ci{r} carries the first r centers
     b ++= s"${P}rk AS MATERIALIZED (SELECT ${P}z.*, row_number() OVER " +
       s"(ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn FROM ${P}z),\n"
-    b ++= s"${P}ci1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, $gSel FROM ${P}rk WHERE rn = 1),\n"
-    for (r <- 2 to k) {
-      val prev = s"${P}ci${r - 1}"
-      b ++= s"${P}md$r AS MATERIALIZED (SELECT $idCol, " + zAll.mkString(", ") +
-        s", MIN($dist) AS dmin FROM ${P}z CROSS JOIN $prev GROUP BY " +
-        (Seq(idCol) ++ zAll).mkString(", ") + "),\n"
-      b ++= s"${P}ci$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL " +
-        s"SELECT CAST(${r - 1} AS BIGINT) AS cluster, $gSel " +
-        s"FROM (SELECT * FROM ${P}md$r ORDER BY dmin DESC, $idCol LIMIT 1)),\n"
+    if (rankInit) {
+      val kRef = if (kRefSql.nonEmpty) kRefSql else k.toString
+      b ++= s"${P}c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS BIGINT) AS cluster, $gSel " +
+        s"FROM ${P}rk WHERE rn <= $kRef),\n"
+    } else {
+      b ++= s"${P}ci1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cluster, $gSel FROM ${P}rk WHERE rn = 1),\n"
+      for (r <- 2 to k) {
+        val prev = s"${P}ci${r - 1}"
+        b ++= s"${P}md$r AS MATERIALIZED (SELECT $idCol, " + zAll.mkString(", ") +
+          s", MIN($dist) AS dmin FROM ${P}z CROSS JOIN $prev GROUP BY " +
+          (Seq(idCol) ++ zAll).mkString(", ") + "),\n"
+        b ++= s"${P}ci$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL " +
+          s"SELECT CAST(${r - 1} AS BIGINT) AS cluster, $gSel " +
+          s"FROM (SELECT * FROM ${P}md$r ORDER BY dmin DESC, $idCol LIMIT 1)),\n"
+      }
+      b ++= s"${P}c0 AS MATERIALIZED (SELECT * FROM ${P}ci$k),\n"
     }
-    b ++= s"${P}c0 AS MATERIALIZED (SELECT * FROM ${P}ci$k),\n"
     def assignCte(name: String, from: String): String =
       s"$P$name AS MATERIALIZED (SELECT $idCol, " + (xs ++ zAll).mkString(", ") +
         s", (min({'d': $dist, 'j': cluster})).j AS cluster" +

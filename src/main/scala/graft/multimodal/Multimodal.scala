@@ -506,8 +506,10 @@ object Multimodal {
   // same way BMP didn't. The synthesis writes a genuine RIFF tree (LIST
   // hdrl/avih + LIST movi with per-frame chunks); the decoder WALKS that
   // tree — chunks by declared size, geometry from avih, stride padded to
-  // 4 bytes — it never assumes the writer's fixed layout. Only compressed
-  // codecs (MJPEG, H.264) remain genuinely out of JDK reach.
+  // 4 bytes — it never assumes the writer's fixed layout. MJPEG is covered
+  // too (below, r16): javax.imageio ships a JPEG codec in every JDK, so
+  // '00dc' compressed frames decode with zero new dependencies; only
+  // codecs the JDK lacks (H.264/VP9/AV1) remain out of reach.
   // ------------------------------------------------------------------
 
   /** Per-record video stats: frame count actually decoded from the movi
@@ -656,5 +658,159 @@ object Multimodal {
   def video(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaVideoFromDocuments(spark, dir).mapPartitions(_.map(decodeVideo)).toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // MJPEG AVI decode (r16, closing the r15 verdict's "out of JDK reach"
+  // correction): '00dc' compressed frames whose payloads are REAL JPEG
+  // streams, decoded with javax.imageio — a codec every JDK ships, so
+  // still zero new dependencies. Determinism contract: JPEG DECODE
+  // geometry (frame count, width, height, pixel count) is spec-pinned and
+  // identical on every conformant decoder — those columns are the driver-
+  // hash-gated surface. Decoded PIXEL VALUES go through an IDCT whose
+  // rounding is implementation-defined (ISO/IEC 10918 fixes accuracy
+  // bounds, not bits), so per-channel means are deliberately NOT in the
+  // gated projection; MultimodalSpec pins them on this JDK with a ±2
+  // tolerance and documents the cross-build caveat.
+  // ------------------------------------------------------------------
+
+  /** JPEG dimensions used by the MJPEG synthesis: two 8×8 DCT blocks per
+    * axis — exercises real block layout without inflating payloads. */
+  val JpegDim = 16
+
+  /** One REAL JPEG frame: a solid (r,g,b) [[JpegDim]]² image through the
+    * JDK's own encoder. Solid frames keep the spec's pixel assertions
+    * tight (DC-only blocks reconstruct near-exactly). */
+  def jpegFrameBytes(r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      JpegDim, JpegDim, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < JpegDim) {
+      var x = 0
+      while (x < JpegDim) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** RIFF/AVI with '00dc' (compressed) frame chunks — the [[aviMovieBytes]]
+    * tree with MJPEG payloads; odd-sized JPEG chunks get the RIFF pad byte
+    * (declared size stays the actual payload size, per spec). */
+  def mjpegMovieBytes(frames: Seq[Array[Byte]], microsPerFrame: Long): Array[Byte] = {
+    val chunks = frames.flatMap { jp =>
+      "00dc".getBytes("US-ASCII") ++ le32(jp.length.toLong) ++ jp ++
+        (if ((jp.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    }.toArray
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4L + chunks.length) ++
+      "movi".getBytes("US-ASCII") ++ chunks
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4L + 8L + 56L) ++
+      "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(microsPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(JpegDim.toLong) ++ le32(JpegDim.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    "RIFF".getBytes("US-ASCII") ++ le32(4L + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+  }
+
+  /** The MJPEG media table: every document becomes an AVI of 2 + doc_id%3
+    * solid-color JPEG frames, frame k's channels doc_id/k-derived — the
+    * same deterministic-synthesis contract as every other media table. */
+  def mediaMjpegFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id").as[Long].map { docId =>
+      val frames = (2 + docId % 3).toInt
+      val jps = (0 until frames).map { k =>
+        jpegFrameBytes(((docId * 31 + k * 17) % 256).toInt,
+          ((docId * 53 + k * 29) % 256).toInt,
+          ((docId * 97 + k * 41) % 256).toInt)
+      }
+      MediaRecord(docId, "mjpeg", mjpegMovieBytes(jps, AviMicros((docId % 5).toInt)))
+    }
+  }
+
+  /** Decoded-MJPEG stats. Geometry columns are decoder-independent (the
+    * gated surface); per-channel means are IDCT-implementation-defined
+    * (spec-covered, see the section doc). */
+  case class MjpegSignal(
+      doc_id: Long,
+      n_frames: Long,
+      width: Long,
+      height: Long,
+      n_units: Long,
+      mean_r: Option[Double],
+      mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  /** Walk the RIFF tree and ImageIO-decode every '00dc' chunk. Geometry
+    * comes from the DECODED images (img.getWidth), not the header — the
+    * gate proves the codec actually ran. Untrusted-input contract as
+    * everywhere: bad bounds or an undecodable payload end the walk with
+    * the failed record. */
+  def decodeMjpeg(r: MediaRecord): MjpegSignal = {
+    val b = r.payload
+    def failed = MjpegSignal(r.doc_id, 0L, 0L, 0L, 0L, None, None, None)
+    if (b.length < 12 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "AVI ")) return failed
+    var nFrames = 0L; var nPixels = 0L
+    var w = -1L; var h = -1L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val size = readLe32(b, pos + 4)
+      val end = pos + 8 + size
+      if (size < 0 || end > b.length) return failed
+      if (fourcc(b, pos, "LIST") && size >= 4 && fourcc(b, pos + 8, "movi")) {
+        var fp = pos + 12
+        while (fp + 8 <= end.toInt) {
+          val fsize = readLe32(b, fp + 4).toInt
+          if (fsize < 0 || fp + 8 + fsize > end) return failed
+          if (fourcc(b, fp, "00dc")) {
+            val img = try {
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                b, fp + 8, fsize))
+            } catch { case _: java.io.IOException => null }
+            if (img == null) return failed
+            if (w < 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+            else if (w != img.getWidth || h != img.getHeight) return failed
+            nFrames += 1
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val px = img.getRGB(x, y)
+                sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            nPixels += img.getWidth.toLong * img.getHeight
+          }
+          fp += 8 + fsize + (fsize & 1)
+        }
+      }
+      pos = (end + (size & 1)).toInt
+    }
+    if (w < 0) return failed
+    def mean(v: Long) = if (nPixels > 0) Some(v.toDouble / nPixels.toDouble) else None
+    MjpegSignal(r.doc_id, nFrames, w, h, nPixels, mean(sr), mean(sg), mean(sb))
+  }
+
+  /** Full decode surface (means included) — the spec's entry. */
+  private[graft] def mjpegFull(spark: SparkSession, dir: String): Dataset[MjpegSignal] = {
+    import spark.implicits._
+    mediaMjpegFromDocuments(spark, dir).mapPartitions(_.map(decodeMjpeg))
+  }
+
+  /** Driver query: the decoder-independent geometry surface (see the
+    * section doc for why means stay out of the gated projection). */
+  def mjpeg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    mjpegFull(spark, dir).toDF()
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        col("n_units"))
   }
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exponential-smoothing (Holt-Winters additive) revenue forecast — the
+  * last reference analytics gap (its predictive engine fits statsmodels
+  * `ETSModel` / `seasonal_decompose` over monthly revenue and forecasts
+  * ahead; `/root/reference/src/ml/analytics/predictive_engine.py:25-26,
+  * 379-560`). Statsmodels optimizes the smoothing constants per fit —
+  * irreproducible outside that library — so this ships the PINNED-math
+  * sibling: fixed rational smoothing constants and a fixed, documented
+  * init, every step exact scaled-integer arithmetic. The model class is
+  * identical (level + trend + 12 additive seasonal slots); the constants
+  * are the classic textbook defaults.
+  *
+  * Model (m = 12, α = 1/5, β = 1/10, γ = 3/10, all state in micro-cents
+  * = cents · 10⁶):
+  *  - init at t = 2m (the Hyndman two-season init): l = A1·S,
+  *    b = (A2·S − A1·S) // m with A1/A2 the first/second season means
+  *    (exact: Ak·S = (Σ cents)·S // m), seasonal slots
+  *    s_i = y_i·S − A1·S for i = 1..m;
+  *  - recurrence for t = m+1 .. T (the second season onward re-estimates
+  *    every slot):
+  *      l_t = ((y_t·S − s_{t−m}) + 4·(l_{t−1} + b_{t−1})) // 5
+  *      b_t = ((l_t − l_{t−1}) + 9·b_{t−1}) // 10
+  *      s_t = (3·(y_t·S − l_{t−1} − b_{t−1}) + 7·s_{t−m}) // 10
+  *  - forecast h = 1..6: f_h = l_T + h·b_T + s_{T+h−m}.
+  *
+  * Integer division is TRUNCATING on both engines (BigInteger.divide here;
+  * DuckDB's HUGEINT `//` truncates toward zero — measured −7//2 = −3), so
+  * the replay is bit-exact even through negative trend/seasonal values —
+  * the PageRank exact-rational recipe applied to a per-series recurrence.
+  *
+  * Scale shape: the ONLY corpus-scale work is the monthly groupBy (one
+  * shuffle); the series frame is CALENDAR-BOUNDED (nations × months —
+  * the same at sf0.001 and at 100 TB), densified against the global month
+  * range so gaps read as zero revenue. The recurrence runs inside
+  * `mapGroups`, one group per series, each a ≤ ~100-row sorted scan —
+  * millions of series would still distribute perfectly; state per series
+  * is 14 big integers. The oracle replays the recurrence as ONE recursive
+  * CTE carrying (l, b, last-12-seasonals list) — k stays data, never CTE
+  * structure (the r16 geometry lesson applied from birth). */
+object EtsForecast {
+
+  /** State scale: micro-cents. */
+  val Scale = 1000000L
+  val SeasonLen = 12
+  val Horizon = 6
+
+  private val S = java.math.BigInteger.valueOf(Scale)
+  private def big(v: Long) = java.math.BigInteger.valueOf(v)
+
+  /** (n_name, horizon, forecast_scaled, level_scaled, trend_scaled) —
+    * six forecast months per nation, all exact micro-cent integers. */
+  def etsForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val customer = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+
+    val monthly = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"),
+        // o_totalprice is DOUBLE in the parquet: round() before the long
+        // cast (Spark cast truncates, DuckDB's rounds — the q20 recipe)
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("n_name", "ym").agg(sum(col("cents")).as("cents"))
+
+    // global month range (1 row) + dense calendar × nations: gaps = 0
+    val bounds = monthly.agg(min("ym"), max("ym")).head
+    val (ymLo, ymHi) = (bounds.getInt(0), bounds.getInt(1))
+    val cal = spark.range(ymLo, ymHi + 1L).select(col("id").cast("int").as("ym"))
+    val series = nation.select(col("n_name")).crossJoin(broadcast(cal))
+      .join(monthly, Seq("n_name", "ym"), "left")
+      .select(col("n_name"), col("ym"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .as[(String, Int, Long)]
+
+    val out = series.groupByKey(_._1).mapGroups { (name, it) =>
+      val ys = it.toArray.sortBy(_._2).map(_._3)
+      val t = ys.length
+      require(t >= 2 * SeasonLen,
+        s"etsForecast: series $name has $t months; needs >= ${2 * SeasonLen}")
+      // init from the first two seasons
+      val a1 = big(ys.take(SeasonLen).sum).multiply(S)
+        .divide(big(SeasonLen.toLong))
+      val a2 = big(ys.slice(SeasonLen, 2 * SeasonLen).sum).multiply(S)
+        .divide(big(SeasonLen.toLong))
+      var l = a1
+      var b = a2.subtract(a1).divide(big(SeasonLen.toLong))
+      // s(i % 12) holds the latest seasonal for that slot; slot of month
+      // index i (0-based) is i % 12
+      val s = Array.tabulate(SeasonLen)(i => big(ys(i)).multiply(S).subtract(a1))
+      var i = SeasonLen // 0-based: months SeasonLen .. t-1 run the recurrence
+      while (i < t) {
+        val ysc = big(ys(i)).multiply(S)
+        val sOld = s(i % SeasonLen)
+        val lPrev = l
+        val bPrev = b
+        l = ysc.subtract(sOld)
+          .add(big(4L).multiply(lPrev.add(bPrev)))
+          .divide(big(5L))
+        b = l.subtract(lPrev)
+          .add(big(9L).multiply(bPrev))
+          .divide(big(10L))
+        s(i % SeasonLen) = big(3L).multiply(ysc.subtract(lPrev).subtract(bPrev))
+          .add(big(7L).multiply(sOld))
+          .divide(big(10L))
+        i += 1
+      }
+      val rows = (1 to Horizon).map { h =>
+        val f = l.add(big(h.toLong).multiply(b)).add(s((t - 1 + h) % SeasonLen))
+        (name, h.toLong, f.longValueExact(), l.longValueExact(), b.longValueExact())
+      }
+      rows
+    }.flatMap(identity)
+      .toDF("n_name", "horizon", "forecast_scaled", "level_scaled", "trend_scaled")
+    out.orderBy("n_name", "horizon")
+  }
+
+  /** DuckDB replay: the same monthly densified series, the same init, and
+    * the recurrence as one recursive CTE whose state row per nation is
+    * (t, l, b, the 12 seasonal slots as a LIST in slot order). HUGEINT
+    * `//` truncates exactly like BigInteger.divide. */
+  def etsForecastOracle(): String = {
+    val m = SeasonLen
+    s"""WITH RECURSIVE mo AS MATERIALIZED (
+       |  SELECT n_name, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+       |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2
+       |), bounds AS (SELECT MIN(ym) AS lo, MAX(ym) AS hi FROM mo),
+       |ser AS MATERIALIZED (
+       |  SELECT n.n_name, c.ym, ROW_NUMBER() OVER (
+       |      PARTITION BY n.n_name ORDER BY c.ym) - 1 AS i,
+       |    COALESCE(mo.cents, 0) AS cents
+       |  FROM nation n
+       |  CROSS JOIN (SELECT unnest(range((SELECT lo FROM bounds),
+       |                                  (SELECT hi FROM bounds) + 1)) AS ym) c
+       |  LEFT JOIN mo ON mo.n_name = n.n_name AND mo.ym = c.ym
+       |), t AS (SELECT COUNT(*) // (SELECT COUNT(*) FROM nation) AS t FROM ser),
+       |a AS MATERIALIZED (
+       |  SELECT n_name,
+       |    SUM(CASE WHEN i < $m THEN CAST(cents AS HUGEINT) END) * ${Scale}::HUGEINT // $m AS a1,
+       |    SUM(CASE WHEN i >= $m AND i < ${2 * m} THEN CAST(cents AS HUGEINT) END) * ${Scale}::HUGEINT // $m AS a2
+       |  FROM ser GROUP BY 1
+       |), s0 AS MATERIALIZED (
+       |  SELECT ser.n_name,
+       |    list(CAST(cents AS HUGEINT) * ${Scale}::HUGEINT - a.a1 ORDER BY i) AS sl
+       |  FROM ser JOIN a ON ser.n_name = a.n_name
+       |  WHERE i < $m GROUP BY 1
+       |), rec(n_name, i, l, b, sl) AS (
+       |  SELECT a.n_name, $m - 1,
+       |    a.a1, (a.a2 - a.a1) // $m, s0.sl
+       |  FROM a JOIN s0 ON a.n_name = s0.n_name
+       |  UNION ALL
+       |  SELECT n_name, i, lnew,
+       |    ((lnew - l) + 9::HUGEINT * b) // 10,
+       |    list_apply(sl, (sv, k) -> CASE WHEN k - 1 = i % $m THEN
+       |      (3::HUGEINT * (ysc - l - b) + 7::HUGEINT * sv) // 10 ELSE sv END)
+       |  FROM (
+       |    SELECT r.n_name, r.i + 1 AS i, r.l, r.b, r.sl,
+       |      CAST(y.cents AS HUGEINT) * ${Scale}::HUGEINT AS ysc,
+       |      ((CAST(y.cents AS HUGEINT) * ${Scale}::HUGEINT - r.sl[(r.i + 1) % $m + 1])
+       |        + 4::HUGEINT * (r.l + r.b)) // 5 AS lnew
+       |    FROM rec r
+       |    JOIN ser y ON y.n_name = r.n_name AND y.i = r.i + 1
+       |    WHERE r.i + 1 < (SELECT t FROM t)
+       |  )
+       |), fin AS (
+       |  SELECT rec.n_name, l, b, sl FROM rec
+       |  WHERE i = (SELECT t FROM t) - 1
+       |)
+       |SELECT n_name, CAST(h AS BIGINT) AS horizon,
+       |  CAST(l + CAST(h AS HUGEINT) * b
+       |    + sl[((SELECT t FROM t) - 1 + h) % $m + 1] AS BIGINT) AS forecast_scaled,
+       |  CAST(l AS BIGINT) AS level_scaled,
+       |  CAST(b AS BIGINT) AS trend_scaled
+       |FROM fin CROSS JOIN (SELECT unnest(range(1, ${Horizon + 1})) AS h) hz
+       |ORDER BY n_name, horizon""".stripMargin
+  }
+}

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding vocabulary learning (Sennrich, Haddow, Birch 2016,
@@ -13,12 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * The paper's own formulation is the scale story: BPE trains on the
   * WORD-FREQUENCY table, not the raw corpus. One corpus pass aggregates
-  * (word → count); every iteration after that operates on the distinct
-  * words' symbol sequences weighted by count — a VOCAB-BOUNDED frame
-  * (≈ |vocabulary| × avg word length rows) that is the same size at
-  * sf0.001 and at 100 TB. The per-round windows never touch corpus-sized
-  * data, so 20 rounds cost the same at any scale; only the initial
-  * word-count groupBy scales with the corpus (and is one shuffle).
+  * (word → count); the merge loop then runs DRIVER-LOCAL on the collected
+  * vocab-bounded (word, n) frame — the sentencepiece/HF-trainer shape
+  * (r16, closing the r15 verdict's merge-budget item: the previous
+  * Spark-windowed loop cost ~5 jobs PER MERGE, so a real 32k-merge
+  * vocabulary would have meant 160k sequential Spark jobs; driver-local
+  * it is O(numMerges · Σ|word|) scans of in-memory arrays — measured
+  * 1k merges in seconds at the gate vocab, see BASELINE r16). Only the
+  * initial word-count groupBy and the encode join-back are distributed,
+  * and both are one shuffle each. Contract: the collected frame is
+  * |vocabulary|-bounded, NOT corpus-bounded; production trainers prune
+  * the long tail (min-frequency) before training — at web scale do that
+  * in the words frame before calling learn.
   *
   * Merge semantics, pinned identically on both engines:
   *  - words = the vocab_topk whitespace tokenization (lower, trim,
@@ -30,9 +35,10 @@ import org.apache.spark.sql.functions._
   *  - the winning pair maximizes count, ties broken (left ASC, right
   *    ASC) — a pinned total order both engines share;
   *  - merge application is greedy leftmost non-overlapping: within a run
-  *    of consecutive matches, every second match merges (the window
-  *    formulation below — match runs are grouped by idx − running-match
-  *    count, and a match survives iff its offset in the run is even);
+  *    of consecutive matches, every second match merges (the driver loop
+  *    scans the PRE-round sequence left-to-right skipping two symbols on
+  *    a merge — provably the same rule the oracle's window formulation
+  *    applies: a match survives iff its offset in its run is even);
   *  - iterations continue for exactly `numMerges` rounds — the corpus
   *    must support them (the engine throws otherwise, the strict
   *    contract).
@@ -67,54 +73,106 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
-  /** The learning loop: returns (merge list, final symbol frame). */
+  /** Word → symbol sequence: CODE POINTS (matching Spark's
+    * substring/length and DuckDB's substr/len semantics — UTF-16 chars
+    * would split surrogate pairs differently) + the `</w>` marker. */
+  private def toSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += "</w>"
+    out.toArray
+  }
+
+  /** UTF-8 unsigned-byte lexicographic comparison — the string order both
+    * engines sort by (Spark UTF8String, DuckDB binary collation). Java's
+    * String.compareTo is UTF-16 code-unit order, which DIVERGES above the
+    * BMP, so the winner tie-break must not use it. */
+  private def u8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    val m = math.min(a.length, b.length)
+    var i = 0
+    while (i < m) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The learning loop: returns (merge list, encoded-length frame
+    * (word, enc_len)). Driver-local over the collected vocab-bounded
+    * frequency table — see the object doc's scale contract. */
   private def learn(spark: SparkSession, words: DataFrame,
                     numMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    // symbol sequences: characters + the </w> boundary marker
-    val syms0 = words
-      .select(col("word"), col("n"),
-        posexplode(concat(
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-          array(lit("</w>")))).as(Seq("pos", "sym")))
-      .select(col("word"), col("n"), (col("pos") + 1).cast("long").as("pos"), col("sym"))
-    var syms = graft.tools.Checkpoints.cut(syms0)
-
-    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    import spark.implicits._
+    // the ONE vocab-bounded collect (|vocabulary| rows)
+    val vocab = words.select(col("word"), col("n").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seqs: Array[Array[String]] = vocab.map { case (w, _) => toSymbols(w) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     while (r <= numMerges) {
-      // pair statistics, weighted by word frequency
-      val top = syms
-        .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        .filter(col("nxt").isNotNull)
-        .groupBy("sym", "nxt").agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
-        .limit(1).collect()
-      require(top.nonEmpty,
+      // pair statistics, weighted by word frequency (commutative long
+      // adds — iteration order cannot drift the counts)
+      val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < seqs.length) {
+        val sy = seqs(wi); val n = vocab(wi)._2
+        var i = 0
+        while (i < sy.length - 1) {
+          val key = (sy(i), sy(i + 1))
+          stats.update(key, stats.getOrElse(key, 0L) + n)
+          i += 1
+        }
+        wi += 1
+      }
+      require(stats.nonEmpty,
         s"bpeMerges: corpus exhausted after ${r - 1} merges (asked for $numMerges)")
-      val a = top(0).getString(0); val b = top(0).getString(1)
-      merges += ((r.toLong, a, b, top(0).getLong(2)))
-      // greedy leftmost non-overlapping application of (a, b) → ab
-      val applied = syms
-        .withColumn("idx", row_number().over(wOrd).cast("long"))
-        .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        .withColumn("m", col("sym") === lit(a) && col("nxt") === lit(b))
-        .withColumn("cum", sum(when(col("m"), 1L).otherwise(0L)).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("grp", when(col("m"), col("idx") - col("cum")))
-        .withColumn("runmin", min(when(col("m"), col("idx"))).over(
-          Window.partitionBy(col("word"), col("grp"))))
-        .withColumn("kept", col("m") && (col("idx") - col("runmin")) % 2 === 0)
-        .withColumn("dropped", lag(col("kept"), 1).over(
-          Window.partitionBy(col("word")).orderBy(col("idx"))))
-        .filter(!coalesce(col("dropped"), lit(false)))
-        .select(col("word"), col("n"), col("idx").as("pos"),
-          when(col("kept"), concat(col("sym"), col("nxt"))).otherwise(col("sym"))
-            .as("sym"))
-      syms = graft.tools.Checkpoints.cut(applied)
+      // winner: max count, ties to the UTF-8-least (lhs, rhs)
+      var bestPair: (String, String) = null
+      var bestCnt = Long.MinValue
+      stats.foreach { case (pair, cnt) =>
+        if (cnt > bestCnt || (cnt == bestCnt &&
+            (u8Less(pair._1, bestPair._1) || (pair._1 == bestPair._1 &&
+              u8Less(pair._2, bestPair._2)))))
+          { bestPair = pair; bestCnt = cnt }
+      }
+      val (a, b) = bestPair
+      merges += ((r.toLong, a, b, bestCnt))
+      // greedy leftmost non-overlapping application of (a, b) → ab:
+      // scan the PRE-round sequence, skip 2 on a merge — identical to the
+      // oracle's even-offset-in-run window rule
+      wi = 0
+      while (wi < seqs.length) {
+        val sy = seqs(wi)
+        var i = 0
+        var touched = false
+        while (!touched && i < sy.length - 1) {
+          if (sy(i) == a && sy(i + 1) == b) touched = true else i += 1
+        }
+        if (touched) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          i = 0
+          while (i < sy.length) {
+            if (i < sy.length - 1 && sy(i) == a && sy(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += sy(i); i += 1 }
+          }
+          seqs(wi) = out.toArray
+        }
+        wi += 1
+      }
       r += 1
     }
-    (merges.toSeq, syms)
+    val encLen = vocab.indices
+      .map(i => (vocab(i)._1, seqs(i).length.toLong))
+      .toDF("word", "enc_len")
+    (merges.toSeq, encLen)
   }
 
   /** BPE ENCODE — the operational other half of merge learning: apply the
@@ -135,8 +193,7 @@ object Bpe {
     val words = docWords.groupBy("word").agg(count(lit(1)).as("n"))
     // learn + apply on the SAME frame: encodedLengths rides the learner's
     // final symbol state, so encode costs no extra corpus pass
-    val (_, finalSyms) = learn(spark, words, numMerges)
-    val encLen = finalSyms.groupBy("word").agg(count(lit(1)).as("enc_len"))
+    val (_, encLen) = learn(spark, words, numMerges)
     val perDoc = docWords.join(encLen, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

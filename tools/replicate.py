@@ -4,7 +4,15 @@
 join fan-outs and per-user window sizes stay constant; dims are copied
 as-is. Driver-side python only — NOT part of the library.
 
-Usage: replicate.py <src_sf_dir> <out_dir> <factor> [tables...]
+Usage: replicate.py <src_sf_dir> <out_dir> <factor> [--perturb] [tables...]
+
+--perturb (r16, verdict item #6): replica i > 0 gets DISTINCT CONTENT —
+documents.text gains a per-replica suffix token (shingles shift: texts
+become near-dups, not verbatim twins) and embeddings gain a +i*1e-5
+all-dims shift (above the q20 quantization step of ~9.5e-7, so the exact-
+twin collapse CANNOT fold replicas; below any near-dup threshold, cosine
+to the original stays ~0.99999). Replication-based corpora are the twin
+collapse's BEST case; perturb mode is the honest distinct-content ladder.
 """
 import sys, shutil, os
 import duckdb
@@ -20,7 +28,7 @@ FACTS = {
     "embeddings": (["vec_id"], None),
 }
 
-def main(src, out, factor, only):
+def main(src, out, factor, only, perturb=False):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # uncapped DuckDB assumes 80% of box RAM; a 1000x lineitem COPY then
@@ -49,8 +57,18 @@ def main(src, out, factor, only):
         names = list(cols.column_name)
         # cross join with range(factor): one parser-friendly statement for
         # any factor (1000 UNION ALL branches exceeded the parser depth)
-        sel = ", ".join(
-            f"{c} + t.i * {offs[c]} AS {c}" if c in offs else c for c in names)
+        def col_sel(c):
+            if c in offs:
+                return f"{c} + t.i * {offs[c]} AS {c}"
+            if perturb and t == "documents" and c == "text":
+                return ("CASE WHEN t.i = 0 THEN text ELSE "
+                        "text || ' r' || CAST(t.i AS VARCHAR) END AS text")
+            if perturb and t == "embeddings" and c == "embedding":
+                return ("CASE WHEN t.i = 0 THEN embedding ELSE "
+                        "list_transform(embedding, x -> "
+                        "CAST(x + t.i * 0.00001 AS FLOAT)) END AS embedding")
+            return c
+        sel = ", ".join(col_sel(c) for c in names)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{src_pq}'), range({factor}) t(i)) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
@@ -59,4 +77,7 @@ def main(src, out, factor, only):
 
 if __name__ == "__main__":
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    main(src, out, factor, set(sys.argv[4:]))
+    rest = sys.argv[4:]
+    perturb = "--perturb" in rest
+    only = set(a for a in rest if a != "--perturb")
+    main(src, out, factor, only, perturb)

@@ -38,7 +38,15 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 HEAVY = ["anomaly_ml", "anomaly_ensemble_ml", "customer_clusters", "cluster_keepers",
-         "dedup_clusters", "incremental_neardup", "streaming_neardup_replay"]
+         "dedup_clusters", "incremental_neardup", "streaming_neardup_replay",
+         # r16 (verdict item #5): the ANN KMeans-replay family stages too —
+         # generic CTE staging + centroid inlining handles the (possibly
+         # prefixed) fit chains, closing the ann_pq/ann_ivfpq 100x
+         # materialized-CTE OOM exclusion
+         "ann_ivf", "ann_ivf_indexed", "ann_ivf_append", "ann_auto",
+         "streaming_ivf_append_replay", "ann_pq", "ann_pq_indexed",
+         "ann_ivfpq", "ann_ivfpq_indexed", "ann_ivfpq_append",
+         "streaming_ivfpq_append_replay"]
 
 
 # --------------------------------------------------------------- splitter
@@ -97,12 +105,16 @@ def refs(name, texts):
 # pure streaming projection — `least` over structs is the same
 # lexicographic (d, j) argmin as min(struct), and literal-vs-column
 # operands run the identical IEEE sequence, so results are bit-equal.
+# The z table may be PREFIX-NAMESPACED (pz for the PQ codebook fit, any
+# `<prefix>z` for composed fits — the r16 geometry work runs several fits
+# in one chain), so the FROM side matches any \w*z name and the rewrite
+# reuses it.
 M_A = re.compile(
     r"^SELECT (?P<cols>[\w ,]+), \(min\(\{'d': (?P<dist>.+), 'j': cluster\}\)\)\.j AS cluster "
-    r"FROM z CROSS JOIN (?P<c>\w+) GROUP BY [\w ,]+$")
+    r"FROM (?P<z>\w*z) CROSS JOIN (?P<c>\w+) GROUP BY [\w ,]+$")
 M_MD = re.compile(
     r"^SELECT (?P<cols>[\w ,]+), MIN\((?P<dist>.+)\) AS dmin "
-    r"FROM z CROSS JOIN (?P<c>\w+) GROUP BY [\w ,]+$")
+    r"FROM (?P<z>\w*z) CROSS JOIN (?P<c>\w+) GROUP BY [\w ,]+$")
 
 
 def inline_centroid_step(con, body):
@@ -117,7 +129,10 @@ def inline_centroid_step(con, body):
     cur = con.execute(f"SELECT * FROM {m.group('c')}")
     names = [d[0] for d in cur.description]
     rows = cur.fetchall()
-    if not rows or len(rows) > 64:
+    # bound raised 64 -> 512 for the size-derived list counts (k = 45 at
+    # the replicated 100x corpus; a distinct-content 10x corpus derives
+    # 142). Past 512 arms the inlined projection itself becomes the cost.
+    if not rows or len(rows) > 512:
         return None
 
     def lit(v, cn):
@@ -138,12 +153,13 @@ def inline_centroid_step(con, body):
             arms.append("{'d': " + expr + ", 'j': " + lit(env["cluster"], "cluster") + "}")
         else:
             arms.append(expr)
+    z = m.group('z')
     if ma:
         # least() has no struct overload; list_sort is the same
         # lexicographic (d, j) total order, [1] = the minimum
         sel = f"(list_sort([{', '.join(arms)}])[1]).j"
-        return f"SELECT {m.group('cols')}, {sel} AS cluster FROM z"
-    return f"SELECT {m.group('cols')}, least({', '.join(arms)}) AS dmin FROM z"
+        return f"SELECT {m.group('cols')}, {sel} AS cluster FROM {z}"
+    return f"SELECT {m.group('cols')}, least({', '.join(arms)}) AS dmin FROM {z}"
 
 
 def stage_chain(con, sql, stage, log=print):
