@@ -56,9 +56,10 @@ object Bench {
     // raw ratio by the rounds' ambient_factor ratio to remove co-tenant
     // noise. Controls are sf-dependent through the two table controls, so
     // compare ambient_factor only between runs at the SAME sf dir.
-    import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
     val controls: Seq[(String, () => Unit)] = Seq(
-      ("ctl_cpu", () => spark.range(20000000L).select(fsum(xxhash64(col("id"))))
+      // bit_xor, not sum: ANSI sum of 20M random longs overflows
+      ("ctl_cpu", () => spark.range(20000000L).select(expr("bit_xor(xxhash64(id))"))
         .write.mode("overwrite").format("noop").save()),
       ("ctl_scan", () => Tables.read(spark, sfDir, "lineitem")
         .select(fsum(col("l_extendedprice") * col("l_quantity")))

@@ -222,6 +222,7 @@ object IvfPq {
                                          indexDir: String, nLists: Int = 0,
                                          nCodes: Int = Pq.CodeBook,
                                          subSpaces: Int = Pq.SubSpaces): Unit = {
+    appendArtifactMemo.remove(indexDir) // a rebuild replaces the artifacts
     import spark.implicits._
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val xs = (0 until Ann.IvfDims).map(i => s"x$i")
@@ -388,35 +389,46 @@ object IvfPq {
     * are periodic compaction campaigns, not per-batch costs. Exactly-once
     * by the write-then-mark protocol; assign-only appends never mutate
     * the settled codes, so there is no in-place fold to crash. */
+  /** Per-index artifact memo for the append hot path: (geometry, coarse
+    * centers, floor centers, codebook), validated once per JVM per index
+    * dir instead of 4 read+collect jobs per micro-batch. Invalidated by
+    * [[buildIvfPqIndexFrom]] (a rebuild replaces the artifacts in place).
+    * Bounded: flush-at-64 (entries are k×64 + 16×4 doubles). */
+  private val appendArtifactMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Int, Array[Array[Double]], Array[Array[Long]], Array[Array[Double]])]()
+
+  private def appendArtifacts(spark: SparkSession, indexDir: String)
+      : (Int, Int, Array[Array[Double]], Array[Array[Long]], Array[Array[Double]]) = {
+    val hit = appendArtifactMemo.get(indexDir)
+    if (hit != null) return hit
+    val (nLists, subSpaces, subDim, nCodes) = readValidatedMeta(spark, indexDir)
+    val coarse = loadCoarse(spark, indexDir, nLists)
+    val pcenters = loadCodebook(spark, indexDir, nCodes, subDim)
+    val art = (subSpaces, subDim, coarse, floorCentroids(coarse), pcenters)
+    if (appendArtifactMemo.size > 64) appendArtifactMemo.clear()
+    appendArtifactMemo.put(indexDir, art)
+    art
+  }
+
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
                          batch: DataFrame, batchId: Long): Unit = {
     val root = s"$indexDir/appends"
     if (graft.streaming.ExactlyOnce.isCommitted(spark, root, batchId)) return
-    val (nLists, subSpaces, subDim, nCodes) =
-      readValidatedMeta(spark, indexDir)
-    val coarseDf = spark.read.parquet(s"$indexDir/coarse")
-    val coarse = coarseDf.orderBy("c_id").collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    require(coarse.length == nLists, s"IVFADC index at $indexDir: " +
-      s"coarse table has ${coarse.length} rows, meta says $nLists")
-    val fc = floorCentroids(coarse)
-    loadCodebook(spark, indexDir, nCodes, subDim) // fail-fast validation
-    val cbDf = spark.read.parquet(s"$indexDir/codebook")
+    val (subSpaces, subDim, coarse, fc, pcenters) =
+      appendArtifacts(spark, indexDir)
 
     val feats = Ann.ivfProj(
       batch.select(col("vec_id"), col("embedding")), "embedding")
-    // frozen coarse argmin (raw mode: z ≡ x as double), ties to min list
-    val d2c = (0 until Ann.IvfDims).map { i =>
-      (col(s"x$i").cast("double") - element_at(col("g"), i + 1)) *
-        (col(s"x$i").cast("double") - element_at(col("g"), i + 1))
-    }.reduce(_ + _)
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("__d2"), col("c_id"))
-    val withList = feats.crossJoin(broadcast(coarseDf))
-      .withColumn("__d2", d2c)
-      .withColumn("__r", row_number().over(wv))
-      .filter(col("__r") === 1)
-      .select(col("vec_id") +: col("c_id").as("cluster") +:
-        (0 until Ann.IvfDims).map(i => col(s"x$i")): _*)
+    // frozen coarse argmin via the codegen'd KMeansAssign kernel (raw
+    // mode: z ≡ x as double) — same left-assoc distance and ties-to-min-
+    // list rule the previous crossJoin+window formulation computed, in
+    // ONE projection instead of a broadcast-join + window shuffle (r16:
+    // the append path was ~10 s/micro-batch of pure plan/job overhead;
+    // the kernel carries the centers as one array literal, so codegen
+    // stays iteration-invariant — the DetKMeans rationale)
+    val zArr = array((0 until Ann.IvfDims).map(i => col(s"x$i").cast("double")): _*)
+    val withList = feats.withColumn("cluster",
+      graft.functions.KMeansAssign.of(zArr, typedLit(coarse.map(_.toSeq).toSeq)))
     // exact-integer residuals vs the SAME floor centroids the build used
     import spark.implicits._
     val fcDf = fc.toIndexedSeq.zipWithIndex
@@ -425,31 +437,18 @@ object IvfPq {
       .select(col("vec_id") +: col("cluster") +:
         (0 until Ann.IvfDims).map(i =>
           (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")): _*)
-    // frozen codebook argmin per subvector (stacked frame + broadcast
-    // codebook — never a literal-distance projection: the codegen-budget
-    // lesson), ties to min codeword
-    val stacked = (0 until subSpaces).map { m =>
-      resid.select(
-        (col("vec_id") * subSpaces + lit(m)).as("uid") +:
-          (0 until subDim).map(i => col(s"x${subDim * m + i}").as(s"x$i")): _*)
-    }.reduce(_ unionByName _)
-    val d2s = (0 until subDim).map { i =>
-      (col(s"x$i").cast("double") - element_at(col("g"), i + 1)) *
-        (col(s"x$i").cast("double") - element_at(col("g"), i + 1))
-    }.reduce(_ + _)
-    val wu = Window.partitionBy(col("uid")).orderBy(col("__d2"), col("j"))
-    val codes = stacked.crossJoin(broadcast(cbDf))
-      .withColumn("__d2", d2s)
-      .withColumn("__r", row_number().over(wu))
-      .filter(col("__r") === 1)
-      .select(expr(s"uid div $subSpaces").as("vec_id"),
-        (col("uid") % subSpaces).as("m"), col("j").as("code"))
-      .groupBy("vec_id")
-      .agg(
-        max(when(col("m") === 0, col("code"))).as("c0"),
-        (1 until subSpaces).map(m =>
-          max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
-    codes.join(withList.select(col("vec_id"), col("cluster")), "vec_id")
+    // frozen codebook argmin per subvector — one KMeansAssign per
+    // subspace over the shared codebook literal (ties to min codeword,
+    // ascending-dim left-assoc: the stacked-window formulation's exact
+    // values, minus the 16-branch union, the second window shuffle and
+    // the pivot agg)
+    val cbLit = typedLit(pcenters.map(_.toSeq).toSeq)
+    val codeCols = (0 until subSpaces).map { m =>
+      graft.functions.KMeansAssign.of(
+        array((0 until subDim).map(i =>
+          col(s"x${subDim * m + i}").cast("double")): _*), cbLit).as(s"c$m")
+    }
+    resid.select(col("vec_id") +: codeCols :+ col("cluster"): _*)
       .sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId/codes")
     graft.streaming.ExactlyOnce.commit(spark, root, batchId)

@@ -28,7 +28,7 @@ object BpeProbe {
     // (long enough that pair vocabulary survives thousands of merges),
     // count = zipf-ish 1e6/(rank+1)
     val vocab = spark.range(50000).select(
-      substring(md5(col("id").cast("string")), 1,
+      substring(md5(col("id").cast("string")), lit(1),
         (col("id") % 13 + 6).cast("int")).as("word"),
       (lit(1000000L) / (col("id") + 1)).cast("long").as("n"))
       .groupBy("word").agg(sum("n").as("n"))
