@@ -67,9 +67,10 @@ object Bench {
       ("ctl_shuffle", () => Tables.read(spark, sfDir, "lineitem")
         .groupBy(col("l_partkey")).count()
         .write.mode("overwrite").format("noop").save()))
-    // idle-box reference seconds (r16, local[4] sf0.1) — keep in lockstep
-    // with the control definitions above
-    val ctlRef = Map("ctl_cpu" -> 0.35, "ctl_scan" -> 0.10, "ctl_shuffle" -> 0.55)
+    // idle-box reference seconds (measured r16, local[32] sf0.1 full
+    // sweep, min-across-3) — keep in lockstep with the control
+    // definitions above
+    val ctlRef = Map("ctl_cpu" -> 0.24, "ctl_scan" -> 0.22, "ctl_shuffle" -> 0.36)
 
     val names = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }

@@ -109,11 +109,15 @@ def main():
                           scaled, outdir] + raw,
                          env={"CC_THREADS": os.environ.get("CC_THREADS", "8")},
                          tag=" crosscheck") else 0
-    if staged:
+    # one subprocess PER staged query: DuckDB working memory accumulates
+    # across chains in a single process (the 10x r16 run OOM-killed at
+    # 130 GB on the 8th chain after 7 green ones) — per-query isolation
+    # caps RSS at one chain's working set
+    for q in staged:
         fails += 1 if sh([sys.executable, f"{REPO}/tools/staged_oracle.py",
-                          scaled, outdir] + staged,
-                         env={"SO_THREADS": os.environ.get("SO_THREADS", "12")},
-                         tag=" staged") else 0
+                          scaled, outdir, q],
+                         env={"SO_THREADS": os.environ.get("SO_THREADS", "8")},
+                         tag=f" staged:{q}") else 0
     print(f"[scale_gate] {'FAIL' if fails else 'OK'} at {factor}x "
           f"({len(raw)} raw + {len(staged)} staged queries)")
     return 1 if fails else 0
