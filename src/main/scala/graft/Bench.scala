@@ -134,7 +134,12 @@ object Bench {
       .mkString("{", ",", "}")
     val ambient = math.exp(controls.zip(ctlMin).map { case ((n, _), v) =>
       math.log(math.max(1e-3, v) / ctlRef(n)) }.sum / controls.size)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"sweep_wall_sec":$sweepTotals,"protocol":"min-across-$runs-sweeps","controls":$ctlJson,"ambient_factor":${num(ambient)},"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
+    // controls/ambient_factor ride at the END of the line (r16 verdict:
+    // the driver's tail capture truncates the head of long lines, and the
+    // ambient controls exist precisely to make truncated-round artifacts
+    // comparable), plus a second compact line as belt-and-braces
+    println(s"""{"ambient_factor":${num(ambient)},"controls":$ctlJson}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","total_min":${num(totalMin)},"sweep_wall_sec":$sweepTotals,"protocol":"min-across-$runs-sweeps","queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir","controls":$ctlJson,"ambient_factor":${num(ambient)}}""")
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)
   }

@@ -666,11 +666,15 @@ object Ann {
     Seq((model.mu.toSeq, model.sigma.toSeq)).toDF("mu", "sigma")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
-    // EFFECTIVE list count (centers.length ≤ requested when n < k)
-    Seq((model.centers.length, IvfDims, IvfIters, fp.getLong(0),
+    // n_lists = EFFECTIVE count (centers.length ≤ requested when n < k;
+    // validates the centroids table), n_lists_req = the REQUESTED clamped
+    // k — the probe default derives from n_lists_req so indexed reads
+    // match the fresh-fit path and the oracle geo CTE on tiny corpora
+    // (advice r16: effective < requested when n < 8 probed fewer lists)
+    Seq((model.centers.length, lists, IvfDims, IvfIters, fp.getLong(0),
       if (fp.isNullAt(1)) -1L else fp.getLong(1), corpusDigest(emb)))
-      .toDF("n_lists", "dims", "iters", "nvecs", "max_vec_id",
-        "content_digest")
+      .toDF("n_lists", "n_lists_req", "dims", "iters", "nvecs",
+        "max_vec_id", "content_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -681,25 +685,34 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     val lists = spark.read.parquet(s"$indexDir/lists")
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val (mu, sigma, nLists) = readIvfModel(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
+    val (mu, sigma, _, nListsReq) = readIvfModel(spark, indexDir)
+    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nListsReq)
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
       mu, sigma, k, probes)
   }
 
-  /** The index's frozen standardization vector + list count — a 1-row
+  /** The index's frozen standardization vector + list counts — a 1-row
     * driver-side artifact; reading it is a (tiny) Spark job per call, so
     * memoize per index dir. Stale entries are impossible while the dir is
     * memo-validated: buildIvfIndex overwrites model before meta, and
-    * ensureMemo is keyed on the same dir. */
+    * ensureMemo is keyed on the same dir. Returns (mu, sigma, effective
+    * n_lists, requested n_lists): probe defaults derive from REQUESTED so
+    * tiny corpora (effective < requested when n < 8) probe the same list
+    * count as the fresh-fit path and the oracle geo CTE; validation of the
+    * centroids table uses EFFECTIVE. Pre-r17 meta lacks `n_lists_req` —
+    * fall back to effective (the two only diverge below the 8-clamp). */
   private def readIvfModel(spark: SparkSession,
-                           indexDir: String): (Array[Double], Array[Double], Int) = {
+                           indexDir: String): (Array[Double], Array[Double], Int, Int) = {
     if (ivfModelMemo.size > MemoBound) ivfModelMemo.clear()
     ivfModelMemo.computeIfAbsent(indexDir, { d =>
       val m = spark.read.parquet(s"$d/model").head
-      val nl = spark.read.parquet(s"$d/meta").head.getAs[Int]("n_lists")
+      val meta = spark.read.parquet(s"$d/meta").head
+      val nl = meta.getAs[Int]("n_lists")
+      val nlReq =
+        if (meta.schema.fieldNames.contains("n_lists_req"))
+          meta.getAs[Int]("n_lists_req") else nl
       (m.getSeq[Double](m.fieldIndex("mu")).toArray,
-        m.getSeq[Double](m.fieldIndex("sigma")).toArray, nl)
+        m.getSeq[Double](m.fieldIndex("sigma")).toArray, nl, nlReq)
     })
   }
 
@@ -720,28 +733,36 @@ object Ann {
     * (IvfAppendSpec pins this; the [[annIvfAppendOracle]] replays the rule
     * in SQL). Periodic refit = a fresh [[buildIvfIndex]], the compaction
     * story, same shape as the hybrid index's fold. Cost per batch: one
-    * constant-size centroid broadcast against the batch — no corpus scan,
-    * no shuffle beyond the batch itself. */
+    * constant-size centroid literal riding a single projection over the
+    * batch — no corpus scan, no shuffle at all. */
   def appendToIvfIndex(spark: SparkSession, indexDir: String,
                        batch: DataFrame, batchId: Long): Unit = {
     val root = s"$indexDir/appends"
     if (graft.streaming.ExactlyOnce.isCommitted(spark, root, batchId)) return
-    val (mu, sigma, _) = readIvfModel(spark, indexDir)
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val (mu, sigma, nLists, _) = readIvfModel(spark, indexDir)
+    // centroid literal: nLists rows (bounded by the 65536 clamp), same
+    // collect contract as IvfPq.loadCoarse; c_id IS the array position
+    // (zipWithIndex at build time), so KMeansAssign's ties-to-first-index
+    // rule is exactly the old window's ORDER BY (__d2, c_id)
+    val coarse = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("c_id").collect().map(r => r.getSeq[Double](1).toArray)
+    require(coarse.length == nLists,
+      s"IVF index at $indexDir: centroids table has ${coarse.length} rows " +
+        s"but meta says n_lists=$nLists — inconsistent index; rebuild")
     val feats = ivfProj(batch.select(col("vec_id"), col("embedding")), "embedding")
-    val z = (0 until IvfDims).foldLeft(feats) { (d, i) =>
-      d.withColumn(s"z$i", (col(s"x$i").cast("double") - lit(mu(i))) / lit(sigma(i)))
-    }
-    val d2 = (0 until IvfDims).map { i =>
-      (col(s"z$i") - element_at(col("g"), i + 1)) *
-        (col(s"z$i") - element_at(col("g"), i + 1))
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__d2"), col("c_id"))
-    z.crossJoin(broadcast(centroids))
-      .withColumn("__d2", d2)
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("vec_id"), col("c_id").as("list_id"))
+    // frozen coarse argmin via the codegen'd KMeansAssign kernel: one
+    // projection over the batch instead of a batch×nLists crossJoin plus a
+    // per-vec_id window shuffle (r16 verdict #1 — at the 65536-list clamp
+    // the old shape materialized ~65B intermediate rows for a 1M-row
+    // batch). z_i = (x_i − mu_i)/sigma_i matches the fit's standardization;
+    // the kernel's ascending-dim d += t·t IS the old left-assoc reduce, so
+    // assignments (and the DuckDB oracle) are bit-identical.
+    val zArr = array((0 until IvfDims).map(i =>
+      (col(s"x$i").cast("double") - lit(mu(i))) / lit(sigma(i))): _*)
+    feats
+      .select(col("vec_id"),
+        graft.functions.KMeansAssign.of(
+          zArr, typedLit(coarse.map(_.toSeq).toSeq)).as("list_id"))
       .sortWithinPartitions("list_id")
       .write.mode("overwrite").parquet(s"$root/batch=$batchId/lists")
     graft.streaming.ExactlyOnce.commit(spark, root, batchId)
@@ -762,8 +783,8 @@ object Ann {
       else base.unionByName(
         spark.read.parquet(appended.map(_ + "/lists"): _*))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val (mu, sigma, nLists) = readIvfModel(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nLists)
+    val (mu, sigma, _, nListsReq) = readIvfModel(spark, indexDir)
+    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nListsReq)
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
       mu, sigma, k, probes)
   }
@@ -863,7 +884,7 @@ object Ann {
   }
 
   private val ivfModelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Int, Int)]()
 
   /** Index dirs whose on-disk fingerprint this JVM already validated.
     * The staleness check exists to protect ACROSS JVM restarts (a durable

@@ -51,10 +51,12 @@ import org.apache.spark.sql.functions._
 object IvfPq {
 
   /** Coarse geometry: the ann_ivf size-derived defaults
-    * ([[Ann.nListsFor]] over the distinct projected-vector count, probe =
-    * 7/8 coverage via [[Ann.ivfDefaultProbe]] — the measured ≥0.9-recall
-    * floor); residual PQ geometry: the ann_pq defaults (16 subspaces ×
-    * 16 codewords = 8 B/vector). */
+    * ([[Ann.nListsFor]] over the distinct projected-vector count; probe
+    * default piecewise via [[Ann.ivfDefaultProbe]] — 7/8 coverage in the
+    * min-clamp regime (nLists ≤ 8), 3/4 coverage at size-derived
+    * nLists > 8, both measured ≥0.9-recall floors); residual PQ
+    * geometry: the ann_pq defaults (16 subspaces × 16 codewords =
+    * 8 B/vector). */
 
   /** (query_id, vec_id, cos_sim, rank) top-k per query — the standard ANN
     * surface. Recall = IVF's probed-list coverage × the residual-ADC
@@ -257,11 +259,12 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
     // EFFECTIVE list count (centers.length ≤ requested when n < k)
-    Seq((cmodel.centers.length, subSpaces, Ann.IvfDims / subSpaces, nCodes, Pq.PqIters,
+    Seq((cmodel.centers.length, lists, subSpaces, Ann.IvfDims / subSpaces,
+      nCodes, Pq.PqIters,
       fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1),
       Ann.corpusDigest(emb)))
-      .toDF("n_lists", "sub_spaces", "sub_dim", "n_codes", "iters",
-        "nvecs", "max_vec_id", "content_digest")
+      .toDF("n_lists", "n_lists_req", "sub_spaces", "sub_dim", "n_codes",
+        "iters", "nvecs", "max_vec_id", "content_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -269,11 +272,19 @@ object IvfPq {
     * fit-free probe, the append writer, and the append-aware reader
     * (advice-r15: appending against a geometry-drifted index must fail
     * fast, never silently write corrupt codes into durable index state).
-    * Returns (nLists, subSpaces, subDim, nCodes). */
+    * Returns (effective nLists, requested nLists, subSpaces, subDim,
+    * nCodes): probe defaults derive from REQUESTED so tiny corpora
+    * (effective < requested when n < 8) probe the same list count as the
+    * fresh-fit path and the oracle geo CTE; the coarse-table validation
+    * uses EFFECTIVE. Pre-r17 meta lacks `n_lists_req` — fall back to
+    * effective (the two only diverge below the 8-clamp). */
   private def readValidatedMeta(
-      spark: SparkSession, indexDir: String): (Int, Int, Int, Int) = {
+      spark: SparkSession, indexDir: String): (Int, Int, Int, Int, Int) = {
     val meta = spark.read.parquet(s"$indexDir/meta").head
     val nLists = meta.getAs[Int]("n_lists")
+    val nListsReq =
+      if (meta.schema.fieldNames.contains("n_lists_req"))
+        meta.getAs[Int]("n_lists_req") else nLists
     val subSpaces = meta.getAs[Int]("sub_spaces")
     val nCodes = meta.getAs[Int]("n_codes")
     require(subSpaces > 0 && Ann.IvfDims % subSpaces == 0,
@@ -283,7 +294,7 @@ object IvfPq {
     require(metaSubDim == Ann.IvfDims / subSpaces,
       s"IVFADC index at $indexDir: meta sub_dim=$metaSubDim != " +
         s"${Ann.IvfDims}/$subSpaces — built under a different geometry; rebuild")
-    (nLists, subSpaces, metaSubDim, nCodes)
+    (nLists, nListsReq, subSpaces, metaSubDim, nCodes)
   }
 
   /** Collect + validate the coarse-centroid table (bounded: nLists rows). */
@@ -318,9 +329,9 @@ object IvfPq {
                        shortlist: Int = 0): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val (nLists, subSpaces, metaSubDim, nCodes) =
+    val (nLists, nListsReq, subSpaces, metaSubDim, nCodes) =
       readValidatedMeta(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nListsReq)
     val rerank =
       if (shortlist > 0) shortlist
       else Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
@@ -390,23 +401,35 @@ object IvfPq {
     * by the write-then-mark protocol; assign-only appends never mutate
     * the settled codes, so there is no in-place fold to crash. */
   /** Per-index artifact memo for the append hot path: (geometry, coarse
-    * centers, floor centers, codebook), validated once per JVM per index
-    * dir instead of 4 read+collect jobs per micro-batch. Invalidated by
-    * [[buildIvfPqIndexFrom]] (a rebuild replaces the artifacts in place).
-    * Bounded: flush-at-64 (entries are k×64 + 16×4 doubles). */
+    * centers, floor centers, codebook) — keeps the 3 bounded collect jobs
+    * (coarse/codebook/floor) off every micro-batch. Invalidated by
+    * [[buildIvfPqIndexFrom]] (in-JVM rebuild) AND re-validated against the
+    * on-disk meta's `content_digest` on EVERY call (advice r16): index
+    * dirs under java.io.tmpdir are shared across processes, so a rebuild
+    * by another JVM must not leave this appender encoding batches against
+    * the old coarse centers/codebook and committing corrupt codes into
+    * the new index's durable appends/. Cost per batch: one 1-row meta
+    * read — the part worth memoizing is the k-row collects, not the
+    * staleness probe. Bounded: flush-at-64. */
   private val appendArtifactMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Int, Array[Array[Double]], Array[Array[Long]], Array[Array[Double]])]()
+    String, (Long, (Int, Int, Array[Array[Double]], Array[Array[Long]], Array[Array[Double]]))]()
 
   private def appendArtifacts(spark: SparkSession, indexDir: String)
       : (Int, Int, Array[Array[Double]], Array[Array[Long]], Array[Array[Double]]) = {
+    // the build nonce: meta is written LAST by the builder (the commit
+    // marker), and content_digest changes with the fitted corpus — so a
+    // completed rebuild by ANY process flips the nonce this memo is
+    // stamped with
+    val nonce = spark.read.parquet(s"$indexDir/meta")
+      .head.getAs[Long]("content_digest")
     val hit = appendArtifactMemo.get(indexDir)
-    if (hit != null) return hit
-    val (nLists, subSpaces, subDim, nCodes) = readValidatedMeta(spark, indexDir)
+    if (hit != null && hit._1 == nonce) return hit._2
+    val (nLists, _, subSpaces, subDim, nCodes) = readValidatedMeta(spark, indexDir)
     val coarse = loadCoarse(spark, indexDir, nLists)
     val pcenters = loadCodebook(spark, indexDir, nCodes, subDim)
     val art = (subSpaces, subDim, coarse, floorCentroids(coarse), pcenters)
     if (appendArtifactMemo.size > 64) appendArtifactMemo.clear()
-    appendArtifactMemo.put(indexDir, art)
+    appendArtifactMemo.put(indexDir, (nonce, art))
     art
   }
 
@@ -462,9 +485,9 @@ object IvfPq {
                                   nProbe: Int = 0): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val (nLists, subSpaces, subDim, nCodes) =
+    val (nLists, nListsReq, subSpaces, subDim, nCodes) =
       readValidatedMeta(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nLists)
+    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nListsReq)
     val rerank = Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
     val base = spark.read.parquet(s"$indexDir/codes")
     val appended = graft.streaming.ExactlyOnce

@@ -614,7 +614,9 @@ object Multimodal {
           var fp = pos + 12
           while (fp + 8 <= end.toInt) {
             val fsize = readLe32(b, fp + 4).toInt
-            if (fsize < 0 || fp + 8 + fsize > end) return failed
+            // Long-side bound: an Int sum wraps negative for fsize near
+            // 2^31 and would bypass the check (see decodeMjpeg)
+            if (fsize < 0 || fp.toLong + 8 + fsize > end) return failed
             if (fourcc(b, fp, "00db")) {
               if (height >= 0 && fsize.toLong != stride.toLong * height) return failed
               nFrames += 1
@@ -767,7 +769,10 @@ object Multimodal {
         var fp = pos + 12
         while (fp + 8 <= end.toInt) {
           val fsize = readLe32(b, fp + 4).toInt
-          if (fsize < 0 || fp + 8 + fsize > end) return failed
+          // bound check in Long (advice r16): fsize near 2^31 overflows
+          // the Int sum to negative and would bypass the bound — fail
+          // closed here, not by luck of ImageIO rejecting the garbage
+          if (fsize < 0 || fp.toLong + 8 + fsize > end) return failed
           if (fourcc(b, fp, "00dc")) {
             val img = try {
               javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
