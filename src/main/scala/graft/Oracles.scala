@@ -490,6 +490,11 @@ object Oracles {
          |FROM documents""".stripMargin,
 
     "ets_forecast" -> graft.operators.EtsForecast.etsForecastOracle(),
+    // incremental arc's gate IS the cold replay: warm continuation must be
+    // bit-identical to the from-scratch recurrence on the union window
+    "ets_incremental" -> graft.operators.EtsForecast.etsForecastOracle(),
+    "seasonal_decompose" -> graft.operators.SeasonalDecompose.seasonalDecomposeOracle(),
+    "ar_forecast" -> graft.operators.ArForecast.arForecastOracle(),
 
     "basket_features" ->
       s"""SELECT l_orderkey,

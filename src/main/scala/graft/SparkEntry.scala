@@ -150,6 +150,9 @@ object SparkEntry {
     "multimodal_video" -> ((s, d) => graft.multimodal.Multimodal.video(s, d)),
     "multimodal_mjpeg" -> ((s, d) => graft.multimodal.Multimodal.mjpeg(s, d)),
     "ets_forecast"     -> ((s, d) => graft.operators.EtsForecast.etsForecast(s, d)),
+    "ets_incremental"  -> ((s, d) => graft.operators.EtsForecast.etsIncremental(s, d)),
+    "seasonal_decompose" -> ((s, d) => graft.operators.SeasonalDecompose.seasonalDecompose(s, d)),
+    "ar_forecast"      -> ((s, d) => graft.operators.ArForecast.arForecast(s, d)),
     // ML segmentation (reference: advanced_features.py:364 sklearn KMeans)
     "customer_clusters" -> ((s, d) => graft.ml.Clustering.customerClusters(s, d)),
 

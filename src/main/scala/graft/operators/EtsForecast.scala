@@ -51,9 +51,13 @@ object EtsForecast {
   private val S = java.math.BigInteger.valueOf(Scale)
   private def big(v: Long) = java.math.BigInteger.valueOf(v)
 
-  /** (n_name, horizon, forecast_scaled, level_scaled, trend_scaled) —
-    * six forecast months per nation, all exact micro-cent integers. */
-  def etsForecast(spark: SparkSession, dir: String): DataFrame = {
+  /** The densified monthly revenue series every forecasting-family
+    * operator fits on: (n_name, ym, cents), ym = year·12 + month − 1,
+    * dense over the GLOBAL month range (gaps read as zero revenue). One
+    * corpus-sized shuffle (the monthly groupBy); the result is calendar-
+    * bounded — nations × months, the same at sf0.001 and at 100 TB. */
+  private[graft] def monthlySeries(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(String, Int, Long)] = {
     import spark.implicits._
     val orders = graft.Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
@@ -74,51 +78,149 @@ object EtsForecast {
 
     // global month range (1 row) + dense calendar × nations: gaps = 0
     val bounds = monthly.agg(min("ym"), max("ym")).head
+    require(!bounds.isNullAt(0),
+      "monthlySeries: no orders rows after the customer–nation join — " +
+        "nothing to fit (the operator's strict contract, not a NULL NPE)")
     val (ymLo, ymHi) = (bounds.getInt(0), bounds.getInt(1))
     val cal = spark.range(ymLo, ymHi + 1L).select(col("id").cast("int").as("ym"))
-    val series = nation.select(col("n_name")).crossJoin(broadcast(cal))
+    nation.select(col("n_name")).crossJoin(broadcast(cal))
       .join(monthly, Seq("n_name", "ym"), "left")
       .select(col("n_name"), col("ym"),
         coalesce(col("cents"), lit(0L)).as("cents"))
       .as[(String, Int, Long)]
+  }
+
+  /** Guarded exact conversion of scaled BigInteger state to Long —
+    * longValueExact would throw a bare ArithmeticException once
+    * micro-cent state exceeds Long (~9.2e18 ≈ $92 trillion·1e5 — national
+    * monthly revenue far past 100 TB corpora); fail with the operator's
+    * series name, not an opaque stack. */
+  private[operators] def toLongScaled(v: java.math.BigInteger, what: String,
+                                      name: String): Long =
+    try v.longValueExact() catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"$what for $name exceeds the exact micro-cent Long range; " +
+          "rescale the series before fitting")
+    }
+
+  /** (n_name, horizon, forecast_scaled, level_scaled, trend_scaled) —
+    * six forecast months per nation, all exact micro-cent integers. */
+  /** Mutable Holt-Winters state (level, trend, 12 seasonal slots) — the
+    * recurrence factored to ONE stepper so the cold fit and the warm
+    * incremental continuation are literally the same arithmetic. */
+  private[operators] final class HwState(var l: java.math.BigInteger,
+                                         var b: java.math.BigInteger,
+                                         val s: Array[java.math.BigInteger])
+      extends Serializable {
+    /** One recurrence step for observation `y` at GLOBAL series position
+      * `i` (slot = i % 12 — position indexing must continue across the
+      * settled/delta boundary for warm continuation to be bit-identical). */
+    def step(y: Long, i: Int): Unit = {
+      val ysc = big(y).multiply(S)
+      val sOld = s(i % SeasonLen)
+      val lPrev = l
+      val bPrev = b
+      l = ysc.subtract(sOld)
+        .add(big(4L).multiply(lPrev.add(bPrev)))
+        .divide(big(5L))
+      b = l.subtract(lPrev)
+        .add(big(9L).multiply(bPrev))
+        .divide(big(10L))
+      s(i % SeasonLen) = big(3L).multiply(ysc.subtract(lPrev).subtract(bPrev))
+        .add(big(7L).multiply(sOld))
+        .divide(big(10L))
+    }
+  }
+
+  /** Two-season init + recurrence over a full series prefix. */
+  private[operators] def hwFit(name: String, ys: Array[Long],
+                               opName: String): HwState = {
+    val t = ys.length
+    require(t >= 2 * SeasonLen,
+      s"$opName: series $name has $t months; needs >= ${2 * SeasonLen}")
+    // init from the first two seasons
+    val a1 = big(ys.take(SeasonLen).sum).multiply(S)
+      .divide(big(SeasonLen.toLong))
+    val a2 = big(ys.slice(SeasonLen, 2 * SeasonLen).sum).multiply(S)
+      .divide(big(SeasonLen.toLong))
+    // s(i % 12) holds the latest seasonal for that slot; slot of month
+    // index i (0-based) is i % 12
+    val st = new HwState(a1, a2.subtract(a1).divide(big(SeasonLen.toLong)),
+      Array.tabulate(SeasonLen)(i => big(ys(i)).multiply(S).subtract(a1)))
+    var i = SeasonLen // 0-based: months SeasonLen .. t-1 run the recurrence
+    while (i < t) { st.step(ys(i), i); i += 1 }
+    st
+  }
+
+  /** h = 1..Horizon forecast rows off a fitted state at total length t. */
+  private def emitForecast(name: String, t: Int, st: HwState, opName: String)
+      : Seq[(String, Long, Long, Long, Long)] =
+    (1 to Horizon).map { h =>
+      val f = st.l.add(big(h.toLong).multiply(st.b))
+        .add(st.s((t - 1 + h) % SeasonLen))
+      (name, h.toLong, toLongScaled(f, s"$opName: forecast", name),
+        toLongScaled(st.l, s"$opName: level", name),
+        toLongScaled(st.b, s"$opName: trend", name))
+    }
+
+  def etsForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val series = monthlySeries(spark, dir)
 
     val out = series.groupByKey(_._1).mapGroups { (name, it) =>
       val ys = it.toArray.sortBy(_._2).map(_._3)
-      val t = ys.length
-      require(t >= 2 * SeasonLen,
-        s"etsForecast: series $name has $t months; needs >= ${2 * SeasonLen}")
-      // init from the first two seasons
-      val a1 = big(ys.take(SeasonLen).sum).multiply(S)
-        .divide(big(SeasonLen.toLong))
-      val a2 = big(ys.slice(SeasonLen, 2 * SeasonLen).sum).multiply(S)
-        .divide(big(SeasonLen.toLong))
-      var l = a1
-      var b = a2.subtract(a1).divide(big(SeasonLen.toLong))
-      // s(i % 12) holds the latest seasonal for that slot; slot of month
-      // index i (0-based) is i % 12
-      val s = Array.tabulate(SeasonLen)(i => big(ys(i)).multiply(S).subtract(a1))
-      var i = SeasonLen // 0-based: months SeasonLen .. t-1 run the recurrence
-      while (i < t) {
-        val ysc = big(ys(i)).multiply(S)
-        val sOld = s(i % SeasonLen)
-        val lPrev = l
-        val bPrev = b
-        l = ysc.subtract(sOld)
-          .add(big(4L).multiply(lPrev.add(bPrev)))
-          .divide(big(5L))
-        b = l.subtract(lPrev)
-          .add(big(9L).multiply(bPrev))
-          .divide(big(10L))
-        s(i % SeasonLen) = big(3L).multiply(ysc.subtract(lPrev).subtract(bPrev))
-          .add(big(7L).multiply(sOld))
-          .divide(big(10L))
-        i += 1
-      }
-      val rows = (1 to Horizon).map { h =>
-        val f = l.add(big(h.toLong).multiply(b)).add(s((t - 1 + h) % SeasonLen))
-        (name, h.toLong, f.longValueExact(), l.longValueExact(), b.longValueExact())
-      }
-      rows
+      emitForecast(name, ys.length, hwFit(name, ys, "etsForecast"),
+        "etsForecast")
+    }.flatMap(identity)
+      .toDF("n_name", "horizon", "forecast_scaled", "level_scaled", "trend_scaled")
+    out.orderBy("n_name", "horizon")
+  }
+
+  /** Incremental ETS: the settled prefix (all months except the most
+    * recent [[Horizon]]) fits ONCE into durable per-series state — level,
+    * trend and the 12 seasonal slots as exact decimal STRINGS (parquet-
+    * safe at any magnitude) — and the delta months warm-CONTINUE the
+    * recurrence from that state. Holt-Winters is one-pass by nature, so
+    * the continuation is bit-identical to the cold fit over the union
+    * window (EtsForecastSpec pins this; the driver gate replays the COLD
+    * oracle against this arc's output — the graph_pagerank_incremental
+    * recipe applied to the forecasting family).
+    *
+    * 100 TB story: the periodic campaign refits nothing — each settled
+    * month is consumed once ever; a daily delta run costs one monthly
+    * groupBy over the delta partition range plus a constant-size state
+    * read, instead of re-aggregating the full history. */
+  def etsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val series = monthlySeries(spark, dir)
+    val hi = series.toDF("n_name", "ym", "cents").agg(max("ym")).head.getInt(0)
+    val cutoff = hi - Horizon // the last 6 months arrive as the delta
+
+    // settled fit -> durable state (write-then-read proves the arc)
+    val stateDir = graft.streaming.ReplayScratch.dir("ets_state")
+    series.filter(_._2 <= cutoff).groupByKey(_._1).mapGroups { (name, it) =>
+      val ys = it.toArray.sortBy(_._2).map(_._3)
+      val st = hwFit(name, ys, "etsIncremental")
+      (name, ys.length, st.l.toString, st.b.toString,
+        st.s.map(_.toString).toSeq)
+    }.toDF("n_name", "t", "l", "b", "sl")
+      .write.mode("overwrite").parquet(stateDir)
+
+    // warm continuation over the delta months only. The state table is
+    // series-bounded (nations), so a driver map is the broadcast-dim move
+    val stateMap = spark.read.parquet(stateDir).collect().map { r =>
+      r.getString(0) -> ((r.getInt(1), r.getString(2), r.getString(3),
+        r.getSeq[String](4).toArray))
+    }.toMap
+    val out = series.filter(_._2 > cutoff).groupByKey(_._1).mapGroups { (name, it) =>
+      val delta = it.toArray.sortBy(_._2).map(_._3)
+      val (t0, ls, bs, sls) = stateMap(name)
+      val st = new HwState(new java.math.BigInteger(ls),
+        new java.math.BigInteger(bs),
+        sls.map(new java.math.BigInteger(_)))
+      var j = 0
+      while (j < delta.length) { st.step(delta(j), t0 + j); j += 1 }
+      emitForecast(name, t0 + delta.length, st, "etsIncremental")
     }.flatMap(identity)
       .toDF("n_name", "horizon", "forecast_scaled", "level_scaled", "trend_scaled")
     out.orderBy("n_name", "horizon")

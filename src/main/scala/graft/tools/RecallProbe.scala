@@ -25,8 +25,11 @@ object RecallProbe {
       (brute intersect got).size.toDouble / brute.size
     }
     val nl = Ann.derivedLists(spark, dir)
-    val probeLadder = Seq(nl / 8, nl / 4, nl / 2, nl * 5 / 8, nl * 3 / 4,
-      nl * 7 / 8, Ann.ivfDefaultProbe(nl), nl)
+    // r17: the ladder reaches down to 1/32 coverage — on CLUSTERED corpora
+    // (replicate.py --cluster) recall holds at tiny coverage and the small
+    // rungs are where the data-adaptive default lives
+    val probeLadder = Seq(nl / 32, nl / 16, nl / 8, nl / 4, nl / 2,
+      nl * 5 / 8, nl * 3 / 4, nl * 7 / 8, Ann.ivfDefaultProbe(nl), nl)
       .map(math.max(1, _)).distinct.sorted
     for (nProbe <- probeLadder) {
       val t0 = System.nanoTime()

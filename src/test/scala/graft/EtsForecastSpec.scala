@@ -37,6 +37,14 @@ class EtsForecastSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental warm continuation is bit-identical to the cold fit") {
+    val cold = EtsForecast.etsForecast(spark, dir)
+    val warm = EtsForecast.etsIncremental(spark, dir)
+    assert(cold.exceptAll(warm).count() == 0 && warm.exceptAll(cold).count() == 0,
+      "settled-state + delta-months continuation must replay the cold recurrence exactly")
+    spark.catalog.clearCache()
+  }
+
   test("a planted linear series forecasts its own continuation (no seasonality)") {
     // y_t = 1000 + 10t cents over 36 months, one synthetic nation: level
     // tracks the line, trend -> ~10*Scale/... after smoothing; forecast

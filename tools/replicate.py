@@ -4,7 +4,8 @@
 join fan-outs and per-user window sizes stay constant; dims are copied
 as-is. Driver-side python only — NOT part of the library.
 
-Usage: replicate.py <src_sf_dir> <out_dir> <factor> [--perturb] [tables...]
+Usage: replicate.py <src_sf_dir> <out_dir> <factor> [--perturb]
+       [--cluster K] [tables...]
 
 --perturb (r16, verdict item #6): replica i > 0 gets DISTINCT CONTENT —
 documents.text gains a per-replica suffix token (shingles shift: texts
@@ -13,6 +14,15 @@ all-dims shift (above the q20 quantization step of ~9.5e-7, so the exact-
 twin collapse CANNOT fold replicas; below any near-dup threshold, cosine
 to the original stays ~0.99999). Replication-based corpora are the twin
 collapse's BEST case; perturb mode is the honest distinct-content ladder.
+
+--cluster K (r17, verdict item #3): REPLACES every embedding with a
+deterministic mixture-of-K-Gaussians vector — center = vec_id % K, per-dim
+center value hash-derived in ±10, within-cluster noise hash-derived in
+±0.01 (three orders of magnitude tighter than the center spread). This is
+the CLUSTERED recall corpus: real embedding spaces concentrate (classes,
+topics, near-dup families), and the IVF probe-coverage economics that the
+isotropic gate corpora hide only show up here. Deterministic (hash of
+vec_id and dim only), so recall probes are reproducible run to run.
 """
 import sys, shutil, os
 import duckdb
@@ -28,7 +38,7 @@ FACTS = {
     "embeddings": (["vec_id"], None),
 }
 
-def main(src, out, factor, only, perturb=False):
+def main(src, out, factor, only, perturb=False, cluster=0):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # uncapped DuckDB assumes 80% of box RAM; a 1000x lineitem COPY then
@@ -67,6 +77,15 @@ def main(src, out, factor, only, perturb=False):
                 return ("CASE WHEN t.i = 0 THEN embedding ELSE "
                         "list_transform(embedding, x -> "
                         "CAST(x + t.i * 0.00001 AS FLOAT)) END AS embedding")
+            if cluster and t == "embeddings" and c == "embedding":
+                # new vec_id = vec_id + t.i * off; cluster on the NEW id so
+                # replicas spread over centers instead of mirroring
+                nid = f"(vec_id + t.i * {offs.get('vec_id', 0)})"
+                return (
+                    "list_transform(range(len(embedding)), d -> CAST("
+                    f"(CAST(hash({nid} % {cluster} * 1024 + d) % 2000 AS BIGINT) - 1000) / 100.0 + "
+                    f"(CAST(hash({nid} * 1024 + d) % 2000 AS BIGINT) - 1000) / 100000.0"
+                    " AS FLOAT)) AS embedding")
             return c
         sel = ", ".join(col_sel(c) for c in names)
         con.execute(
@@ -79,5 +98,10 @@ if __name__ == "__main__":
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     rest = sys.argv[4:]
     perturb = "--perturb" in rest
+    cluster = 0
+    if "--cluster" in rest:
+        ci = rest.index("--cluster")
+        cluster = int(rest[ci + 1])
+        rest = rest[:ci] + rest[ci + 2:]
     only = set(a for a in rest if a != "--perturb")
-    main(src, out, factor, only, perturb)
+    main(src, out, factor, only, perturb, cluster)
