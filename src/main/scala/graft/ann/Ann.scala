@@ -454,6 +454,99 @@ object Ann {
     if (nLists <= 8) math.max(1, nLists - math.max(1, nLists / 8))
     else math.max(1, (3 * nLists) / 4)
 
+  /** Data-adaptive probe default (r17, closing the r16 watch item): the
+    * isotropic 3/4-coverage floor is the honest WORST case, but on
+    * clustered corpora — the shape real embedding spaces actually have —
+    * IVF's whole point is nProbe ≪ nLists. Measured on the
+    * mixture-of-Gaussians corpora (`replicate.py --cluster`, BASELINE
+    * r17): recall@10 = 1.00 at 1/8 coverage on both K=16 and K=64
+    * mixtures (vs 0.13 at 1/32-coverage isotropic), so the clustered
+    * branch probes nLists/8 — a 6x probe-cost cut exactly where the index
+    * is supposed to pay. The decision bit comes from [[isClustered]],
+    * exact integer arithmetic on both engines. */
+  def adaptiveProbe(nLists: Int, clustered: Boolean): Int =
+    if (clustered && nLists > 8) math.max(1, nLists / 8)
+    else ivfDefaultProbe(nLists)
+
+  /** floor(center) as exact longs — the IvfPq residual-floor recipe,
+    * reused for the clusteredness statistic. */
+  private[graft] def floorCenters(centers: Array[Array[Double]]): Array[Array[Long]] =
+    centers.map(_.map(g => math.floor(g).toLong))
+
+  /** Exact clusteredness decision over the FINAL fit assignment:
+    * `4*withinSS < totalSS`, where withinSS uses FLOORED centers and
+    * totalSS a TRUNCATED global mean — so both sides of the comparison
+    * are exact integers (decimal(38) sums + BigInteger compare here,
+    * HUGEINT there, [[probeCtes]]) and the threshold can never drift
+    * between engines, even for a corpus sitting exactly on it. Flooring
+    * perturbs the ratio by ~1e-6 relative on q20-scale features —
+    * irrelevant three orders of magnitude from the 1/4 threshold on
+    * either side (isotropic KMeans at k << n leaves wss/tss ~ 0.9; a real
+    * cluster mixture leaves ~1e-6). Cost: two aggregate passes over the
+    * cached fit frame, <= 1 row out each. */
+  private[graft] def isClustered(assigned: DataFrame,
+                                 centers: Array[Array[Double]]): Boolean = {
+    def big(v: Long) = java.math.BigInteger.valueOf(v)
+    val moments = assigned.agg(
+      count(lit(1)).as("n"),
+      (0 until IvfDims).map(i =>
+        sum(col(s"x$i").cast("decimal(38,0)")).as(s"s$i")): _*).head
+    val n = moments.getLong(0)
+    if (n == 0L) return false
+    val gm = (0 until IvfDims).map { i =>
+      moments.getDecimal(i + 1).toBigInteger
+        .divide(big(n)).longValueExact() // truncates toward zero, like //
+    }
+    val fcLit = typedLit(floorCenters(centers).map(_.toSeq).toSeq)
+    val cIdx = (col("cluster") + 1).cast("int")
+    val wd = (0 until IvfDims).map { d =>
+      val diff = col(s"x$d") - element_at(element_at(fcLit, cIdx), d + 1)
+      diff * diff
+    }.reduce(_ + _)
+    val td = (0 until IvfDims).map { d =>
+      val diff = col(s"x$d") - lit(gm(d))
+      diff * diff
+    }.reduce(_ + _)
+    val r = assigned.agg(
+      sum(wd.cast("decimal(38,0)")).as("wss"),
+      sum(td.cast("decimal(38,0)")).as("tss")).head
+    r.getDecimal(0).toBigInteger.multiply(big(4L))
+      .compareTo(r.getDecimal(1).toBigInteger) < 0
+  }
+
+  /** SQL twin of [[isClustered]] + [[adaptiveProbe]] over a completed
+    * DetKMeans replay: reads `${F}afin` (exact-integer x cols + cluster)
+    * and `${F}c$iters` (final centers g), plus `${G}geo`; emits
+    * `${P}gm`/`${P}wt`/`${P}probe`. Consumers read
+    * `(SELECT p FROM ${P}probe)` instead of `(SELECT p FROM geo)`. All
+    * HUGEINT — the decision is an exact integer comparison. */
+  private[graft] def probeCtes(geoPrefix: String = "", fitPrefix: String = "",
+                               prefix: String = "",
+                               iters: Int = IvfIters): String = {
+    val G = geoPrefix; val F = fitPrefix; val P = prefix
+    val gmCols = (0 until IvfDims).map(i =>
+      s"SUM(CAST(x$i AS HUGEINT)) // COUNT(*) AS m$i").mkString(",\n    ")
+    val wd = (0 until IvfDims).map(i =>
+      s"(CAST(a.x$i AS HUGEINT) - CAST(floor(c.g$i) AS HUGEINT)) * " +
+        s"(CAST(a.x$i AS HUGEINT) - CAST(floor(c.g$i) AS HUGEINT))")
+      .mkString("\n      + ")
+    val td = (0 until IvfDims).map(i =>
+      s"(CAST(a.x$i AS HUGEINT) - g.m$i) * (CAST(a.x$i AS HUGEINT) - g.m$i)")
+      .mkString("\n      + ")
+    s"${P}gm AS MATERIALIZED (\n" +
+      s"  SELECT\n    $gmCols\n  FROM ${F}afin),\n" +
+      s"${P}wt AS MATERIALIZED (\n" +
+      s"  SELECT\n    SUM($wd) AS wss,\n    SUM($td) AS tss\n" +
+      s"  FROM ${F}afin a\n" +
+      s"  JOIN ${F}c$iters c ON a.cluster = c.cluster\n" +
+      s"  CROSS JOIN ${P}gm g),\n" +
+      s"${P}probe AS MATERIALIZED (\n" +
+      s"  SELECT CASE WHEN geo.k <= 8 THEN geo.p\n" +
+      s"              WHEN 4 * wt.wss < wt.tss THEN GREATEST(1, geo.k // 8)\n" +
+      s"              ELSE geo.p END AS p\n" +
+      s"  FROM ${G}geo geo, ${P}wt wt)"
+  }
+
   /** Size-derived list count (advice r14/r15, closed r16): the smallest
     * p with p·p ≥ n — an exact-integer ⌈√n⌉ (float sqrt + ±1 correction,
     * so an exact power flips on neither engine) — clamped to [8, 65536].
@@ -586,10 +679,12 @@ object Ann {
       .persist()
     // nLists = 0 (the default) sizes the geometry from the corpus
     val nl = if (nLists > 0) nLists else nListsFor(distinctFeatCount(feats))
-    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nl)
     val (assigned, model) = graft.ml.DetKMeans.fitCached(
       feats, "vec_id", xs, nl, IvfIters, standardize = false,
       rankInit = true)
+    // adaptive probe default reads the FIT, so it must follow it (r17)
+    val probes = if (nProbe > 0) nProbe
+      else adaptiveProbe(nl, isClustered(assigned, model.centers))
     val lists = assigned.select(col("vec_id"), col("cluster").as("list_id"))
     // the persist exists for the iterative fit; releasing here means the
     // one downstream list-assignment pass recomputes the cheap projection
@@ -647,6 +742,10 @@ object Ann {
     val (assigned, model) = graft.ml.DetKMeans.fitCached(
       feats, "vec_id", xs, lists, IvfIters, standardize = false,
       rankInit = true)
+    // clusteredness decided at BUILD time and persisted: indexed reads
+    // must probe exactly what the fresh-fit path (and the oracle's
+    // replayed decision) would — see adaptiveProbe
+    val clustered = isClustered(assigned, model.centers)
     assigned.select(col("vec_id"), col("cluster").as("list_id"))
       .sortWithinPartitions("list_id")
       .write.mode("overwrite").parquet(s"$indexDir/lists")
@@ -672,9 +771,10 @@ object Ann {
     // match the fresh-fit path and the oracle geo CTE on tiny corpora
     // (advice r16: effective < requested when n < 8 probed fewer lists)
     Seq((model.centers.length, lists, IvfDims, IvfIters, fp.getLong(0),
-      if (fp.isNullAt(1)) -1L else fp.getLong(1), corpusDigest(emb)))
+      if (fp.isNullAt(1)) -1L else fp.getLong(1), corpusDigest(emb),
+      clustered))
       .toDF("n_lists", "n_lists_req", "dims", "iters", "nvecs",
-        "max_vec_id", "content_digest")
+        "max_vec_id", "content_digest", "clustered")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -685,8 +785,8 @@ object Ann {
     val emb = Tables.embeddings(spark, dir)
     val lists = spark.read.parquet(s"$indexDir/lists")
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val (mu, sigma, _, nListsReq) = readIvfModel(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nListsReq)
+    val (mu, sigma, _, nListsReq, clustered) = readIvfModel(spark, indexDir)
+    val probes = if (nProbe > 0) nProbe else adaptiveProbe(nListsReq, clustered)
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
       mu, sigma, k, probes)
   }
@@ -701,8 +801,8 @@ object Ann {
     * count as the fresh-fit path and the oracle geo CTE; validation of the
     * centroids table uses EFFECTIVE. Pre-r17 meta lacks `n_lists_req` —
     * fall back to effective (the two only diverge below the 8-clamp). */
-  private def readIvfModel(spark: SparkSession,
-                           indexDir: String): (Array[Double], Array[Double], Int, Int) = {
+  private def readIvfModel(spark: SparkSession, indexDir: String)
+      : (Array[Double], Array[Double], Int, Int, Boolean) = {
     if (ivfModelMemo.size > MemoBound) ivfModelMemo.clear()
     ivfModelMemo.computeIfAbsent(indexDir, { d =>
       val m = spark.read.parquet(s"$d/model").head
@@ -711,8 +811,12 @@ object Ann {
       val nlReq =
         if (meta.schema.fieldNames.contains("n_lists_req"))
           meta.getAs[Int]("n_lists_req") else nl
+      // pre-r17 meta lacks the flag: fall back to the isotropic default
+      val clustered =
+        meta.schema.fieldNames.contains("clustered") &&
+          meta.getAs[Boolean]("clustered")
       (m.getSeq[Double](m.fieldIndex("mu")).toArray,
-        m.getSeq[Double](m.fieldIndex("sigma")).toArray, nl, nlReq)
+        m.getSeq[Double](m.fieldIndex("sigma")).toArray, nl, nlReq, clustered)
     })
   }
 
@@ -739,7 +843,7 @@ object Ann {
                        batch: DataFrame, batchId: Long): Unit = {
     val root = s"$indexDir/appends"
     if (graft.streaming.ExactlyOnce.isCommitted(spark, root, batchId)) return
-    val (mu, sigma, nLists, _) = readIvfModel(spark, indexDir)
+    val (mu, sigma, nLists, _, _) = readIvfModel(spark, indexDir)
     // centroid literal: nLists rows (bounded by the 65536 clamp), same
     // collect contract as IvfPq.loadCoarse; c_id IS the array position
     // (zipWithIndex at build time), so KMeansAssign's ties-to-first-index
@@ -783,8 +887,8 @@ object Ann {
       else base.unionByName(
         spark.read.parquet(appended.map(_ + "/lists"): _*))
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val (mu, sigma, _, nListsReq) = readIvfModel(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else ivfDefaultProbe(nListsReq)
+    val (mu, sigma, _, nListsReq, clustered) = readIvfModel(spark, indexDir)
+    val probes = if (nProbe > 0) nProbe else adaptiveProbe(nListsReq, clustered)
     ivfProbeScore(emb, emb.filter(col("vec_id") < 10), lists, centroids,
       mu, sigma, k, probes)
   }
@@ -840,6 +944,7 @@ object Ann {
     "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
       k = 0, iters = IvfIters, standardize = false,
       rankInit = true, kRefSql = "(SELECT k FROM geo)") + ",\n" +
+      probeCtes() + ",\n" +
       s"""zall AS MATERIALIZED (
          |  SELECT vec_id, ${(0 until IvfDims).map(i => s"CAST(x$i AS DOUBLE) AS z$i").mkString(", ")}
          |  FROM fall
@@ -857,7 +962,7 @@ object Ann {
          |    SELECT q.query_id, c.cluster AS list_id,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2, c.cluster) AS rn
          |    FROM qzq q CROSS JOIN c$IvfIters c)
-         |  WHERE rn <= (SELECT p FROM geo)
+         |  WHERE rn <= (SELECT p FROM probe)
          |), cnd AS (
          |  SELECT a.vec_id, p.query_id
          |  FROM alists a JOIN pr p ON a.cluster = p.list_id
@@ -884,7 +989,7 @@ object Ann {
   }
 
   private val ivfModelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Int, Int, Boolean)]()
 
   /** Index dirs whose on-disk fingerprint this JVM already validated.
     * The staleness check exists to protect ACROSS JVM restarts (a durable
@@ -1018,13 +1123,14 @@ object Ann {
     "WITH " + graft.ml.DetKMeans.oracleCtes(pre, "vec_id", nFeats = IvfDims,
       k = 0, iters = IvfIters, standardize = false,
       rankInit = true, kRefSql = "(SELECT k FROM geo)") + ",\n" +
+      probeCtes() + ",\n" +
       s"""qzq AS MATERIALIZED (SELECT vec_id AS query_id, ${(0 until IvfDims).map(i => s"z$i").mkString(", ")} FROM afin WHERE vec_id < 10),
          |pr AS MATERIALIZED (
          |  SELECT query_id, list_id FROM (
          |    SELECT q.query_id, c.cluster AS list_id,
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2, c.cluster) AS rn
          |    FROM qzq q CROSS JOIN c$IvfIters c)
-         |  WHERE rn <= (SELECT p FROM geo)
+         |  WHERE rn <= (SELECT p FROM probe)
          |), cnd AS (
          |  SELECT a.vec_id, p.query_id
          |  FROM afin a JOIN pr p ON a.cluster = p.list_id

@@ -74,12 +74,14 @@ object IvfPq {
     val feats = Ann.ivfProj(emb, "embedding").persist()
     val lists =
       if (nLists > 0) nLists else Ann.nListsFor(Ann.distinctFeatCount(feats))
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(lists)
 
     // 1. coarse quantizer (the ann_ivf fit, cached across queries)
     val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
       feats, "vec_id", xs, lists, Ann.IvfIters, standardize = false,
       rankInit = true)
+    // adaptive probe default reads the coarse FIT (r17, see Ann)
+    val probes = if (nProbe > 0) nProbe
+      else Ann.adaptiveProbe(lists, Ann.isClustered(assigned, cmodel.centers))
 
     // 2. floor-quantized coarse centroids (LONG) → exact integer residuals
     val fc = floorCentroids(cmodel.centers)
@@ -234,6 +236,8 @@ object IvfPq {
     val (assigned, cmodel) = graft.ml.DetKMeans.fitCached(
       feats, "vec_id", xs, lists, Ann.IvfIters, standardize = false,
       rankInit = true)
+    // clusteredness decided at BUILD time and persisted (see Ann meta)
+    val clustered = Ann.isClustered(assigned, cmodel.centers)
     val fc = floorCentroids(cmodel.centers)
     val fcDf = fc.toIndexedSeq.zipWithIndex
       .map { case (row, c) => (c.toLong, row.toSeq) }.toDF("cluster", "fcv")
@@ -262,9 +266,9 @@ object IvfPq {
     Seq((cmodel.centers.length, lists, subSpaces, Ann.IvfDims / subSpaces,
       nCodes, Pq.PqIters,
       fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1),
-      Ann.corpusDigest(emb)))
+      Ann.corpusDigest(emb), clustered))
       .toDF("n_lists", "n_lists_req", "sub_spaces", "sub_dim", "n_codes",
-        "iters", "nvecs", "max_vec_id", "content_digest")
+        "iters", "nvecs", "max_vec_id", "content_digest", "clustered")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -279,12 +283,16 @@ object IvfPq {
     * uses EFFECTIVE. Pre-r17 meta lacks `n_lists_req` — fall back to
     * effective (the two only diverge below the 8-clamp). */
   private def readValidatedMeta(
-      spark: SparkSession, indexDir: String): (Int, Int, Int, Int, Int) = {
+      spark: SparkSession, indexDir: String): (Int, Int, Int, Int, Int, Boolean) = {
     val meta = spark.read.parquet(s"$indexDir/meta").head
     val nLists = meta.getAs[Int]("n_lists")
     val nListsReq =
       if (meta.schema.fieldNames.contains("n_lists_req"))
         meta.getAs[Int]("n_lists_req") else nLists
+    // pre-r17 meta lacks the flag: fall back to the isotropic default
+    val clustered =
+      meta.schema.fieldNames.contains("clustered") &&
+        meta.getAs[Boolean]("clustered")
     val subSpaces = meta.getAs[Int]("sub_spaces")
     val nCodes = meta.getAs[Int]("n_codes")
     require(subSpaces > 0 && Ann.IvfDims % subSpaces == 0,
@@ -294,7 +302,7 @@ object IvfPq {
     require(metaSubDim == Ann.IvfDims / subSpaces,
       s"IVFADC index at $indexDir: meta sub_dim=$metaSubDim != " +
         s"${Ann.IvfDims}/$subSpaces — built under a different geometry; rebuild")
-    (nLists, nListsReq, subSpaces, metaSubDim, nCodes)
+    (nLists, nListsReq, subSpaces, metaSubDim, nCodes, clustered)
   }
 
   /** Collect + validate the coarse-centroid table (bounded: nLists rows). */
@@ -329,9 +337,10 @@ object IvfPq {
                        shortlist: Int = 0): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val (nLists, nListsReq, subSpaces, metaSubDim, nCodes) =
+    val (nLists, nListsReq, subSpaces, metaSubDim, nCodes, clustered) =
       readValidatedMeta(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nListsReq)
+    val probes = if (nProbe > 0) nProbe
+      else Ann.adaptiveProbe(nListsReq, clustered)
     val rerank =
       if (shortlist > 0) shortlist
       else Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
@@ -424,7 +433,7 @@ object IvfPq {
       .head.getAs[Long]("content_digest")
     val hit = appendArtifactMemo.get(indexDir)
     if (hit != null && hit._1 == nonce) return hit._2
-    val (nLists, _, subSpaces, subDim, nCodes) = readValidatedMeta(spark, indexDir)
+    val (nLists, _, subSpaces, subDim, nCodes, _) = readValidatedMeta(spark, indexDir)
     val coarse = loadCoarse(spark, indexDir, nLists)
     val pcenters = loadCodebook(spark, indexDir, nCodes, subDim)
     val art = (subSpaces, subDim, coarse, floorCentroids(coarse), pcenters)
@@ -485,9 +494,10 @@ object IvfPq {
                                   nProbe: Int = 0): DataFrame = {
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val (nLists, nListsReq, subSpaces, subDim, nCodes) =
+    val (nLists, nListsReq, subSpaces, subDim, nCodes, clustered) =
       readValidatedMeta(spark, indexDir)
-    val probes = if (nProbe > 0) nProbe else Ann.ivfDefaultProbe(nListsReq)
+    val probes = if (nProbe > 0) nProbe
+      else Ann.adaptiveProbe(nListsReq, clustered)
     val rerank = Pq.adaptiveShortlist(Ann.cachedCount(emb.select("vec_id")))
     val base = spark.read.parquet(s"$indexDir/codes")
     val appended = graft.streaming.ExactlyOnce
@@ -582,7 +592,7 @@ object IvfPq {
       else s"JOIN qd q$m ON q$m.m = $m AND q$m.j = cd.c$m AND " +
         s"q$m.query_id = q0.query_id AND q$m.list_id = cl.cluster"
     }.mkString("\n  ")
-    "WITH " + coarse + ",\n" +
+    "WITH " + coarse + ",\n" + Ann.probeCtes() + ",\n" +
       s"""fc AS MATERIALIZED (SELECT cluster, $fcCols FROM c${Ann.IvfIters}),
          |cl AS MATERIALIZED (SELECT vec_id, cluster FROM afin),
          |rf AS MATERIALIZED (SELECT a.vec_id, $rCols FROM afin a JOIN fc ON a.cluster = fc.cluster),
@@ -599,7 +609,7 @@ object IvfPq {
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2q, c.cluster) AS rn
          |    FROM (SELECT vec_id AS query_id, * FROM afin WHERE vec_id < 10) q
          |    CROSS JOIN c${Ann.IvfIters} c)
-         |  WHERE rn <= (SELECT p FROM geo)
+         |  WHERE rn <= (SELECT p FROM probe)
          |), qr AS MATERIALIZED (
          |  SELECT p.query_id, p.list_id, $qrCols
          |  FROM prb p
@@ -714,7 +724,7 @@ object IvfPq {
       else s"JOIN qd q$m ON q$m.m = $m AND q$m.j = cd2.c$m AND " +
         s"q$m.query_id = q0.query_id AND q$m.list_id = cl2.cluster"
     }.mkString("\n  ")
-    "WITH " + coarse + ",\n" +
+    "WITH " + coarse + ",\n" + Ann.probeCtes() + ",\n" +
       s"""fc AS MATERIALIZED (SELECT cluster, $fcCols FROM c${Ann.IvfIters}),
          |rf AS MATERIALIZED (SELECT a.vec_id, $rCols FROM afin a JOIN fc ON a.cluster = fc.cluster),
          |""".stripMargin +
@@ -761,7 +771,7 @@ object IvfPq {
          |      row_number() OVER (PARTITION BY q.query_id ORDER BY $d2qx, c.cluster) AS rn
          |    FROM (SELECT vec_id AS query_id, * FROM fall WHERE vec_id < 10) q
          |    CROSS JOIN c${Ann.IvfIters} c)
-         |  WHERE rn <= (SELECT p FROM geo)
+         |  WHERE rn <= (SELECT p FROM probe)
          |), qr AS MATERIALIZED (
          |  SELECT p.query_id, p.list_id, $qrCols
          |  FROM prb p

@@ -1,12 +1,45 @@
 package graft
 
 import graft.ann.Ann
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class AnnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.sfDir
+
+  test("adaptive probe: the exact clusteredness bit separates mixture from isotropic") {
+    import spark.implicits._
+    // planted "assigned" frames over 4 centers at (+-1000, ...) in 64 dims:
+    // clustered = points within +-2 of their center; isotropic = points
+    // spread as wide as the centers themselves (same assignment labels)
+    val centers = Array.tabulate(4, Ann.IvfDims)((c, d) =>
+      (if ((c >> (d % 2) & 1) == 1) 1000.0 else -1000.0))
+    def mk(spread: Long) = (0 until 400).map { i =>
+      val c = i % 4
+      val noise = (d: Int) => (((i * 31 + d * 17) % (2 * spread + 1)) - spread)
+      Row.fromSeq(c.toLong +: (0 until Ann.IvfDims).map(d =>
+        centers(c)(d).toLong + noise(d)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType) +:
+        (0 until Ann.IvfDims).map(d => org.apache.spark.sql.types.StructField(
+          s"x$d", org.apache.spark.sql.types.LongType)))
+    def df(spread: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(mk(spread)), schema)
+    assert(Ann.isClustered(df(2L), centers),
+      "tight mixture must decide clustered")
+    assert(!Ann.isClustered(df(2000L), centers),
+      "center-wide spread must decide isotropic")
+    // and the rule: clustered cuts the probe default to nLists/8
+    assert(Ann.adaptiveProbe(45, clustered = true) == 5)
+    assert(Ann.adaptiveProbe(45, clustered = false) == Ann.ivfDefaultProbe(45))
+    assert(Ann.adaptiveProbe(8, clustered = true) == Ann.ivfDefaultProbe(8),
+      "min-clamp regime keeps the 7/8 rule regardless of the bit")
+    spark.catalog.clearCache()
+  }
 
   test("LSH top-k recall >= 0.9 vs brute force") {
     val emb = Tables.embeddings(spark, dir)
