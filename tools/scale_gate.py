@@ -114,10 +114,17 @@ def main():
     # 130 GB on the 8th chain after 7 green ones) — per-query isolation
     # caps RSS at one chain's working set
     for q in staged:
-        fails += 1 if sh([sys.executable, f"{REPO}/tools/staged_oracle.py",
-                          scaled, outdir, q],
-                         env={"SO_THREADS": os.environ.get("SO_THREADS", "8")},
-                         tag=f" staged:{q}") else 0
+        # staged_oracle prints its own peak RSS at exit (the r17 100x
+        # record wants per-query memory evidence, not just pass/fail)
+        import time as _t
+        t0 = _t.time()
+        rc = sh([sys.executable, f"{REPO}/tools/staged_oracle.py",
+                 scaled, outdir, q],
+                env={"SO_THREADS": os.environ.get("SO_THREADS", "8")},
+                tag=f" staged:{q}")
+        print(f"[scale_gate] staged:{q} rc={rc} wall={_t.time() - t0:.0f}s",
+              flush=True)
+        fails += 1 if rc else 0
     print(f"[scale_gate] {'FAIL' if fails else 'OK'} at {factor}x "
           f"({len(raw)} raw + {len(staged)} staged queries)")
     return 1 if fails else 0

@@ -523,7 +523,9 @@ def main(sfdir, outdir, only):
             print(f"[ERR ] {name}: {e}"); fail += 1
         finally:
             shutil.rmtree(qstage, ignore_errors=True)
-    print(f"\n{ok} ok, {fail} fail")
+    import resource
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    print(f"\n{ok} ok, {fail} fail (peak RSS {peak_mb} MB)")
     return 1 if fail else 0
 
 
