@@ -279,6 +279,8 @@ object Oracles {
     "faceted_search" -> graft.text.Search.facetedSearchOracle,
     "advanced_search" -> graft.text.Search.advancedSearchOracle,
 
+    "minhash_recall" -> graft.dedup.MinHashLsh.minhashRecallAuditOracle(),
+
     "dedup_minhash" ->
       s"""WITH $exactJaccardPairs
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,

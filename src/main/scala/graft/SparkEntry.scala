@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_minhash"    -> ((s, d) => graft.dedup.MinHashLsh.nearDupPairs(s, d)),
     // the doc-bounded decision-frame DEFAULT (pair list = audit surface)
     "dedup_minhash_keepers" -> ((s, d) => graft.dedup.MinHashLsh.nearDupKeepers(s, d)),
+    "minhash_recall"   -> ((s, d) => graft.dedup.MinHashLsh.minhashRecallAudit(s, d)),
     "dedup_simhash"    -> ((s, d) => graft.dedup.SimHash.nearDupPairs(s, d)),
     "dedup_report"     -> ((s, d) => graft.dedup.DedupReport.report(s, d)),
     "dedup_clusters"   -> ((s, d) => graft.dedup.DedupClusters.clusters(s, d)),

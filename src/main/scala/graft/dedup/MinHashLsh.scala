@@ -109,6 +109,128 @@ object MinHashLsh {
     if (ordered) pairs.orderBy(col("doc_a"), col("doc_b")) else pairs
   }
 
+  /** LSH recall AUDIT (r17, from the perturbed-10x gate finding): banded
+    * MinHash is an approximate CANDIDATE generator — precision is 1.0 by
+    * the exact-Jaccard verify, but pair recall is the banding S-curve, and
+    * on a corpus saturated with genuine near-dups it is measurably < 1.
+    * This surface makes that contract first-class and VALUE-VERIFIED:
+    * exact pairs (shared-shingle inverted-index join — the subquadratic
+    * all-true-pairs form the dedup_minhash oracle uses) LEFT JOIN the
+    * banded candidate set, bucketed by jaccard bin.
+    *
+    * Both legs are oracle-replayable: signatures here are PORTABLE
+    * hex-MD5 minhashes (sig_j = min over shingles of md5(j || '|' ||
+    * shingle); string min over lowercase hex = numeric min of the 128-bit
+    * value on both engines), same (numHashes, bands) geometry as the
+    * shipped xxhash64 detector — statistically identical banding (both
+    * uniform hashes over the same shingle sets), so the measured recall
+    * audits the production geometry itself.
+    *
+    * 100 TB story: the exact leg is the expensive one (pair volume grows
+    * with duplication²) — this is an AUDIT surface; run it on a stratified
+    * sample of the corpus, not the whole thing, and let the production
+    * detector stay banded. Output: (jaccard_bin, exact_pairs,
+    * found_pairs, missed_pairs). */
+  def minhashRecallAudit(spark: SparkSession, dir: String,
+                         threshold: Double = 0.8, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val docs = graft.Tables.documents(spark, dir)
+    val sh = shingleDocs(docs).localCheckpoint(false)
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // exact leg: inverted-index join on shared shingles
+    val cnt = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = exploded.alias("a").join(exploded.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("isect"))
+    val exact = inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("isect").cast("double") /
+        (col("na") + col("nb") - col("isect")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    // portable hex-MD5 signatures (see doc) — one explode, k min-aggs
+    val sigs = exploded.groupBy("doc_id")
+      .agg((0 until numHashes).map(j =>
+          min(md5(concat(lit(j.toString), lit("|"), col("sh")))).as(s"h$j")).head,
+        (1 until numHashes).map(j =>
+          min(md5(concat(lit(j.toString), lit("|"), col("sh")))).as(s"h$j")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until r).map(i => col(s"h${b * r + i}")): _*).as("bucket"))
+    }
+    val buckets = sigs.withColumn("__band", explode(array(bandStructs: _*)))
+      .select(col("doc_id"), col("__band.band").as("band"),
+        col("__band.bucket").as("bucket"))
+    val ca = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val cb = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val found = ca.join(cb, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      .withColumn("__found", lit(1L))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .withColumn("jaccard_bin",
+        when(col("jaccard") >= 0.95, "0.95+")
+          .when(col("jaccard") >= 0.9, "0.90-0.95")
+          .when(col("jaccard") >= 0.85, "0.85-0.90")
+          .otherwise("0.80-0.85"))
+      .groupBy("jaccard_bin")
+      .agg(count(lit(1)).as("exact_pairs"),
+        sum(coalesce(col("__found"), lit(0L))).as("found_pairs"))
+      .withColumn("missed_pairs", col("exact_pairs") - col("found_pairs"))
+      .orderBy("jaccard_bin")
+  }
+
+  /** DuckDB replay of [[minhashRecallAudit]] — both legs, same portable
+    * hex-MD5 signature rule (string min over lowercase hex digests). */
+  def minhashRecallAuditOracle(threshold: Double = 0.8, numHashes: Int = 16,
+                               bands: Int = 4): String = {
+    val r = numHashes / bands
+    val sigCols = (0 until numHashes).map(j =>
+      s"min(md5('$j' || '|' || sh)) AS h$j").mkString(",\n    ")
+    val bandArms = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"h${b * r + i}").mkString(" || '|' || ")
+      s"  SELECT doc_id, $b AS band, $key AS bucket FROM sg"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |e AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh FROM e),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b, CAST(isect AS DOUBLE) / (ca.n + cb.n - isect) AS jaccard
+       |          FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |          WHERE CAST(isect AS DOUBLE) / (ca.n + cb.n - isect) >= $threshold),
+       |sg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bk AS MATERIALIZED (
+       |$bandArms
+       |),
+       |fnd AS (SELECT DISTINCT a.doc_a, a.doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id) a)
+       |SELECT jaccard_bin, CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+       |  CAST(SUM(found) AS BIGINT) AS found_pairs,
+       |  CAST(COUNT(*) - SUM(found) AS BIGINT) AS missed_pairs
+       |FROM (
+       |  SELECT CASE WHEN p.jaccard >= 0.95 THEN '0.95+'
+       |              WHEN p.jaccard >= 0.9 THEN '0.90-0.95'
+       |              WHEN p.jaccard >= 0.85 THEN '0.85-0.90'
+       |              ELSE '0.80-0.85' END AS jaccard_bin,
+       |    CASE WHEN fnd.doc_a IS NULL THEN 0 ELSE 1 END AS found
+       |  FROM pairs p
+       |  LEFT JOIN fnd ON fnd.doc_a = p.doc_a AND fnd.doc_b = p.doc_b)
+       |GROUP BY jaccard_bin
+       |ORDER BY jaccard_bin""".stripMargin
+  }
+
   /** The production DEFAULT for whole-corpus near-dup dedup: the
     * doc-bounded decision frame — every document with its keep/drop
     * decision, elected keeper, and cluster size (the MinHash pair graph →
