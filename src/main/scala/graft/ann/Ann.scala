@@ -485,36 +485,83 @@ object Ann {
     * perturbs the ratio by ~1e-6 relative on q20-scale features —
     * irrelevant three orders of magnitude from the 1/4 threshold on
     * either side (isotropic KMeans at k << n leaves wss/tss ~ 0.9; a real
-    * cluster mixture leaves ~1e-6). Cost: two aggregate passes over the
-    * cached fit frame, <= 1 row out each. */
+    * cluster mixture leaves ~1e-6).
+    *
+    * Cost (optimization r17, guide §1.2/§2.3): ONE groupBy(cluster) pass
+    * producing ≤ k rows of exact per-cluster moments (n_c, Σx_d, Σx_d²; the
+    * x·x per-row term is a plain long multiply, |x| ≤ 2^20 ⇒ x² ≤ 2^40),
+    * from which BOTH sums reconstruct exactly by the integer identity
+    * Σ(x−c)² = Σx² − 2cΣx + n·c² — the first cut ran TWO full-corpus
+    * aggregate passes whose per-row expression was 64 nested element_at
+    * lookups in decimal arithmetic, and it re-ran on EVERY probe-consuming
+    * call (measured: ann_ivf 3.0 → 8.3 s across the r16→r17 bench). The
+    * within-cluster term attaches floored centers to the ≤ k moment rows
+    * (not to corpus rows); the total term is pure driver BigInteger over
+    * the 64 column totals. Decision values are bit-identical to the
+    * two-pass form — same integers, same truncated mean, same compare —
+    * so every oracle gate is unchanged. Memoized per assignment plan
+    * (the plan digest embeds the centers literal): a fit is deterministic,
+    * so its statistic is fit-once data, exactly like the [[DetKMeans]]
+    * model cache and [[cachedCount]] this mirrors. */
+  private val clusteredMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[graft] def isClustered(assigned: DataFrame,
                                  centers: Array[Array[Double]]): Boolean = {
+    val key = graft.PlanKey.digest(assigned)
+    val hit = clusteredMemo.get(key)
+    if (hit != null) return hit.booleanValue()
+    val v = computeClustered(assigned, centers)
+    if (clusteredMemo.size > MemoBound) clusteredMemo.clear()
+    clusteredMemo.put(key, v)
+    v
+  }
+
+  private def computeClustered(assigned: DataFrame,
+                               centers: Array[Array[Double]]): Boolean = {
     def big(v: Long) = java.math.BigInteger.valueOf(v)
-    val moments = assigned.agg(
-      count(lit(1)).as("n"),
-      (0 until IvfDims).map(i =>
-        sum(col(s"x$i").cast("decimal(38,0)")).as(s"s$i")): _*).head
-    val n = moments.getLong(0)
-    if (n == 0L) return false
-    val gm = (0 until IvfDims).map { i =>
-      moments.getDecimal(i + 1).toBigInteger
-        .divide(big(n)).longValueExact() // truncates toward zero, like //
-    }
-    val fcLit = typedLit(floorCenters(centers).map(_.toSeq).toSeq)
+    val fc = floorCenters(centers)
+    // one pass: per-cluster exact moments (≤ k rows out)
+    val momentAggs = Seq(count(lit(1)).cast("decimal(38,0)").as("m")) ++
+      (0 until IvfDims).flatMap { d =>
+        Seq(sum(col(s"x$d").cast("decimal(38,0)")).as(s"s$d"),
+          sum((col(s"x$d") * col(s"x$d")).cast("decimal(38,0)")).as(s"q$d"))
+      }
+    val perCluster = assigned.groupBy(col("cluster"))
+      .agg(momentAggs.head, momentAggs.tail: _*)
+    // wss_c = Σ_d (q_d − 2·fc_d·s_d + m·fc_d²) on the k moment rows; the
+    // floored-center literal rides element_at over k rows, not the corpus
+    val fcLit = typedLit(fc.map(_.toSeq).toSeq)
+    val fc2Lit = typedLit(fc.map(_.map(g => g * g).toSeq).toSeq)
     val cIdx = (col("cluster") + 1).cast("int")
-    val wd = (0 until IvfDims).map { d =>
-      val diff = col(s"x$d") - element_at(element_at(fcLit, cIdx), d + 1)
-      diff * diff
-    }.reduce(_ + _)
-    val td = (0 until IvfDims).map { d =>
-      val diff = col(s"x$d") - lit(gm(d))
-      diff * diff
-    }.reduce(_ + _)
-    val r = assigned.agg(
-      sum(wd.cast("decimal(38,0)")).as("wss"),
-      sum(td.cast("decimal(38,0)")).as("tss")).head
-    r.getDecimal(0).toBigInteger.multiply(big(4L))
-      .compareTo(r.getDecimal(1).toBigInteger) < 0
+    val wssC = (0 until IvfDims).map { d =>
+      col(s"q$d") -
+        (lit(2L).cast("decimal(38,0)") *
+          element_at(element_at(fcLit, cIdx), d + 1).cast("decimal(38,0)") * col(s"s$d")) +
+        (col("m") * element_at(element_at(fc2Lit, cIdx), d + 1).cast("decimal(38,0)"))
+    }.reduce(_ + _).cast("decimal(38,0)")
+    val totAggs = Seq(sum(col("m")).as("n"), sum(wssC).as("wss")) ++
+      (0 until IvfDims).flatMap { d =>
+        Seq(sum(col(s"s$d")).as(s"ts$d"), sum(col(s"q$d")).as(s"tq$d"))
+      }
+    val r = perCluster.agg(totAggs.head, totAggs.tail: _*).head
+    if (r.isNullAt(0)) return false
+    val n = r.getDecimal(0).toBigInteger
+    if (n.signum() == 0) return false
+    val wss = r.getDecimal(1).toBigInteger
+    // tss = Σ_d (Q_d − 2·gm_d·S_d + n·gm_d²), gm_d = trunc(S_d / n) — the
+    // identical truncated mean and integer sums as the two-pass form
+    var tss = java.math.BigInteger.ZERO
+    var d = 0
+    while (d < IvfDims) {
+      val sD = r.getDecimal(2 + 2 * d).toBigInteger
+      val qD = r.getDecimal(3 + 2 * d).toBigInteger
+      val gm = sD.divide(n) // truncates toward zero, like //
+      tss = tss.add(qD.subtract(big(2L).multiply(gm).multiply(sD))
+        .add(n.multiply(gm).multiply(gm)))
+      d += 1
+    }
+    wss.multiply(big(4L)).compareTo(tss) < 0
   }
 
   /** SQL twin of [[isClustered]] + [[adaptiveProbe]] over a completed
