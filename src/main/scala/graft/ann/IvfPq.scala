@@ -92,13 +92,16 @@ object IvfPq {
       .join(broadcast(fcDf), "cluster")
       .select(col("vec_id") +:
         (0 until Ann.IvfDims).map(i =>
-          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")): _*)
+          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")) :+
+        col("cluster"): _*)
       .persist() // the shared-codebook fit stacks this frame subSpaces×
 
-    // 3. shared residual codebook + per-vector codes (the ann_pq fit)
-    val (codes, pmodel) = Pq.fitSharedCodebook(resid, nCodes, subSpaces)
-    val codesWithList = codes
-      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    // 3. shared residual codebook + per-vector codes (the ann_pq fit);
+    //    `cluster` rides the codes projection instead of a full-corpus
+    //    join back onto `assigned` (optimization r17, guide §2.4)
+    val (codesWithList0, pmodel) =
+      Pq.fitSharedCodebook(resid, nCodes, subSpaces, carry = Seq("cluster"))
+    val codesWithList = codesWithList0
       .localCheckpoint(false) // scanned once per query batch; 18 narrow cols
 
     val qRows = feats.filter(col("vec_id") < 10)
@@ -245,10 +248,14 @@ object IvfPq {
       .join(broadcast(fcDf), "cluster")
       .select(col("vec_id") +:
         (0 until Ann.IvfDims).map(i =>
-          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")): _*)
+          (col(s"x$i") - element_at(col("fcv"), i + 1)).as(s"x$i")) :+
+        col("cluster"): _*)
       .persist()
-    val (codes, pmodel) = Pq.fitSharedCodebook(resid, nCodes, subSpaces)
-    codes.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    // `cluster` rides the codes projection — no corpus-wide join back
+    // onto `assigned` (optimization r17, guide §2.4)
+    val (codes, pmodel) =
+      Pq.fitSharedCodebook(resid, nCodes, subSpaces, carry = Seq("cluster"))
+    codes
       .sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$indexDir/codes")
     resid.unpersist()

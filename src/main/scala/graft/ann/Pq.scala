@@ -76,9 +76,13 @@ object Pq {
 
   /** Stack every vector's [[SubSpaces]] subvectors into one training
     * frame keyed by uid = vec_id·M + m, and fit the shared codebook.
-    * Returns (codes: vec_id, c0..c{M-1}; the model). `feats` must carry
-    * x0..x63 from [[Ann.ivfProj]]. */
-  private[ann] def fitSharedCodebook(feats: DataFrame, nCodes: Int, subSpaces: Int)
+    * Returns (codes: vec_id, c0..c{M-1} ∪ `carry`; the model). `feats`
+    * must carry x0..x63 from [[Ann.ivfProj]]; `carry` names extra feats
+    * columns to ride the codes projection (the IVFADC builds carry
+    * `cluster`, which used to cost a full-corpus join back onto the
+    * codes — guide §2.4). */
+  private[ann] def fitSharedCodebook(feats: DataFrame, nCodes: Int, subSpaces: Int,
+                                     carry: Seq[String] = Nil)
       : (DataFrame, graft.ml.DetKMeans.Model) = {
     val subDim = Ann.IvfDims / subSpaces
     val stacked = (0 until subSpaces).map { m =>
@@ -86,17 +90,25 @@ object Pq {
         (col("vec_id") * subSpaces + lit(m)).as("uid") +:
           (0 until subDim).map(i => col(s"x${subDim * m + i}").as(s"x$i")): _*)
     }.reduce(_ unionByName _).persist()
-    val (assigned, model) = graft.ml.DetKMeans.fitCached(
+    val (_, model) = graft.ml.DetKMeans.fitCached(
       stacked, "uid", xs(subDim), nCodes, PqIters, standardize = false)
-    // pivot (vec_id, m, code) → one row per vector with c0..c{M-1}
-    val codes = assigned
-      .select(expr(s"uid div $subSpaces").as("vec_id"),
-        (col("uid") % subSpaces).as("m"), col("cluster").as("code"))
-      .groupBy("vec_id")
-      .agg(
-        max(when(col("m") === 0, col("code"))).as("c0"),
-        (1 until subSpaces).map(m =>
-          max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
+    // codes via the frozen-codebook argmin kernel, ONE projection over
+    // `feats` (optimization r17, guide §2.3/§2.4): the previous form
+    // re-derived the stacked assignment (n·M rows through the kernel,
+    // then an n·M→n pivot SHUFFLE) on every build — but the model is the
+    // only thing the stacked frame is needed for, and the r16 append-path
+    // gate already proved the per-subspace kernel codes are bit-identical
+    // to the stacked assignment (same KMeansAssign expression, same
+    // centers, same ties-to-min-codeword rule; raw-space mode so z ≡
+    // x as double). Cold fits still pay the stacked passes; every build —
+    // warm or cold — now skips the pivot exchange entirely.
+    val cbLit = typedLit(model.centers.map(_.toSeq).toSeq)
+    val codes = feats.select(col("vec_id") +:
+      ((0 until subSpaces).map { m =>
+        graft.functions.KMeansAssign.of(
+          array((0 until subDim).map(i =>
+            col(s"x${subDim * m + i}").cast("double")): _*), cbLit).as(s"c$m")
+      } ++ carry.map(col)): _*)
     stacked.unpersist()
     (codes, model)
   }

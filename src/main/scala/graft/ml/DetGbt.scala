@@ -34,11 +34,10 @@ import org.apache.spark.sql.functions._
   * Depth-2 trees learn pairwise feature interactions (root on x_j, children
   * on x_k) that depth-1 stumps — purely additive in single features —
   * cannot; the reference's GBTRegressor (model_trainer.py) fits multi-level
-  * trees for exactly that reason. Scale shape: each tree is two
-  * map-side-combined treeAggregate passes (root histogram, then the
-  * conditioned side histograms) over a cached primitive RDD (the DetKMeans
-  * loop economics); driver state is T trees + per-feature ranges — bounded
-  * by knobs.
+  * trees for exactly that reason. Scale shape: one bounded collect of the
+  * (already grain-bounded) train matrix + a driver boosting loop — see
+  * [[fit]]'s doc for the boundedness argument and the r17 measurement that
+  * motivated retiring the per-tree treeAggregate passes.
   */
 object DetGbt {
 
@@ -67,55 +66,84 @@ object DetGbt {
     if (r < 0) -m else m
   }
 
-  /** The per-row additive term of one tree given the row's bin indices —
-    * the JVM twin of [[predictExpr]]'s per-tree CASE (and of the oracle's). */
-  private def treeTerm(t: Tree, bi: Array[Int]): Double =
-    if (bi(t.j) <= t.b) t.left match {
-      case Some(s) => if (bi(s.j) <= s.b) s.wl else s.wr
+  /** The per-row additive term of one tree given the row's bin indices
+    * (flat layout, `off` = row offset) — the JVM twin of [[predictExpr]]'s
+    * per-tree CASE (and of the oracle's). */
+  private def treeTerm(t: Tree, biA: Array[Int], off: Int): Double =
+    if (biA(off + t.j) <= t.b) t.left match {
+      case Some(s) => if (biA(off + s.j) <= s.b) s.wl else s.wr
       case None => t.lw
     } else t.right match {
-      case Some(s) => if (bi(s.j) <= s.b) s.wl else s.wr
+      case Some(s) => if (biA(off + s.j) <= s.b) s.wl else s.wr
       case None => t.rw
     }
 
   /** Fit over integral columns: `centsCol` label + `featCols` features
     * (longs), rows with `isTrain` participating in stats. `depth` 1 fits
-    * boosted stumps; 2 fits two-level trees (one extra conditioned
-    * histogram pass per round). */
+    * boosted stumps; 2 fits two-level trees.
+    *
+    * Execution (optimization r17, guide §1.2 step 1 + §5): the fit's only
+    * input is TRAIN rows of an already-aggregated matrix — the one caller
+    * feeds the calendar-bounded country×day lagged frame (≤ nations ×
+    * ~2.4k days ≈ 60k rows at ANY corpus scale; the corpus-sized work is
+    * the upstream aggregation, which stays distributed). The previous
+    * shape ran 2·t treeAggregate jobs (60 at the defaults) over a cached
+    * RDD of those rows — measured ~7 s of almost pure job-scheduling
+    * latency at sf0.1 for arrays a single core folds in milliseconds. One
+    * bounded collect of (cents, features, train-only) longs (~4 MB) and a
+    * driver boosting loop now computes the IDENTICAL model: every
+    * histogram cell is an order-free exact long sum, [[bestSplit]] is the
+    * same code, and the per-row prediction chain keeps the same
+    * left-associated IEEE sequence — bit-identical trees, every oracle
+    * gate unchanged. Boundedness is the same argument as the BPE
+    * vocab-bounded driver frame: grain-bounded, not corpus-bounded. */
   def fit(df: DataFrame, centsCol: String, featCols: Seq[String],
           isTrain: Column, bins: Int = 32, t: Int = 30,
           lr: Double = 0.1, depth: Int = 1): Model = {
     require(depth == 1 || depth == 2, s"DetGbt depth must be 1 or 2, got $depth")
     val nF = featCols.length
-    val tr = df.filter(isTrain)
-    val statAggs = Seq(Exact.countAll.as("n"),
-      sum(col(centsCol).cast("decimal(38,0)")).as("sc")) ++
-      featCols.zipWithIndex.flatMap { case (f, j) =>
-        Seq(min(col(f)).as(s"mn$j"), max(col(f)).as(s"mx$j")) }
-    val row = tr.agg(statAggs.head, statAggs.tail: _*).head
-    val n = row.getLong(0)
+    // one job: the projected train rows (label + features as longs)
+    val trRows = df.filter(isTrain)
+      .select(col(centsCol).cast("long") +: featCols.map(col(_).cast("long")): _*)
+      .collect()
+    val n = trRows.length.toLong
     require(n > 0, "DetGbt.fit with an empty train split")
-    val f0 = Exact.bigDecToDoubleJvm(row.getDecimal(1)) / n.toDouble
-    val mins = Array.tabulate(nF)(j => row.getLong(2 + 2 * j))
-    val maxs = Array.tabulate(nF)(j => row.getLong(3 + 2 * j))
+    // exact stats, identical arithmetic to the old decimal(38,0) agg:
+    // Σcents in BigInteger (== the decimal sum), same split-conversion
+    var scB = java.math.BigInteger.ZERO
+    val mins = Array.fill(nF)(Long.MaxValue)
+    val maxs = Array.fill(nF)(Long.MinValue)
+    trRows.foreach { r =>
+      scB = scB.add(java.math.BigInteger.valueOf(r.getLong(0)))
+      var j = 0
+      while (j < nF) {
+        val x = r.getLong(j + 1)
+        if (x < mins(j)) mins(j) = x
+        if (x > maxs(j)) maxs(j) = x
+        j += 1
+      }
+    }
+    val f0 = Exact.bigDecToDoubleJvm(new java.math.BigDecimal(scB)) / n.toDouble
 
-    // one primitive materialization: (cents, bin indices, train flag)
+    // primitive arrays: label cents + bin index per (row, feature) — the
+    // identical clamped integer binning formula
     val binsL = bins.toLong
-    val ptsRdd = df
-      .select(col(centsCol).cast("long") +: featCols.map(col(_).cast("long")) :+
-        isTrain.as("__tr"): _*)
-      .rdd.map { r =>
-        val cents = r.getLong(0)
-        val bi = new Array[Int](nF)
-        var j = 0
-        while (j < nF) {
-          val x = r.getLong(j + 1)
-          val xc = math.min(math.max(x, mins(j)), maxs(j))
-          bi(j) = (((xc - mins(j)) * binsL) / (maxs(j) - mins(j) + 1)).toInt
-          j += 1
-        }
-        (cents, bi, r.getBoolean(nF + 1))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nR = trRows.length
+    val centsA = new Array[Long](nR)
+    val biA = new Array[Int](nR * nF)
+    var ri = 0
+    while (ri < nR) {
+      val r = trRows(ri)
+      centsA(ri) = r.getLong(0)
+      var j = 0
+      while (j < nF) {
+        val x = r.getLong(j + 1)
+        val xc = math.min(math.max(x, mins(j)), maxs(j))
+        biA(ri * nF + j) = (((xc - mins(j)) * binsL) / (maxs(j) - mins(j) + 1)).toInt
+        j += 1
+      }
+      ri += 1
+    }
 
     // best split from a (count, residual-sum) histogram laid out as
     // cell = base + j*bins + b: strict > keeps the smallest (j, b) on gain
@@ -149,33 +177,36 @@ object DetGbt {
       if (best == null) None else Some(best)
     }
 
+    // per-row cent-rounded residual — recomputed per round exactly as the
+    // old per-pass closure did: f0 + Σ tree terms left-associated, same
+    // IEEE order, then the same half-away rounding
+    def residual(row: Int, sofar: Vector[Tree]): Long = {
+      var f = f0
+      var s = 0
+      val off = row * nF
+      while (s < sofar.length) { f += treeTerm(sofar(s), biA, off); s += 1 }
+      roundHalfAway(centsA(row).toDouble - f)
+    }
+
     var trees = Vector.empty[Tree]
     for (_ <- 1 to t) {
       val sofar = trees
       val cells = nF * bins
-      // pass 1: root-level residual histogram
-      val (cn, cs) = ptsRdd.treeAggregate((new Array[Long](cells), new Array[Long](cells)))(
-        seqOp = { case (acc, (cents, bi, train)) =>
-          if (train) {
-            var f = f0
-            var s = 0
-            while (s < sofar.length) { f += treeTerm(sofar(s), bi); s += 1 }
-            val rq = roundHalfAway(cents.toDouble - f)
-            var j = 0
-            while (j < nF) {
-              val c = j * bins + bi(j)
-              acc._1(c) += 1
-              acc._2(c) += rq
-              j += 1
-            }
-          }
-          acc
-        },
-        combOp = { (a, b) =>
-          var i = 0
-          while (i < cells) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
-          a
-        })
+      // pass 1: root-level residual histogram (exact long sums, order-free)
+      val cn = new Array[Long](cells)
+      val cs = new Array[Long](cells)
+      var i = 0
+      while (i < nR) {
+        val rq = residual(i, sofar)
+        var j = 0
+        while (j < nF) {
+          val c = j * bins + biA(i * nF + j)
+          cn(c) += 1
+          cs(c) += rq
+          j += 1
+        }
+        i += 1
+      }
       val root = bestSplit(cn, cs, 0).getOrElse(
         throw new IllegalStateException(
           "DetGbt: no valid split (every feature constant on the train split)"))
@@ -186,36 +217,27 @@ object DetGbt {
           // under the chosen root — the exact stats each child split needs
           val rj = root.j; val rb = root.b
           val cells2 = 2 * nF * bins
-          val (cn2, cs2) = ptsRdd.treeAggregate((new Array[Long](cells2), new Array[Long](cells2)))(
-            seqOp = { case (acc, (cents, bi, train)) =>
-              if (train) {
-                var f = f0
-                var s = 0
-                while (s < sofar.length) { f += treeTerm(sofar(s), bi); s += 1 }
-                val rq = roundHalfAway(cents.toDouble - f)
-                val base = (if (bi(rj) <= rb) 0 else 1) * nF * bins
-                var j = 0
-                while (j < nF) {
-                  val c = base + j * bins + bi(j)
-                  acc._1(c) += 1
-                  acc._2(c) += rq
-                  j += 1
-                }
-              }
-              acc
-            },
-            combOp = { (a, b) =>
-              var i = 0
-              while (i < cells2) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
-              a
-            })
+          val cn2 = new Array[Long](cells2)
+          val cs2 = new Array[Long](cells2)
+          var i2 = 0
+          while (i2 < nR) {
+            val rq = residual(i2, sofar)
+            val base = (if (biA(i2 * nF + rj) <= rb) 0 else 1) * nF * bins
+            var j = 0
+            while (j < nF) {
+              val c = base + j * bins + biA(i2 * nF + j)
+              cn2(c) += 1
+              cs2(c) += rq
+              j += 1
+            }
+            i2 += 1
+          }
           val left = bestSplit(cn2, cs2, 0)
           val right = bestSplit(cn2, cs2, nF * bins)
           Tree(root.j, root.b, root.wl, root.wr, left, right)
         }
       trees = trees :+ tree
     }
-    ptsRdd.unpersist(blocking = false)
     Model(f0, mins, maxs, trees, bins, lr)
   }
 

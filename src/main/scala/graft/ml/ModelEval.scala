@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
   * ModelEvalSpec.
   *
   * Scale shape: the matrix grain is country×day (calendar-bounded at any
-  * corpus size); the fit is 2·`Trees` map-side-combined treeAggregate
-  * passes over one cached primitive RDD; scoring is a literal-parameter
-  * projection; metrics are one partial-agg groupBy. Driver state: the
-  * stump list + one stats row.
+  * corpus size); the fit is one bounded collect of the train rows plus a
+  * driver boosting loop (see DetGbt.fit — bit-identical to the former
+  * 2·`Trees` treeAggregate passes, without their job-scheduling floor);
+  * scoring is a literal-parameter projection; metrics are one partial-agg
+  * groupBy. Driver state: the train matrix (grain-bounded) + stump list.
   */
 object ModelEval {
   import Exact._
@@ -66,15 +67,13 @@ object ModelEval {
       .withColumn("cents", round(col("target") * 100, 0).cast("long"))
     val matrix = LagCols.zipWithIndex.foldLeft(base) { case (df, (l, i)) =>
       df.withColumn(s"x$i", round(col(l) * 100, 0).cast("long"))
-    }.persist() // the fit makes Trees + 1 passes (the Clustering pattern)
+    } // the fit is now one bounded collect (DetGbt.fit) — no persist needed
     val model = DetGbt.fit(matrix, "cents", XCols,
       col("split") === "train", Bins, Trees, Lr, depth)
-    val out = matrix
+    matrix
       .withColumn("prediction", DetGbt.predictExpr(model, XCols) / lit(100.0))
       .withColumn("naive", col("lag_1"))
       .drop("__bucket" +: "cents" +: XCols: _*)
-    matrix.unpersist()
-    out
   }
 
   /** 4-row metric report: (model × split) → n, rmse, mae, r2 — exact-sum

@@ -680,6 +680,16 @@ object Multimodal {
     * axis — exercises real block layout without inflating payloads. */
   val JpegDim = 16
 
+  /** ImageIO's default stream cache is DISK-backed: every `ImageIO.read`/
+    * `write` call creates and deletes a temp FILE, which serializes the
+    * parallel MJPEG encode/decode on temp-dir locks (measured r17: the
+    * 32-way repartitioned decode got SLOWER than single-threaded until
+    * this flipped). The in-memory cache changes transport only — encoded
+    * bytes and decoded pixels are bit-identical. JVM-global by ImageIO's
+    * design; set once per JVM at object init (executors touch this object
+    * through the codec closures, so it lands everywhere the codecs run). */
+  private val _imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** One REAL JPEG frame: a solid (r,g,b) [[JpegDim]]² image through the
     * JDK's own encoder. Solid frames keep the spec's pixel assertions
     * tight (DC-only blocks reconstruct near-exactly). */
@@ -724,7 +734,12 @@ object Multimodal {
     * same deterministic-synthesis contract as every other media table. */
   def mediaMjpegFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select("doc_id").as[Long].map { docId =>
+    // repartition by doc_id before the per-row JPEG encode: the documents
+    // scan is 1-2 input splits at gate SFs, which single-threads the
+    // encode AND the downstream ImageIO decode (optimization r17, guide
+    // §2.5 input-parallelism; row-local synthesis, so values are unchanged)
+    Tables.documents(spark, dir).select("doc_id")
+      .repartition(col("doc_id")).as[Long].map { docId =>
       val frames = (2 + docId % 3).toInt
       val jps = (0 until frames).map { k =>
         jpegFrameBytes(((docId * 31 + k * 17) % 256).toInt,

@@ -54,14 +54,26 @@ object GraphOps {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    // distinct bipartite edges; doubled for the undirected random walk
-    val e0 = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
+    // distinct bipartite edges, built and MATERIALIZED once (optimization
+    // r17, guide §2.4: the uncut frame was recomputed by outdeg, by the
+    // rank init, and by the final join — four orders⋈lineitem passes for
+    // one logical edge list); doubled for the undirected random walk
+    val e0 = graft.tools.Checkpoints.cut(
+      orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct())
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // out-degree rides the edge list so iterations touch ONE prebuilt frame
-    val edgesD = graft.tools.Checkpoints.cut(edges.join(outdeg, "src"))
+    val outdeg = graft.tools.Checkpoints.cut(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    // out-degree rides the edge list so iterations touch ONE prebuilt
+    // frame. Measured r17 NON-change: pre-partitioning+sorting edgesD on
+    // src (hoping the per-round join would skip its edge-side exchange,
+    // guide §2.4) does NOT pay — a lazy localCheckpoint under AQE captures
+    // UnknownPartitioning, so every round re-exchanges regardless and the
+    // build-time repartition+sort was pure extra cost (7.3 s vs 5.6 s at
+    // sf0.1). The winning shape is just: materialize once, iterate.
+    val edgesD = graft.tools.Checkpoints.cut(
+      edges.join(outdeg, "src"))
 
     // outdeg already has exactly one row per node (it groups the doubled
     // edge list by src) — counting it avoids a second distinct over |E|
@@ -71,11 +83,10 @@ object GraphOps {
     val teleport = (RankBase * 15L) / (100L * n)
 
     // share = r // deg per out-edge; damp AFTER the sum (one floor, not
-    // |E|) — the shared [[iterate]] core
+    // |E|) — the shared [[iterate]] core. Rank init reads the (cut,
+    // one-row-per-node) outdeg frame instead of re-distinct-ing 2|E| rows.
     val ranks = iterate(edgesD,
-      graft.tools.Checkpoints.cut(
-        edgesD.select(col("src").as("node")).distinct()
-          .withColumn("r", lit(init))),
+      outdeg.select(col("src").as("node")).withColumn("r", lit(init)),
       teleport, iters)
     val out = ranks
       .join(outdeg, ranks("node") === outdeg("src"))
@@ -131,28 +142,39 @@ object GraphOps {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-    def edgesOf(o: DataFrame): DataFrame = {
-      val e0 = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
+    // ONE orders⋈lineitem pass derives BOTH edge sets (optimization r17,
+    // guide §2.3/§2.4: the settled and union graphs used to be two
+    // independent join+distinct passes over the fact tables; a pair is a
+    // settled edge iff SOME pre-cutoff order links it, so one grouped
+    // pass with a has_pre flag is value-identical). Materialized once.
+    val pairs = graft.tools.Checkpoints.cut(
+      orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(max(when(col("o_orderdate") < lit(Cutoff), 1).otherwise(0)).as("__pre")))
+    def doubled(e0: DataFrame): DataFrame =
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    }
-    val settled = edgesOf(orders.filter(col("o_orderdate") < lit(Cutoff)))
-    val union = edgesOf(orders)
+    val settled = doubled(pairs.filter(col("__pre") === 1).select("src", "dst"))
+    val union = doubled(pairs.select("src", "dst"))
 
-    // phase 1: the settled fixpoint (in production: loaded, not computed)
-    val sDeg = settled.groupBy("src").agg(count(lit(1)).as("deg"))
-    val sEdges = graft.tools.Checkpoints.cut(settled.join(sDeg, "src"))
+    // phase 1: the settled fixpoint (in production: loaded, not computed).
+    // Degree frames are cut (one row per node, reused 3×); edge frames are
+    // materialized once — see pageRank's rationale (and its measured
+    // repartition+sort non-change).
+    val sDeg = graft.tools.Checkpoints.cut(
+      settled.groupBy("src").agg(count(lit(1)).as("deg")))
+    val sEdges = graft.tools.Checkpoints.cut(
+      settled.join(sDeg, "src"))
     val nS = sDeg.count()
     require(nS > 0, "pageRankIncremental: empty settled graph")
     val sRanks = iterate(sEdges,
-      graft.tools.Checkpoints.cut(
-        sDeg.select(col("src").as("node")).withColumn("r", lit(RankBase / nS))),
+      sDeg.select(col("src").as("node")).withColumn("r", lit(RankBase / nS)),
       (RankBase * 15L) / (100L * nS), settledIters)
 
     // phase 2: warm-start on the union graph
-    val uDeg = union.groupBy("src").agg(count(lit(1)).as("deg"))
-    val uEdges = graft.tools.Checkpoints.cut(union.join(uDeg, "src"))
+    val uDeg = graft.tools.Checkpoints.cut(
+      union.groupBy("src").agg(count(lit(1)).as("deg")))
+    val uEdges = graft.tools.Checkpoints.cut(
+      union.join(uDeg, "src"))
     val nU = uDeg.count()
     val warm0 = graft.tools.Checkpoints.cut(
       uDeg.select(col("src").as("node"))

@@ -74,6 +74,19 @@ class DetGbtSpec extends AnyFunSuite {
       } finally df.unpersist()
     }
 
+  /** r17: the fit became one bounded collect + driver loop — pin that the
+    * model is invariant to input partitioning and row order (every
+    * histogram cell is an order-free exact long sum, so any arrival order
+    * must produce identical trees). */
+  test("fit is invariant to input partitioning and row order") {
+    val df = toyDf
+    val m1 = DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"), bins = 16, t = 8, depth = 2)
+    val shuffled = df.orderBy(rand(42)).repartition(7)
+    val m2 = DetGbt.fit(shuffled, "cents", Seq("x0", "x1"), col("tr"), bins = 16, t = 8, depth = 2)
+    assert(m1.f0 == m2.f0 && m1.mins.toSeq == m2.mins.toSeq &&
+      m1.maxs.toSeq == m2.maxs.toSeq && m1.trees == m2.trees)
+  }
+
   test("boosting reduces training error as trees accumulate") {
     val df = toyDf.persist()
     try {
