@@ -693,10 +693,12 @@ object Ann {
                             k: Int, nProbe: Int): DataFrame = {
     val q = ivfProj(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")), "q_emb")
-    val qz = (0 until IvfDims).foldLeft(q) { (d, i) =>
-      d.withColumn(s"qz$i",
-        (col(s"x$i").cast("double") - lit(mu(i))) / lit(sigma(i)))
-    }
+    // one select, not a 64-step withColumn foldLeft: each withColumn
+    // re-analyzes the whole (already 64-column) plan, and this runs on
+    // every probe-scoring call — measured as driver-side gap time between
+    // jobs in the r17 phase profile (guide §7.3: planning, not execution)
+    val qz = q.select(col("*") +: (0 until IvfDims).map(i =>
+      ((col(s"x$i").cast("double") - lit(mu(i))) / lit(sigma(i))).as(s"qz$i")): _*)
     val d2 = (0 until IvfDims).map { i =>
       (col(s"qz$i") - element_at(col("g"), i + 1)) *
         (col(s"qz$i") - element_at(col("g"), i + 1))

@@ -65,9 +65,10 @@ object ModelEval {
           .cast("long") % 100)
       .withColumn("split", when(col("__bucket") < 80, "train").otherwise("test"))
       .withColumn("cents", round(col("target") * 100, 0).cast("long"))
-    val matrix = LagCols.zipWithIndex.foldLeft(base) { case (df, (l, i)) =>
-      df.withColumn(s"x$i", round(col(l) * 100, 0).cast("long"))
-    } // the fit is now one bounded collect (DetGbt.fit) — no persist needed
+    // one select, not a per-feature withColumn foldLeft (guide §7.3);
+    // the fit is one bounded collect (DetGbt.fit) — no persist needed
+    val matrix = base.select(col("*") +: LagCols.zipWithIndex.map { case (l, i) =>
+      round(col(l) * 100, 0).cast("long").as(s"x$i") }: _*)
     val model = DetGbt.fit(matrix, "cents", XCols,
       col("split") === "train", Bins, Trees, Lr, depth)
     matrix

@@ -79,9 +79,10 @@ object FeaturePipeline {
       .groupBy(col("country"), col("o_orderdate").cast("date").as("day"))
       .agg(decSumDbl(col("o_totalprice")).as("target"))
     val w = Window.partitionBy(col("country")).orderBy(col("day"))
-    val lagged = (1 to lags).foldLeft(daily) { (df, k) =>
-      df.withColumn(s"lag_$k", lag(col("target"), k).over(w))
-    }
+    // one select, not a per-lag withColumn foldLeft (each withColumn
+    // re-analyzes the whole plan — optimization r17, guide §7.3)
+    val lagged = daily.select(col("*") +: (1 to lags).map(k =>
+      lag(col("target"), k).over(w).as(s"lag_$k")): _*)
     lagged.filter(col(s"lag_$lags").isNotNull)
   }
 
@@ -95,8 +96,9 @@ object FeaturePipeline {
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    cols.combinations(2).foldLeft(l) { case (df, Seq(a, b)) =>
-      df.withColumn(s"${a.stripPrefix("l_")}_x_${b.stripPrefix("l_")}", col(a) * col(b))
-    }
+    // one select, not a per-pair withColumn foldLeft (guide §7.3)
+    l.select(col("*") +: cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      (col(a) * col(b)).as(s"${a.stripPrefix("l_")}_x_${b.stripPrefix("l_")}")
+    }: _*)
   }
 }
