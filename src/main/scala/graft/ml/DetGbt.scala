@@ -41,6 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object DetGbt {
 
+  /** Hard cap on the rows [[fit]] will collect to the driver. The only
+    * in-repo caller feeds a calendar-bounded country×day matrix (~60k rows
+    * at any corpus scale); 2M rows × (1 + nF) longs is still a few hundred
+    * MB at most — far above any grain-bounded frame, far below a corpus.
+    * A frame that exceeds it is corpus-proportional by construction, and
+    * the fit must fail with a diagnosable message instead of silently
+    * OOMing the driver (advice r17). */
+  val MaxDriverRows = 2000000L
+
   /** A child split: feature, bin boundary, and its two leaf deltas. */
   case class Split(j: Int, b: Long, wl: Double, wr: Double)
 
@@ -99,7 +108,8 @@ object DetGbt {
     * vocab-bounded driver frame: grain-bounded, not corpus-bounded. */
   def fit(df: DataFrame, centsCol: String, featCols: Seq[String],
           isTrain: Column, bins: Int = 32, t: Int = 30,
-          lr: Double = 0.1, depth: Int = 1): Model = {
+          lr: Double = 0.1, depth: Int = 1,
+          maxRows: Long = MaxDriverRows): Model = {
     require(depth == 1 || depth == 2, s"DetGbt depth must be 1 or 2, got $depth")
     val nF = featCols.length
     // one job: the projected train rows (label + features as longs)
@@ -108,6 +118,14 @@ object DetGbt {
       .collect()
     val n = trRows.length.toLong
     require(n > 0, "DetGbt.fit with an empty train split")
+    // grain-boundedness is the caller's contract; enforce it so a future
+    // corpus-sized frame fails fast here (spark.driver.maxResultSize backs
+    // this up for frames too large to even finish the collect)
+    require(n <= maxRows,
+      s"DetGbt.fit collected $n train rows — above MaxDriverRows=" +
+        s"$maxRows. fit is a driver-local boosting loop over a " +
+        "GRAIN-BOUNDED matrix (e.g. country×day); a frame this large is " +
+        "corpus-proportional and must be aggregated before fitting")
     // exact stats, identical arithmetic to the old decimal(38,0) agg:
     // Σcents in BigInteger (== the decimal sum), same split-conversion
     var scB = java.math.BigInteger.ZERO

@@ -87,7 +87,7 @@ object GraphOps {
     // one-row-per-node) outdeg frame instead of re-distinct-ing 2|E| rows.
     val ranks = iterate(edgesD,
       outdeg.select(col("src").as("node")).withColumn("r", lit(init)),
-      teleport, iters)
+      teleport, iters, n)
     val out = ranks
       .join(outdeg, ranks("node") === outdeg("src"))
       .select(
@@ -99,16 +99,35 @@ object GraphOps {
     if (ordered) out.orderBy("node_type", "node_key") else out
   }
 
+  /** Node count at or below which [[iterate]] broadcast-hints the rank
+    * frame into each round's join. A rank row is (node, r) = 16 payload
+    * bytes, so the cap bounds the broadcast relation at tens of MB — far
+    * under the 8 GB broadcast ceiling, far above any gate corpus. Why the
+    * hint exists (optimization r18, guide §3.1): the per-round frames are
+    * checkpointed RDDs, and a localCheckpoint reports UnknownPartitioning
+    * AND default stats in the STATIC plan (measured on this Spark — eager
+    * or lazy), so every round statically plans a SortMergeJoin (exchange +
+    * sort on the 2|E| edge side) that AQE then re-plans to a broadcast at
+    * runtime, paying a ranks-side exchange stage + replan latency per
+    * round. The explicit hint makes the broadcast the static plan: zero
+    * per-round edge-side Exchange/Sort, one fewer AQE stage per round.
+    * Above the cap the plain shuffle join formulation stays — at that
+    * scale the per-round rank-share shuffle is the algorithm's floor. */
+  val BroadcastRanksMaxNodes = 1000000L
+
   /** The damped integer power-iteration core shared by the cold and
     * warm-start paths: `edgesD` must carry (src, dst, deg); `ranks0`
-    * (node, r) seeds the iteration. */
+    * (node, r) seeds the iteration; `nNodes` (the exact rank-frame row
+    * count, one row per node every round) gates the broadcast hint. */
   private def iterate(edgesD: DataFrame, ranks0: DataFrame,
-                      teleport: Long, iters: Int): DataFrame = {
+                      teleport: Long, iters: Int, nNodes: Long): DataFrame = {
+    val hint = nNodes <= BroadcastRanksMaxNodes
     var ranks = ranks0
     var i = 0
     while (i < iters) {
+      val r = if (hint) broadcast(ranks) else ranks
       ranks = graft.tools.Checkpoints.cut(
-        edgesD.join(ranks, edgesD("src") === ranks("node"))
+        edgesD.join(r, edgesD("src") === r("node"))
           .select(col("dst"), expr("r div deg").as("share"))
           .groupBy("dst")
           .agg(sum(col("share")).as("s"))
@@ -168,7 +187,7 @@ object GraphOps {
     require(nS > 0, "pageRankIncremental: empty settled graph")
     val sRanks = iterate(sEdges,
       sDeg.select(col("src").as("node")).withColumn("r", lit(RankBase / nS)),
-      (RankBase * 15L) / (100L * nS), settledIters)
+      (RankBase * 15L) / (100L * nS), settledIters, nS)
 
     // phase 2: warm-start on the union graph
     val uDeg = graft.tools.Checkpoints.cut(
@@ -180,7 +199,7 @@ object GraphOps {
       uDeg.select(col("src").as("node"))
         .join(sRanks.withColumnRenamed("r", "rs"), Seq("node"), "left")
         .select(col("node"), coalesce(col("rs"), lit(RankBase / nU)).as("r")))
-    val warm = iterate(uEdges, warm0, (RankBase * 15L) / (100L * nU), deltaIters)
+    val warm = iterate(uEdges, warm0, (RankBase * 15L) / (100L * nU), deltaIters, nU)
 
     val out = warm.join(uDeg, warm("node") === uDeg("src"))
       .select(

@@ -124,4 +124,15 @@ class DetGbtSpec extends AnyFunSuite {
         s"depth-2 did not crack the interaction: mse2=$mse2 mse1=$mse1")
     } finally df.unpersist()
   }
+
+  test("fit rejects a train frame above the bounded-collect cap") {
+    val df = toyDf
+    val e = intercept[IllegalArgumentException] {
+      DetGbt.fit(df, "cents", Seq("x0", "x1"), col("tr"), maxRows = 10L)
+    }
+    assert(e.getMessage.contains("MaxDriverRows"),
+      s"guard message should name the cap: ${e.getMessage}")
+    // the shipped default is far above any grain-bounded frame
+    assert(DetGbt.MaxDriverRows >= 1000000L)
+  }
 }
