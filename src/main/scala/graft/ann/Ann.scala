@@ -784,8 +784,16 @@ object Ann {
 
   /** [[buildIvfIndex]] over an explicit corpus frame — the settled-subset
     * entry the append arc ([[annIvfAppend]]) and its spec build from. */
+  /** `withVectors = false` skips the q20 `vectors` artifact: it exists
+    * solely for [[annRecall]]'s brute-force audit leg (read through the
+    * fingerprint-validated persisted index), and the append-arc SCRATCH
+    * builds ([[annIvfAppend]], the streaming replay) never serve that leg —
+    * writing it there was a full corpus quantize+write per call for an
+    * artifact nothing read (optimization r18, guide §1.2: don't compute
+    * things you throw away). Persisted-index builds keep the default. */
   private[graft] def buildIvfIndexFrom(spark: SparkSession, emb: DataFrame,
-                                       indexDir: String, nLists: Int = 0): Unit = {
+                                       indexDir: String, nLists: Int = 0,
+                                       withVectors: Boolean = true): Unit = {
     ivfModelMemo.remove(indexDir) // a rebuild replaces mu/sigma in place
     val xs = (0 until IvfDims).map(i => s"x$i")
     val feats = ivfProj(emb.select(col("vec_id"), col("embedding")), "embedding")
@@ -806,9 +814,10 @@ object Ann {
     // (annRecall's brute force) read these instead of re-quantizing the
     // float corpus per run. Exact-integer doubles round-trip parquet
     // bit-exactly, so consumers are bit-identical to the inline path.
-    emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .withColumn("nrm", sqSum(col("qe")))
-      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+    if (withVectors)
+      emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("nrm", sqSum(col("qe")))
+        .write.mode("overwrite").parquet(s"$indexDir/vectors")
     import spark.implicits._
     model.centers.toIndexedSeq.zipWithIndex
       .map { case (g, i) => (i.toLong, g.toSeq) }
@@ -816,14 +825,17 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     Seq((model.mu.toSeq, model.sigma.toSeq)).toDF("mu", "sigma")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/model")
-    val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
+    // one corpus pass for fingerprint AND digest (was two separate aggs)
+    val fp = emb.agg(count(lit(1)), max(col("vec_id")),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head
     // n_lists = EFFECTIVE count (centers.length ≤ requested when n < k;
     // validates the centroids table), n_lists_req = the REQUESTED clamped
     // k — the probe default derives from n_lists_req so indexed reads
     // match the fresh-fit path and the oracle geo CTE on tiny corpora
     // (advice r16: effective < requested when n < 8 probed fewer lists)
     Seq((model.centers.length, lists, IvfDims, IvfIters, fp.getLong(0),
-      if (fp.isNullAt(1)) -1L else fp.getLong(1), corpusDigest(emb),
+      if (fp.isNullAt(1)) -1L else fp.getLong(1),
+      if (fp.isNullAt(2)) 0L else fp.getLong(2),
       clustered))
       .toDF("n_lists", "n_lists_req", "dims", "iters", "nvecs",
         "max_vec_id", "content_digest", "clustered")
@@ -957,7 +969,8 @@ object Ann {
   def annIvfAppend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val idx = graft.streaming.ReplayScratch.dir("ivf_append_idx")
-    buildIvfIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx)
+    buildIvfIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx,
+      withVectors = false) // scratch index never serves annRecall's audit leg
     appendToIvfIndex(spark, idx, emb.filter(col("vec_id") % 10 === 4), 0L)
     appendToIvfIndex(spark, idx, emb.filter(col("vec_id") % 10 === 9), 1L)
     ivfTopKIndexedWithAppends(spark, dir, idx, k)

@@ -268,12 +268,14 @@ object IvfPq {
       .map { case (g, j) => (j.toLong, g.toSeq) }
       .toDF("j", "g")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
-    val fp = emb.agg(count(lit(1)), max(col("vec_id"))).head
+    // one corpus pass for fingerprint AND digest (was two separate aggs)
+    val fp = emb.agg(count(lit(1)), max(col("vec_id")),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head
     // EFFECTIVE list count (centers.length ≤ requested when n < k)
     Seq((cmodel.centers.length, lists, subSpaces, Ann.IvfDims / subSpaces,
       nCodes, Pq.PqIters,
       fp.getLong(0), if (fp.isNullAt(1)) -1L else fp.getLong(1),
-      Ann.corpusDigest(emb), clustered))
+      if (fp.isNullAt(2)) 0L else fp.getLong(2), clustered))
       .toDF("n_lists", "n_lists_req", "sub_spaces", "sub_dim", "n_codes",
         "iters", "nvecs", "max_vec_id", "content_digest", "clustered")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")

@@ -174,10 +174,18 @@ object SemDeDup {
     var labels = graft.tools.Checkpoints.cut(
       edges.select(col("src").as("rep_id")).distinct()
         .withColumn("component", col("rep_id")))
+    // size-gated broadcast of the per-round label frame (the GraphOps loop
+    // recipe): labels is one 16-byte row per edge-touched rep, and the
+    // checkpointed frames report UnknownPartitioning + default stats, so
+    // each round otherwise statically plans a SortMergeJoin with two
+    // exchanges. One count over the materialized checkpoint gates it.
+    val hintLabels =
+      labels.count() <= graft.operators.GraphOps.BroadcastRanksMaxNodes
     var converged = false
     var i = 0
     while (!converged) {
-      val msgs = edges.join(labels, edges("src") === labels("rep_id"))
+      val lbl = if (hintLabels) broadcast(labels) else labels
+      val msgs = edges.join(lbl, edges("src") === labels("rep_id"))
         .select(col("dst").as("rep_id"), col("component"),
           lit(null).cast("long").as("old"))
       val next = graft.tools.Checkpoints.cut(labels

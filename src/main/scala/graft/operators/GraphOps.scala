@@ -65,6 +65,10 @@ object GraphOps {
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     val outdeg = graft.tools.Checkpoints.cut(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    // outdeg already has exactly one row per node (it groups the doubled
+    // edge list by src) — counting it avoids a second distinct over 2|E|
+    val n = outdeg.count()
+    require(n > 0, "pageRank on an empty graph")
     // out-degree rides the edge list so iterations touch ONE prebuilt
     // frame. Measured r17 NON-change: pre-partitioning+sorting edgesD on
     // src (hoping the per-round join would skip its edge-side exchange,
@@ -72,13 +76,11 @@ object GraphOps {
     // UnknownPartitioning, so every round re-exchanges regardless and the
     // build-time repartition+sort was pure extra cost (7.3 s vs 5.6 s at
     // sf0.1). The winning shape is just: materialize once, iterate.
+    // outdeg (one row per node) is broadcast into the 2|E|-row edge build
+    // and the final join under the same size gate as the per-round rank
+    // frame — the |V|-sized sides never force an edge-side exchange.
     val edgesD = graft.tools.Checkpoints.cut(
-      edges.join(outdeg, "src"))
-
-    // outdeg already has exactly one row per node (it groups the doubled
-    // edge list by src) — counting it avoids a second distinct over |E|
-    val n = outdeg.count()
-    require(n > 0, "pageRank on an empty graph")
+      edges.join(bcastIf(n <= BroadcastRanksMaxNodes, outdeg), "src"))
     val init = RankBase / n
     val teleport = (RankBase * 15L) / (100L * n)
 
@@ -89,7 +91,8 @@ object GraphOps {
       outdeg.select(col("src").as("node")).withColumn("r", lit(init)),
       teleport, iters, n)
     val out = ranks
-      .join(outdeg, ranks("node") === outdeg("src"))
+      .join(bcastIf(n <= BroadcastRanksMaxNodes, outdeg),
+        ranks("node") === outdeg("src"))
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
           .as("node_type"),
@@ -114,6 +117,12 @@ object GraphOps {
     * Above the cap the plain shuffle join formulation stays — at that
     * scale the per-round rank-share shuffle is the algorithm's floor. */
   val BroadcastRanksMaxNodes = 1000000L
+
+  /** `broadcast(df)` under the [[BroadcastRanksMaxNodes]]-style size gate —
+    * shared by every |V|-row join side in this file (rank frames, degree
+    * frames, component labels). Join strategy only; results identical. */
+  private def bcastIf(hint: Boolean, df: DataFrame): DataFrame =
+    if (hint) broadcast(df) else df
 
   /** The damped integer power-iteration core shared by the cold and
     * warm-start paths: `edgesD` must carry (src, dst, deg); `ranks0`
@@ -181,10 +190,10 @@ object GraphOps {
     // repartition+sort non-change).
     val sDeg = graft.tools.Checkpoints.cut(
       settled.groupBy("src").agg(count(lit(1)).as("deg")))
-    val sEdges = graft.tools.Checkpoints.cut(
-      settled.join(sDeg, "src"))
     val nS = sDeg.count()
     require(nS > 0, "pageRankIncremental: empty settled graph")
+    val sEdges = graft.tools.Checkpoints.cut(
+      settled.join(bcastIf(nS <= BroadcastRanksMaxNodes, sDeg), "src"))
     val sRanks = iterate(sEdges,
       sDeg.select(col("src").as("node")).withColumn("r", lit(RankBase / nS)),
       (RankBase * 15L) / (100L * nS), settledIters, nS)
@@ -192,16 +201,18 @@ object GraphOps {
     // phase 2: warm-start on the union graph
     val uDeg = graft.tools.Checkpoints.cut(
       union.groupBy("src").agg(count(lit(1)).as("deg")))
-    val uEdges = graft.tools.Checkpoints.cut(
-      union.join(uDeg, "src"))
     val nU = uDeg.count()
+    val uEdges = graft.tools.Checkpoints.cut(
+      union.join(bcastIf(nU <= BroadcastRanksMaxNodes, uDeg), "src"))
     val warm0 = graft.tools.Checkpoints.cut(
       uDeg.select(col("src").as("node"))
-        .join(sRanks.withColumnRenamed("r", "rs"), Seq("node"), "left")
+        .join(bcastIf(nS <= BroadcastRanksMaxNodes,
+          sRanks.withColumnRenamed("r", "rs")), Seq("node"), "left")
         .select(col("node"), coalesce(col("rs"), lit(RankBase / nU)).as("r")))
     val warm = iterate(uEdges, warm0, (RankBase * 15L) / (100L * nU), deltaIters, nU)
 
-    val out = warm.join(uDeg, warm("node") === uDeg("src"))
+    val out = warm.join(bcastIf(nU <= BroadcastRanksMaxNodes, uDeg),
+      warm("node") === uDeg("src"))
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
           .as("node_type"),
@@ -286,10 +297,17 @@ object GraphOps {
     var labels = graft.tools.Checkpoints.cut(
       edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node")))
+    // one count over the already-materialized checkpoint gates the same
+    // size-gated broadcast the PageRank loop uses: labels is one 16-byte
+    // row per edge-touched node every round, and without the hint each
+    // round statically plans a SortMergeJoin against the checkpointed
+    // edge RDD (UnknownPartitioning + default stats)
+    val hintLabels = labels.count() <= BroadcastRanksMaxNodes
     var converged = false
     var i = 0
     while (!converged) {
-      val msgs = edges.join(labels, edges("src") === labels("node"))
+      val msgs = edges.join(bcastIf(hintLabels, labels),
+          edges("src") === labels("node"))
         .select(col("dst").as("node"), col("component"),
           lit(null).cast("long").as("old"))
       val next = graft.tools.Checkpoints.cut(labels

@@ -42,6 +42,22 @@ object RankOps {
         "not calendar/bucket-bounded")))
       .otherwise(inner)
 
+  /** In-partition 1-based row number of a frame whose per-partition order
+    * was just pinned by `sortWithinPartitions`: the documented layout of
+    * `monotonically_increasing_id()` (partition id in the upper 31 bits, the
+    * CONSECUTIVE in-partition record number in the lower 33) makes the row
+    * number a pure projection — where the previous formulation's
+    * `row_number() OVER (PARTITION BY spark_partition_id())` re-EXCHANGED
+    * the whole frame on __pid (the checkpoint reports UnknownPartitioning,
+    * so the window could not see the rows were already exactly where it
+    * needed them) and re-sorted it (optimization r18, guide §2.4). The id
+    * is deterministic here because the per-partition sort is a total order
+    * over checkpointed (boundary-frozen) partitions: a retried task
+    * re-sorts identical rows into identical positions. */
+  private val MidIdxMask = (1L << 33) - 1
+  private def midRank(mid: Column): Column = (mid.bitwiseAND(MidIdxMask)) + 1
+  private def midPid(mid: Column): Column = shiftright(mid, 33).cast("int")
+
   /** Adds `rankCol` = 1-based global row_number under `sortCols` ordering.
     * Returns (df, totalCount).
     *
@@ -67,13 +83,13 @@ object RankOps {
     val offsets = counts.map { case (pid, c) => val row = (pid, acc); acc += c; row }
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
-    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val ranked = ranged
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(w))
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", midPid(col("__mid")))
       .join(offDf, "__pid")
-      .withColumn(rankCol, (col("__rn") + col("__offset")).cast("long"))
-      .drop("__pid", "__rn", "__offset")
+      .withColumn(rankCol, (midRank(col("__mid")) + col("__offset")).cast("long"))
+      .drop("__pid", "__mid", "__offset")
     (ranked, total)
   }
 
@@ -123,18 +139,21 @@ object RankOps {
     * distributed sort in which each group's rows occupy CONSECUTIVE
     * partitions — so a per-(partition, group) row number plus the count of
     * rows the same group placed in earlier partitions is exactly the
-    * per-group rank. Those boundary offsets are nonzero only where a group
-    * spans a partition boundary — at most #partitions − 1 rows no matter how
-    * many groups or rows — so the offset frame is computed distributively (a
-    * running-sum window over the per-(pid, group) count frame, whose
-    * per-group slices are ≤ #partitions rows each) and broadcast back. No
-    * driver collect anywhere, and nothing in the plan scales with #groups or
-    * group size.
+    * per-group rank. The per-(partition, group) start offsets come from a
+    * running-sum window over the tiny per-(pid, group) count frame
+    * (≤ #partitions + #groups rows — contiguous groups), broadcast back.
+    * No driver collect anywhere, and the ranked frame itself is never
+    * exchanged after the range shuffle.
     *
-    * `countCol`, if set, also adds the per-group total row count via a
-    * broadcast of the ≤ #groups-row totals frame — ask for it only when the
-    * group cardinality is itself broadcast-sized (the median-rank use case;
-    * segment/country-grade cardinalities, not part-grade).
+    * `countCol`, if set, also adds the per-group total row count.
+    *
+    * The auxiliary broadcast carries one row per (partition, group) PRESENT
+    * — for range-contiguous groups that is ≤ #groups + #partitions rows.
+    * Group cardinality therefore enters the broadcast, which is fine in
+    * this primitive's whole domain: it exists for FEW huge groups (the
+    * parallelism-ceiling case — 25 countries over 20M+ ranked parts); when
+    * groups are numerous-and-small a plain `Window.partitionBy(group)`
+    * already parallelizes and is the right tool instead.
     *
     * The range-shuffled frame is localCheckpoint'ed for the same reason as
     * [[withGlobalRankCounted]]: the per-partition counts are only valid for
@@ -152,51 +171,55 @@ object RankOps {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val gCols = groupCols.map(col)
     val ranged = df.repartitionByRange(parts, gCols ++ sortCols: _*).localCheckpoint(false)
-    val withPid = ranged.withColumn("__pid", spark_partition_id())
-    // one row per (partition, group) present — ≤ #partitions + #groups rows,
-    // contiguous groups ⇒ each partition holds a short group slice
-    val counts = withPid.groupBy(col("__pid") +: gCols: _*).agg(count(lit(1)).as("__cnt"))
+    // per-partition total order: groups are contiguous under the gCols
+    // prefix, sortCols total-order rows within a group — so the
+    // monotonically_increasing_id projection IS the in-partition row
+    // number under (group, sort) order, with no exchange and no window
+    // over the full frame (see midRank; this removed the plan's
+    // Exchange hashpartitioning(__pid, group) + Sort of the whole frame)
+    val sorted = ranged.sortWithinPartitions(gCols ++ sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", midPid(col("__mid")))
+    // one row per (partition, group) present — ≤ #partitions + #groups rows
+    // (contiguous groups). min(__mid) is the group's first in-partition id:
+    // order-free aggregate of a value pinned by the deterministic sort, so
+    // this pass and the output projection see identical ids.
+    val counts = sorted.groupBy(col("__pid") +: gCols: _*)
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__gmin"))
     // rows this group placed in EARLIER partitions; > 0 only at boundary
-    // spans (≤ #partitions − 1 rows survive the filter ⇒ always broadcastable)
+    // spans
     val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offCond = ((col("__pid") === col("__opid")) +:
       groupCols.map(c => col(c) <=> col(s"__og_$c"))).reduce(_ && _)
-    val wRank = Window.partitionBy(col("__pid") +: gCols: _*).orderBy(sortCols: _*)
-    val internal = "__pid" :: "__rn" :: "__opid" :: "__goff" ::
+    val internal = "__pid" :: "__mid" :: "__opid" :: "__gmin" :: "__goff" ::
       groupCols.map(c => s"__og_$c").toList
+    val aux0 = counts
+      .withColumn("__goff", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+    val auxCols = (col("__pid").as("__opid") +:
+      groupCols.map(c => col(c).as(s"__og_$c"))) ++
+      Seq(col("__gmin"), col("__goff"))
     countCol match {
       case None =>
-        // broadcast ONLY the boundary-spanning rows (≤ #partitions − 1, no
-        // matter how many groups) — group cardinality never enters the plan
-        val offsets = counts
-          .withColumn("__goff", sum(col("__cnt")).over(wOff))
-          .filter(col("__goff").isNotNull && col("__goff") > 0)
-          .select(col("__pid").as("__opid") +:
-            groupCols.map(c => col(c).as(s"__og_$c")) :+ col("__goff"): _*)
-        withPid
-          .withColumn("__rn", row_number().over(wRank))
-          .join(broadcast(offsets), offCond, "left")
-          .withColumn(rankCol, (col("__rn") + coalesce(col("__goff"), lit(0L))).cast("long"))
+        val aux = aux0.select(auxCols: _*)
+        sorted
+          .join(broadcast(aux), offCond, "inner") // every (pid, group) is in counts
+          .withColumn(rankCol,
+            (col("__mid") - col("__gmin") + 1 + col("__goff")).cast("long"))
           .drop(internal: _*)
       case Some(cc) =>
-        // countCol implies broadcast-sized group cardinality, so ship offset
-        // AND group total in ONE auxiliary broadcast (≤ #groups + #partitions
-        // rows) — one join instead of two
+        // ship the per-group total in the SAME broadcast — one join;
         // same partition+order as wOff (only the frame differs) so both
         // sums share one Window sort of the tiny counts frame
         val wTot = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val aux = counts
-          .withColumn("__goff", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+        val aux = aux0
           .withColumn("__gtot", sum(col("__cnt")).over(wTot).cast("long"))
-          .select((col("__pid").as("__opid") +:
-            groupCols.map(c => col(c).as(s"__og_$c"))) ++
-            Seq(col("__goff"), col("__gtot")): _*)
-        withPid
-          .withColumn("__rn", row_number().over(wRank))
-          .join(broadcast(aux), offCond, "inner") // every (pid, group) is in counts
-          .withColumn(rankCol, (col("__rn") + col("__goff")).cast("long"))
+          .select(auxCols :+ col("__gtot"): _*)
+        sorted
+          .join(broadcast(aux), offCond, "inner")
+          .withColumn(rankCol,
+            (col("__mid") - col("__gmin") + 1 + col("__goff")).cast("long"))
           .withColumn(cc, col("__gtot"))
           .drop("__gtot" :: internal: _*)
     }

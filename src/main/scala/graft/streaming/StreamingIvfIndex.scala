@@ -48,7 +48,8 @@ object StreamingIvfIndex {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables.embeddings(spark, dir)
     val idx = ReplayScratch.dir("sivf_replay_idx")
-    Ann.buildIvfIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx)
+    Ann.buildIvfIndexFrom(spark, emb.filter(col("vec_id") % 5 =!= 4), idx,
+      withVectors = false) // scratch index never serves annRecall's audit leg
     val slice = emb.filter(col("vec_id") % 5 === 4)
       .select("vec_id", "embedding")
     val banded = graft.operators.RankOps

@@ -139,6 +139,21 @@ object HybridSearch {
   private val geometryMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Long)]()
 
+  /** Pinned on-disk schemas of the two data parts — shared by the builder,
+    * the appender and the readers (the readers NEED them: a crashed
+    * incremental fold can leave an empty committed batch dir). */
+  private val VecsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("qvec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+  private val BucketsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
   def buildIndex(spark: SparkSession, dir: String, indexDir: String,
                  dim: Int = Embeddings.Dim, tables: Int = IndexTables,
                  seed: Long = IndexSeed): Unit =
@@ -246,7 +261,13 @@ object HybridSearch {
     })
     val committed = ExactlyOnce.committedBatches(spark, s"$indexDir/appends")
     def withAppends(part: String, base: DataFrame): DataFrame = {
-      val all = (base +: committed.map(d => spark.read.parquet(s"$d/$part")))
+      // append dirs are read with the PINNED append schema: a crashed
+      // incremental fold can leave a committed dir whose data files were
+      // all moved into corpus (see compactIndex) — schema inference over
+      // the empty dir would fail, while the pinned schema reads it as the
+      // empty frame it is (and saves a footer read per dir per query).
+      val sch = if (part == "vecs") VecsSchema else BucketsSchema
+      val all = (base +: committed.map(d => spark.read.schema(sch).parquet(s"$d/$part")))
         .reduce(_.unionByName(_))
       // a compaction crash between the corpus swap and the batch-dir
       // deletes leaves folded dirs listed committed — doc_ids then appear
@@ -284,11 +305,17 @@ object HybridSearch {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Complete an interrupted [[compactIndex]] swap before any index read —
-    * the StreamingNearDup recovery rule: the staged dir is only ever fully
-    * written before the first rename, so "corpus missing + staged present"
-    * always means the staged copy is the complete new index. Idempotent,
-    * two existence checks. */
+  /** Complete an interrupted [[compactIndex]] step before any index read.
+    * Two interrupted shapes recover here, both idempotent and fs-op-cheap
+    * (existence checks only, no Spark job):
+    *  - the legacy whole-corpus swap (pre-incremental folds, and the
+    *    manufactured mid-swap state the crash-window spec pins): "corpus
+    *    missing + staged present" always means the staged copy is the
+    *    complete new index;
+    *  - an incremental fold's meta stamp: the watermark rewrite stages the
+    *    new meta beside the corpus and swaps it by delete+rename, so
+    *    "meta missing + staged meta present" completes the rename (and a
+    *    leftover staged meta beside a live meta is stale — deleted). */
   private def recoverCorpus(spark: SparkSession, indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = hadoopFs(spark, indexDir)
@@ -297,6 +324,12 @@ object HybridSearch {
     val old = new Path(s"$indexDir/__corpus_old")
     if (!fs.exists(corpus) && fs.exists(staged)) fs.rename(staged, corpus)
     if (fs.exists(corpus) && fs.exists(old)) fs.delete(old, true)
+    val meta = new Path(s"$indexDir/corpus/meta")
+    val metaStaged = new Path(s"$indexDir/__meta_staged")
+    if (fs.exists(metaStaged)) {
+      if (fs.exists(corpus) && !fs.exists(meta)) fs.rename(metaStaged, meta)
+      else fs.delete(metaStaged, true)
+    }
   }
 
   /** Append a batch of NEW documents (`doc_id`, `text`) to the index under
@@ -336,54 +369,88 @@ object HybridSearch {
   }
 
   /** Fold every COMMITTED append into `corpus/` and delete the batch dirs —
-    * the offline maintenance step bounding the probe's union width on a
-    * long-lived index. Must not run concurrently with queries or appends
-    * (the standard compaction/ingest exclusion). Write-then-swap with the
-    * [[graft.streaming.StreamingNearDup]] crash protocol: stage the merged
-    * index fully, swap via two VERIFIED renames, delete old + batch dirs
-    * only after both renames and the old-dir delete prove they succeeded.
-    * Every crash point recovers: before the first rename the old corpus is
-    * intact; between the renames [[recoverCorpus]] completes the swap;
-    * after the swap, surviving batch dirs are deduped on read until the
-    * next pass deletes them. Returns the number of batch dirs folded. */
+    * the maintenance step bounding the probe's union width on a long-lived
+    * index. Must not run concurrently with queries or appends (the standard
+    * compaction/ingest exclusion).
+    *
+    * INCREMENTAL since optimization r18 (guide §2.4/§6): append dirs carry
+    * parquet files in exactly the corpus layout (the appender embeds and
+    * buckets with the index's frozen geometry), so a fold is a FILE MOVE —
+    * O(batch) filesystem renames — not the previous read + global-dedupe
+    * + rewrite of the whole corpus (two corpus-sized shuffles and a full
+    * rewrite per fold; at 100 TB that made every n-th micro-batch pay a
+    * corpus pass). Batch files land under collision-free names
+    * (`b<batchId>_<origName>`), which also makes the move idempotent: a
+    * destination that already exists means THIS file was already folded
+    * (a crash replay, or the stale-dir window below), so the source is
+    * simply dropped.
+    *
+    * Crash protocol, in order:
+    *  1. stamp the folded-batch watermark (max batchId being folded,
+    *     monotonic) into corpus/meta FIRST via staged-write + delete +
+    *     rename — [[recoverCorpus]] completes an interrupted rename, and
+    *     the stamp closes the redelivery window before any marker dies
+    *     (appendToIndex rejects batchIds at or below it);
+    *  2. move each committed dir's data files into corpus (idempotent);
+    *  3. delete the batch dirs.
+    * Every crash point recovers: an interrupted stamp completes on the
+    * next recoverCorpus; a partially-moved dir still unions to the
+    * complete row set on read (each file lives on exactly one side of the
+    * move — renames, never copies) and the next fold finishes it; a
+    * fully-moved-but-undeleted dir reads as empty (readers pin the
+    * append schema) and the next fold deletes it; the pre-r18 whole-swap
+    * window and the stale-copied-dir window are covered by the reader's
+    * dedupe plus the idempotent move. Returns the number of batch dirs
+    * folded (completing a crashed fold's delete counts — the dir was
+    * still bounding the union width). */
   def compactIndex(spark: SparkSession, indexDir: String): Int = {
     import org.apache.hadoop.fs.Path
     recoverCorpus(spark, indexDir)
     val committed = ExactlyOnce.committedBatches(spark, s"$indexDir/appends")
     if (committed.isEmpty) return 0
-    val allVecs = (spark.read.parquet(s"$indexDir/corpus/vecs") +:
-      committed.map(d => spark.read.parquet(s"$d/vecs")))
-      .reduce(_.unionByName(_))
-      .dropDuplicates("doc_id")          // a surviving folded dir may duplicate
-    val allBuckets = (spark.read.parquet(s"$indexDir/corpus/buckets") +:
-      committed.map(d => spark.read.parquet(s"$d/buckets")))
-      .reduce(_.unionByName(_))
-      .dropDuplicates("bkey", "doc_id")
-    val staged = s"$indexDir/__corpus_staged"
-    allVecs.write.mode("overwrite").parquet(s"$staged/vecs")
-    allBuckets.sortWithinPartitions("bkey")
-      .write.mode("overwrite").parquet(s"$staged/buckets")
-    // Stamp the folded-batch watermark (max batchId folded here, monotonic
-    // with any prior watermark) so appendToIndex can reject a foreachBatch
-    // redelivery of a batch whose dir — and commit marker — this fold
-    // deletes. Written to the STAGED meta, so the watermark becomes
-    // visible atomically with the fold itself at the corpus swap.
-    val foldedMax = committed
-      .map(d => d.substring(d.lastIndexOf("batch=") + "batch=".length).toLong).max
+    val fs = hadoopFs(spark, indexDir)
+    def batchId(d: String) =
+      d.substring(d.lastIndexOf("batch=") + "batch=".length).toLong
+    // 1. watermark stamp (only when it advances)
+    val foldedMax = committed.map(batchId).max
     val oldMeta = spark.read.parquet(s"$indexDir/corpus/meta")
     val prevWm =
       if (oldMeta.columns.contains("folded_max_batch"))
         oldMeta.head.getAs[Long]("folded_max_batch") else -1L
-    oldMeta.withColumn("folded_max_batch", lit(math.max(foldedMax, prevWm)))
-      .write.mode("overwrite").parquet(s"$staged/meta")
-    val fs = hadoopFs(spark, indexDir)
-    require(fs.rename(new Path(s"$indexDir/corpus"), new Path(s"$indexDir/__corpus_old")),
-      s"compactIndex: rename corpus -> __corpus_old failed under $indexDir; aborting before any delete")
-    require(fs.rename(new Path(staged), new Path(s"$indexDir/corpus")),
-      s"compactIndex: rename __corpus_staged -> corpus failed under $indexDir; aborting before any delete")
-    require(fs.delete(new Path(s"$indexDir/__corpus_old"), true),
-      s"compactIndex: delete of __corpus_old failed under $indexDir; aborting before batch-dir deletes")
-    committed.foreach(d => fs.delete(new Path(d), true))
+    if (foldedMax > prevWm) {
+      val staged = s"$indexDir/__meta_staged"
+      oldMeta.withColumn("folded_max_batch", lit(foldedMax))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      require(fs.delete(new Path(s"$indexDir/corpus/meta"), true),
+        s"compactIndex: delete of corpus/meta failed under $indexDir; " +
+          "aborting before the staged-meta rename")
+      require(fs.rename(new Path(staged), new Path(s"$indexDir/corpus/meta")),
+        s"compactIndex: rename __meta_staged -> corpus/meta failed under " +
+          s"$indexDir; recoverCorpus completes it on the next index entry")
+    }
+    // 2.+3. move data files (idempotent), then delete the batch dir
+    committed.foreach { d =>
+      val id = batchId(d)
+      Seq("vecs", "buckets").foreach { part =>
+        val src = new Path(s"$d/$part")
+        if (fs.exists(src)) fs.listStatus(src).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+            val dst = new Path(s"$indexDir/corpus/$part/b${id}_$name")
+            if (fs.exists(dst) || !fs.rename(st.getPath, dst)) {
+              require(fs.exists(dst),
+                s"compactIndex: rename $name -> $dst failed under $indexDir " +
+                  "and the destination is absent; aborting before the " +
+                  "batch-dir delete so no committed data is lost")
+              fs.delete(st.getPath, false)
+            }
+          }
+        }
+      }
+      require(fs.delete(new Path(d), true),
+        s"compactIndex: delete of folded batch dir $d failed; aborting " +
+          "(the dir's data files are already folded — rerun to finish)")
+    }
     committed.size
   }
 
