@@ -79,18 +79,24 @@ object Approx {
     val f = Tables.salesFact(spark, dir)
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand")
     val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    val agg = f.join(p, f("l_partkey") === p("p_partkey"))
-      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"), col("country"))
+    // aggregate on (l_partkey, country) first, join part after — the exact
+    // twin's r18 rewrite (guide §2.3), kept identical here so the measured
+    // exact-vs-approx delta still isolates the distinct-count cost
+    val agg0 = f.groupBy(col("l_partkey"), col("country"))
       .agg(
         decSum(revenue).as("__rev"),
         decSum(col("l_extendedprice")).as("__ext"),
         decSumDbl(col("l_quantity")).as("total_quantity"),
         countAll.as("transaction_count"),
         approx_count_distinct(col("o_custkey")).as("unique_customers_approx"))
-      .withColumn("total_revenue", col("__rev").cast("double"))
-      .withColumn("avg_extended_price", col("__ext").cast("double") / col("transaction_count"))
-      .withColumn("revenue_per_transaction", col("__rev").cast("double") / col("transaction_count"))
-      .drop("__rev", "__ext")
+    val agg = agg0.join(p, agg0("l_partkey") === p("p_partkey"))
+      .select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("country"),
+        col("total_quantity"), col("transaction_count"),
+        col("unique_customers_approx"),
+        col("__rev").cast("double").as("total_revenue"),
+        (col("__ext").cast("double") / col("transaction_count")).as("avg_extended_price"),
+        (col("__rev").cast("double") / col("transaction_count")).as("revenue_per_transaction"))
     RankOps.withGroupedRank(agg, "revenue_rank_in_country", Seq("country"),
       Seq(col("total_revenue").desc, col("p_partkey").asc))
   }

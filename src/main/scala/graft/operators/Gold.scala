@@ -50,18 +50,29 @@ object Gold {
     val f = Tables.salesFact(spark, dir)
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand")
     val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    val agg = f.join(p, f("l_partkey") === p("p_partkey"))
-      .groupBy(col("p_partkey"), col("p_name"), col("p_brand"), col("country"))
+    // Aggregate on (l_partkey, country) FIRST, attach the part attributes
+    // AFTER (optimization r18, guide §2.3: shuffle fewer bytes). p_name and
+    // p_brand are functions of the part key (part is unique-keyed), so
+    // grouping by the key alone partitions the fact rows identically, and
+    // the inner join filters the same rows whether it runs before or after
+    // the aggregation — but run before, every fact row dragged the two
+    // part strings through BOTH aggregation exchanges (the distinct
+    // pre-shuffle and the final group shuffle); run after, the join
+    // touches one part×country row per group instead of one per line item.
+    val agg0 = f.groupBy(col("l_partkey"), col("country"))
       .agg(
         decSum(revenue).as("__rev"),
         decSum(col("l_extendedprice")).as("__ext"),
         decSumDbl(col("l_quantity")).as("total_quantity"),
         countAll.as("transaction_count"),
         countDistinct(col("o_custkey")).as("unique_customers"))
-      .withColumn("total_revenue", dec6ToDouble(col("__rev")))
-      .withColumn("avg_extended_price", dec6ToDouble(col("__ext")) / col("transaction_count"))
-      .withColumn("revenue_per_transaction", dec6ToDouble(col("__rev")) / col("transaction_count"))
-      .drop("__rev", "__ext")
+    val agg = agg0.join(p, agg0("l_partkey") === p("p_partkey"))
+      .select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("country"),
+        col("total_quantity"), col("transaction_count"), col("unique_customers"),
+        dec6ToDouble(col("__rev")).as("total_revenue"),
+        (dec6ToDouble(col("__ext")) / col("transaction_count")).as("avg_extended_price"),
+        (dec6ToDouble(col("__rev")) / col("transaction_count")).as("revenue_per_transaction"))
     RankOps.withGroupedRank(agg, "revenue_rank_in_country", Seq("country"),
       Seq(col("total_revenue").desc, col("p_partkey").asc))
   }

@@ -134,7 +134,8 @@ object Quality {
       .agg(countAll.as("n"))
     val wAll = Window.partitionBy()
     grouped
-      .withColumn("total", sum(col("n")).over(wAll).cast("long"))
+      .withColumn("total", RankOps.boundedFrame("rare_categories",
+        sum(col("n")).over(wAll)).cast("long"))
       .withColumn("share", col("n").cast("double") / col("total"))
       .withColumn("is_rare", col("share") < 0.02)
   }
@@ -180,7 +181,8 @@ object Quality {
         sum(when(col("period") === "cur", 1L).otherwise(0L)).as("cur_n"))
     val wAll = Window.partitionBy() // 10-row post-aggregate frame
     counts
-      .withColumn("ref_total", sum(col("ref_n")).over(wAll).cast("long"))
+      .withColumn("ref_total", RankOps.boundedFrame("drift_bins",
+        sum(col("ref_n")).over(wAll)).cast("long"))
       .withColumn("cur_total", sum(col("cur_n")).over(wAll).cast("long"))
       .withColumn("ref_share", col("ref_n").cast("double") / col("ref_total"))
       .withColumn("cur_share", col("cur_n").cast("double") / col("cur_total"))

@@ -66,7 +66,8 @@ object Segments {
     withTotals
       .withColumn("segment_percentage",
         col("customer_count").cast("double") * lit(100.0) /
-          sum(col("customer_count")).over(Window.partitionBy()).cast("double"))
+          RankOps.boundedFrame("customer_segments",
+            sum(col("customer_count")).over(Window.partitionBy())).cast("double"))
   }
 
   /** DuckDB oracle mirroring customerSegments. */

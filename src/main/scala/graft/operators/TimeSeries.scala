@@ -78,7 +78,8 @@ object TimeSeries {
     // report surface: the five STRONGEST candidates with the reference's z>2
     // decision flag (the reference returns only flagged points — a synthetic
     // flat series would then verify an empty frame, a degenerate hash check)
-    z.withColumn("__k", row_number().over(Window.orderBy(col("z_score").desc, col("day"))))
+    z.withColumn("__k", RankOps.boundedFrame("change_points_topk",
+        row_number().over(Window.orderBy(col("z_score").desc, col("day")))))
       .filter(col("__k") <= 5).drop("__k")
   }
 
@@ -156,7 +157,8 @@ object TimeSeries {
     // five strongest periods with the reference's severity grades ('normal'
     // below the z>2.5 flag threshold — see changePoints for the rationale)
     z.join(endDays, col("e") === least(col("i") + col("w"), col("n")))
-      .withColumn("__k", row_number().over(Window.orderBy(col("z_score").desc, col("start_time"))))
+      .withColumn("__k", RankOps.boundedFrame("anomalous_periods_topk",
+        row_number().over(Window.orderBy(col("z_score").desc, col("start_time")))))
       .filter(col("__k") <= 5)
       .select("start_time", "end_time", "window_mean", "current_mean", "z_score", "severity")
   }

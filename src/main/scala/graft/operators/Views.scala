@@ -220,7 +220,8 @@ object Views {
       when(coalesce(col("unique_customers"), lit(0L)) === 0, lit(null).cast("double"))
         .otherwise(revD / col("unique_customers").cast("double")).as("revenue_per_customer"))
     val wb = Window.orderBy(col("bucket"))
-    k.withColumn("__prev", lag(col("revenue_total"), 1).over(wb))
+    k.withColumn("__prev", RankOps.boundedFrame("financial_kpis_buckets",
+        lag(col("revenue_total"), 1).over(wb)))
       .withColumn("mom_growth_pct",
         when(col("__prev").isNull || col("__prev") === 0.0, lit(null).cast("double"))
           .otherwise((col("revenue_total") - col("__prev")) / col("__prev") * lit(100.0)))

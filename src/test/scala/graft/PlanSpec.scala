@@ -514,8 +514,13 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(graft.text.Perplexity.perplexityBuckets(spark, dir))
     assert(!plan.contains("CartesianProduct"),
       "tercile bucketing must join on keys, never a cartesian")
-    assert(plan.contains("hashpartitioning(__pid"),
-      "the tercile rank must be the distributed per-partition form")
+    // r18: the rank is a partition-local sort + monotonic-id projection —
+    // the ranked frame must NOT be re-exchanged on __pid (the pre-r18
+    // mechanism) nor collapse to a global single-partition window
+    assert(!plan.contains("hashpartitioning(__pid"),
+      "the tercile rank re-exchanged the ranked frame on __pid")
+    assert(!plan.contains("SinglePartition"),
+      "the tercile rank collapsed to one partition")
     assert(plan.contains("BroadcastExchange"),
       "the rank offset table must broadcast")
     spark.catalog.clearCache()
