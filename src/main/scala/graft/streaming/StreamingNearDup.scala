@@ -163,34 +163,22 @@ object StreamingNearDup {
       // decision doesn't depend on which duplicate row survives
       .groupBy("doc_id", "other_id")
       .agg(max("other_is_corpus").as("other_is_corpus"))
-      // materialized once: feeds BOTH the candidate-id restriction below
-      // and the decision join; without the cut the bucket join would run
-      // twice. Bounded: batch size × collision rate.
-      .localCheckpoint(false)
     val corpusSh = spark.read.parquet(s"$indexDir/corpus/shingles")
     val earlierSh = unionAll(committed.map(d => spark.read.parquet(s"$d/shingles")))
     // Shingles are the probe's heavy payload (guide §2.3/§8.4: decide with
-    // small rows, move big rows once). The old shape shuffled the WHOLE
-    // corpus shingle table per micro-batch TWICE — a global dropDuplicates
-    // over corpus∪earlier∪self, then a sort-merge join of that corpus-wide
-    // frame against the tiny candidate set. Restricting the shingle side to
-    // candidate other_ids FIRST is value-identical (jaccardDecisions only
-    // reads sh_b through an inner join on other_id) and turns both corpus
-    // shuffles into one scan filtered by a broadcast semi-join; the dedupe
-    // then runs on the candidate-sized remainder. Duplicates it collapses
-    // are bit-identical rows (same doc, same deterministic shingles), so
-    // which copy survives never mattered. The broadcast is size-gated on
-    // the materialized candidate count (`cand` is already checkpointed);
-    // above the gate the plain join keeps the old corpus-shuffle shape.
-    val candIds = cand.select(col("other_id").as("doc_id")).distinct()
-    val candBounded =
-      cand.count() <= graft.operators.GraphOps.BroadcastRanksMaxNodes
+    // small rows, move big rows once). The old shape globally dropDuplicated
+    // corpus∪earlier∪self per micro-batch — a corpus-wide shuffle whose only
+    // purpose was collapsing a replayed batch's doc_ids appearing both as
+    // "earlier" and as "self". That dedupe is semantically REDUNDANT:
+    // duplicates carry bit-identical (doc_id, shingles) rows (same document,
+    // same deterministic shingling), jaccardDecisions consumes sh_b only
+    // through an inner join feeding per-(doc, side) MAX-struct aggregates,
+    // and a max over duplicated identical values is the max over one — so
+    // the union flows to the join unshuffled, the candidate side stays the
+    // small one (AQE broadcasts it), and the corpus shingle table is
+    // SCANNED once per batch, never shuffled.
     val allSh = (Seq(corpusSh) ++ earlierSh ++ Seq(signed.select("doc_id", "shingles")))
       .reduce(_.unionByName(_))
-      .join(if (candBounded) broadcast(candIds) else candIds, "doc_id")
-      // a replayed batch whose index append committed before the crash
-      // appears both as "earlier" and as "self" — one copy is enough
-      .dropDuplicates("doc_id")
     val shA = signed.select(col("doc_id"), col("shingles").as("sh_a"))
     val shB = allSh.select(col("doc_id").as("other_id"), col("shingles").as("sh_b"))
     val decisions = IncrementalDedup.jaccardDecisions(
